@@ -1,0 +1,4 @@
+"""Operator-coverage query modules. Importing this package registers
+every query into `datafusion_umami_spark.registry.REGISTRY`."""
+
+from datafusion_umami_spark.queries import tpch  # noqa: F401

@@ -1,0 +1,53 @@
+"""Table catalog for the driver's star schema (FIXTURES.md).
+
+Equivalent of the reference's `ListingTable` + catalog registration
+(reference `datafusion/core/src/datasource/listing/table.rs:922`,
+`catalog/src/memory/table.rs:58`): `spark.read.parquet` already gives us
+partition discovery, projection/predicate pushdown, and vectorized scans.
+
+At 100 TB each table would be a partitioned directory (or an external
+catalog table); the loader only needs the root path to change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables — always broadcastable (well under the 64 MiB
+# threshold even at SF100; nation/region are constant-size in TPC-H).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table as a lazy DataFrame scan."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table; returns {name: DataFrame}."""
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so `spark.sql` queries resolve.
+
+    Mirrors the reference's `SessionContext::register_parquet` flow; views
+    are lazy — no data is read until a query over them executes.
+    """
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
