@@ -1,0 +1,60 @@
+"""Benchmark runner — the driver's perf feedback loop.
+
+Runs the registry's bench-flagged headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ...}
+
+Per-query time is the best of N_ITERS runs (mirrors the reference's
+`compare.py` multi-iteration protocol, reference benchmarks/bench.sh).
+Execution is a full action (count via noop write semantics —
+df.count() would let Catalyst prune aggregates, so we use
+collect-with-limit-free foreach-equivalent: toLocalIterator drain is
+overkill; .collect() materializes results like the reference's
+`collect()`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datafusion_umami_spark.registry import bench_queries
+from datafusion_umami_spark.session import get_spark
+
+N_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    specs = bench_queries()
+    times: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        best = float("inf")
+        for _ in range(N_ITERS):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,10 @@ def _canon_value(v: object) -> str:
         if v.tzinfo is not None:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
+    if isinstance(v, datetime.date):
+        # promote to midnight so arrow date32 compares equal whether pandas
+        # surfaced it as datetime.date (Spark) or Timestamp (DuckDB .df())
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_value(x) for x in v) + "]"
     if isinstance(v, dict):

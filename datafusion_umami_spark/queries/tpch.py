@@ -186,3 +186,345 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(dec("l_extendedprice") * dec("l_discount", 2, 4)).cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H-shaped suite (q2..q22), adapted to the driver star schema
+# (no partsupp table; no phone/comment/shipmode/commitdate/receiptdate
+# columns — see FIXTURES.md). Registered as shared Spark-SQL/DuckDB text:
+# both engines run the SAME ANSI SQL, which keeps the oracle twin in sync
+# by construction. Shapes mirror reference benchmarks/queries/q2.sql-q22.sql.
+# ---------------------------------------------------------------------------
+
+from datafusion_umami_spark.registry import register_sql
+
+DEC_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+
+register_sql(
+    "tpch_q2",
+    f"""
+    SELECT DISTINCT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND r_name = 'EUROPE'
+      AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                       FROM supplier s2
+                         JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                         JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                         JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                       WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "correlated-scalar"),
+)
+
+register_sql(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("subquery", "exists", "semi-join"),
+)
+
+register_sql(
+    "tpch_q7",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                 {SQL_MONEY} AS volume
+          FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                               AND TIMESTAMP '1997-12-31 00:00:00') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+
+register_sql(
+    "tpch_q8",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 {SQL_MONEY} AS volume, n2.n_name AS nation
+          FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+            AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                AND TIMESTAMP '1997-12-31 00:00:00') all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("join", "agg", "case"),
+)
+
+register_sql(
+    "tpch_q9",
+    f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 {SQL_MONEY} AS amount
+          FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%bolt%') profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("join", "agg", "like"),
+    bench=True,
+)
+
+register_sql(
+    "tpch_q10",
+    f"""
+    SELECT c_custkey, c_name, CAST(SUM({SQL_MONEY}) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+
+register_sql(
+    "tpch_q11",
+    f"""
+    SELECT l_partkey AS ps_partkey, CAST(SUM({DEC_PRICE}) AS DOUBLE) AS value
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    GROUP BY l_partkey
+    HAVING SUM({DEC_PRICE}) > (SELECT SUM({DEC_PRICE}) * 0.001
+                               FROM lineitem
+                                 JOIN supplier ON l_suppkey = s_suppkey
+                                 JOIN nation ON s_nationkey = n_nationkey
+                               WHERE n_name = 'NATION_1')
+    ORDER BY value DESC, ps_partkey
+    """,
+    tags=("agg", "having", "subquery"),
+)
+
+register_sql(
+    "tpch_q12",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > o_orderdate
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("join", "agg", "case"),
+)
+
+register_sql(
+    "tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("outer-join", "agg"),
+    bench=True,
+)
+
+register_sql(
+    "tpch_q14",
+    f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_MONEY}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+           / CAST(SUM({SQL_MONEY}) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("join", "agg", "case"),
+)
+
+register_sql(
+    "tpch_q15",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, SUM({SQL_MONEY}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("cte", "subquery", "agg"),
+)
+
+register_sql(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'ECO%'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("agg", "distinct-agg", "not-in", "anti-join"),
+)
+
+register_sql(
+    "tpch_q17",
+    f"""
+    SELECT CAST(SUM({DEC_PRICE}) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("subquery", "correlated-scalar", "agg"),
+)
+
+register_sql(
+    "tpch_q18",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_totalprice, CAST(SUM({DEC_QTY}) AS DOUBLE) AS sum_qty
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM({DEC_QTY}) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate
+    LIMIT 100
+    """,
+    tags=("join", "in-subquery", "having", "topk"),
+    bench=True,
+)
+
+register_sql(
+    "tpch_q19",
+    f"""
+    SELECT CAST(SUM({SQL_MONEY}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    tags=("join", "or-predicate", "agg"),
+)
+
+register_sql(
+    "tpch_q20",
+    f"""
+    SELECT s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+      AND s_suppkey IN (SELECT l_suppkey
+                        FROM lineitem JOIN part ON l_partkey = p_partkey
+                        WHERE p_name LIKE 'blue%'
+                          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                        GROUP BY l_suppkey
+                        HAVING SUM({DEC_QTY}) > 50)
+    ORDER BY s_name
+    """,
+    tags=("in-subquery", "semi-join", "having"),
+)
+
+register_sql(
+    "tpch_q21",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name = 'NATION_1'
+      AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL '60' DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("exists", "not-exists", "semi-join", "anti-join"),
+    bench=True,
+)
+
+register_sql(
+    "tpch_q22",
+    """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM (SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal
+          FROM customer
+          WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)
+            AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0.0
+                               AND c_nationkey IN (1, 3, 5, 7, 9, 11))
+            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    tags=("subquery", "not-exists", "anti-join", "agg"),
+)

@@ -36,6 +36,10 @@ _DEFAULTS = {
     # Window group limit pushes rank()<=k filters into the shuffle (top-k
     # per group without full-partition materialization).
     "spark.sql.optimizer.windowGroupLimitThreshold": "1000",
+    # events.parquet stores timestamp[ns]; Spark has no ns timestamps —
+    # read as long and convert to µs in tables.py (SURVEY.md §1.2 row
+    # "Timestamp ns truncated to µs").
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }

@@ -35,7 +35,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table as a lazy DataFrame scan."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # Runtime-set (not only in the session factory) so the loader also
+        # works under a driver-owned SparkSession we didn't configure.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet timestamp[ns], surfaced as LongType via
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to µs exactly with
+        # integer division (double division would lose precision: epoch-ns
+        # ~1.7e18 > 2^53). Matches DuckDB's ns→µs truncation.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
