@@ -17,6 +17,7 @@ import math
 from dataclasses import dataclass
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from datafusion_umami_spark.tables import TABLE_NAMES
@@ -52,8 +53,12 @@ def _canon_value(v: object) -> str:
         # promote to midnight so arrow date32 compares equal whether pandas
         # surfaced it as datetime.date (Spark) or Timestamp (DuckDB .df())
         return datetime.datetime(v.year, v.month, v.day).isoformat()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_canon_value(x.item() if hasattr(x, "item") else x) for x in v) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, (np.integer, np.floating, np.bool_)):
+        return _canon_value(v.item())
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{_canon_value(x)}" for k, x in sorted(v.items())) + "}"
     try:

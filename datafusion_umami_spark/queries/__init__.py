@@ -1,4 +1,10 @@
 """Operator-coverage query modules. Importing this package registers
 every query into `datafusion_umami_spark.registry.REGISTRY`."""
 
-from datafusion_umami_spark.queries import tpch  # noqa: F401
+from datafusion_umami_spark.queries import (  # noqa: F401
+    aggregates,
+    joins,
+    relational,
+    tpch,
+    windows,
+)

@@ -1,0 +1,312 @@
+"""Aggregation operators: the full aggregate-function surface, distinct
+aggregates, HAVING, GROUPING SETS / ROLLUP / CUBE + grouping().
+
+Covers SURVEY.md §2.4 — reference AggregateExec
+(physical-plan/src/aggregates/mod.rs:384, umami-wrapped spillable final
+agg at mod.rs:652) and the functions-aggregate crate list
+(functions-aggregate/src/lib.rs:142-182): sum, min, max, count, avg,
+median, array_agg, first/last_value, covar/corr, regr_*, var/stddev,
+approx_* (HLL / t-digest), string_agg, bit_*, bool_*, grouping,
+nth_value.
+
+Determinism: order-sensitive float stats are rounded on both sides;
+approx sketches (HLL/t-digest) differ by algorithm → rows-only checks,
+mirroring the driver contract's weaker gate for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_umami_spark.registry import register, register_sql
+from datafusion_umami_spark.tables import table
+
+# --- basic + distinct aggregates ------------------------------------------
+register_sql(
+    "agg_basic_stats",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+           CAST(MAX(l_shipdate) AS DATE) AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct-agg"),
+)
+
+register_sql(
+    "agg_sum_distinct",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_distinct_price,
+           COUNT(DISTINCT o_orderpriority) AS n_prio
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "distinct-agg"),
+)
+
+register_sql(
+    "agg_no_grouping",
+    """
+    SELECT COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_p,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_p
+    FROM lineitem
+    """,
+    tags=("agg", "no-grouping"),
+)
+
+# --- median / percentiles (exact) ------------------------------------------
+register_sql(
+    "agg_median",
+    """
+    SELECT l_linestatus, CAST(MEDIAN(l_quantity) AS DOUBLE) AS med_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg", "median"),
+)
+
+register_sql(
+    "agg_percentile_exact",
+    """
+    SELECT event_type,
+           CAST(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS p50,
+           CAST(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS p90
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+
+# --- variance family (order-sensitive floats → rounded both sides) --------
+register_sql(
+    "agg_variance_family",
+    """
+    SELECT l_returnflag,
+           ROUND(CAST(VAR_SAMP(l_quantity) AS DOUBLE), 6) AS var_s,
+           ROUND(CAST(VAR_POP(l_quantity) AS DOUBLE), 6) AS var_p,
+           ROUND(CAST(STDDEV_SAMP(l_quantity) AS DOUBLE), 6) AS std_s,
+           ROUND(CAST(STDDEV_POP(l_quantity) AS DOUBLE), 6) AS std_p
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+
+register_sql(
+    "agg_covar_corr",
+    """
+    SELECT l_linestatus,
+           ROUND(CAST(COVAR_SAMP(l_quantity, l_extendedprice) AS DOUBLE), 4) AS cov_s,
+           ROUND(CAST(COVAR_POP(l_quantity, l_extendedprice) AS DOUBLE), 4) AS cov_p,
+           ROUND(CAST(CORR(l_quantity, l_extendedprice) AS DOUBLE), 6) AS r
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg", "stats"),
+)
+
+register_sql(
+    "agg_regression",
+    """
+    SELECT l_returnflag,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(CAST(REGR_SLOPE(l_extendedprice, l_quantity) AS DOUBLE), 4) AS slope,
+           ROUND(CAST(REGR_INTERCEPT(l_extendedprice, l_quantity) AS DOUBLE), 4) AS intercept,
+           ROUND(CAST(REGR_R2(l_extendedprice, l_quantity) AS DOUBLE), 6) AS r2,
+           ROUND(CAST(REGR_AVGX(l_extendedprice, l_quantity) AS DOUBLE), 6) AS avgx,
+           ROUND(CAST(REGR_AVGY(l_extendedprice, l_quantity) AS DOUBLE), 4) AS avgy,
+           ROUND(CAST(REGR_SXX(l_extendedprice, l_quantity) AS DOUBLE), 2) AS sxx,
+           ROUND(CAST(REGR_SYY(l_extendedprice, l_quantity) AS DOUBLE), 0) AS syy,
+           ROUND(CAST(REGR_SXY(l_extendedprice, l_quantity) AS DOUBLE), 1) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "regression"),
+)
+
+# --- boolean / bitwise -----------------------------------------------------
+register_sql(
+    "agg_bool_bit",
+    """
+    SELECT c_mktsegment,
+           BOOL_AND(c_acctbal > -900.0) AS all_above,
+           BOOL_OR(c_acctbal > 9000.0) AS any_rich,
+           CAST(BIT_AND(c_nationkey) AS BIGINT) AS band,
+           CAST(BIT_OR(c_nationkey) AS BIGINT) AS bor,
+           CAST(BIT_XOR(c_nationkey) AS BIGINT) AS bxor
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg", "bool", "bitwise"),
+)
+
+# --- positional: first/last/nth via min_by/max_by & sorted arrays ---------
+register_sql(
+    "agg_min_by_max_by",
+    """
+    SELECT o_orderstatus,
+           MIN_BY(o_orderkey, o_totalprice) AS cheapest_order,
+           MAX_BY(o_orderkey, o_totalprice) AS priciest_order,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "first-last"),
+)
+
+
+@register(
+    "agg_array_agg_sorted",
+    oracle="""
+    SELECT n_regionkey, ARRAY_AGG(n_name ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "array-agg"),
+)
+def agg_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg (reference functions-aggregate/src/array_agg.rs):
+    Spark collect_list is unordered by contract → sort for determinism."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(F.array_sort(F.collect_list("n_name")).alias("names"))
+
+
+@register(
+    "agg_nth_value",
+    oracle="""
+    SELECT l_returnflag, ARRAY_AGG(DISTINCT l_suppkey ORDER BY l_suppkey)[3] AS third_supp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "nth-value"),
+)
+def agg_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value aggregate (reference functions-aggregate nth_value.rs)
+    → sorted distinct array element (1-indexed on both engines)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.element_at(F.array_sort(F.collect_set("l_suppkey")), 3).alias("third_supp")
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT r_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS members
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+    tags=("agg", "string-agg"),
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_agg (reference functions-aggregate string_agg.rs) →
+    ordered array join (listagg exists in Spark 4 but array path keeps
+    deterministic order explicit)."""
+    n = table(spark, sf_dir, "nation")
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_regionkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("members"))
+    )
+
+
+# --- approx aggregates: algorithm-specific → rows-only checks -------------
+@register("agg_approx_distinct", oracle=None, tags=("agg", "approx", "hll"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct = reference approx_distinct HLL
+    (functions-aggregate/src/hyperloglog.rs). Sketch values differ by
+    implementation → rows-only; exactness is checked separately via
+    agg_basic_stats' COUNT(DISTINCT)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register("agg_approx_percentile", oracle=None, tags=("agg", "approx", "tdigest"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile_cont (reference t-digest approx_percentile_cont.rs)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("quartiles")
+    )
+
+
+# --- HAVING ----------------------------------------------------------------
+register_sql(
+    "agg_having",
+    """
+    SELECT l_partkey, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) > 30 AND SUM(CAST(l_quantity AS DECIMAL(12,2))) > 500
+    """,
+    tags=("agg", "having"),
+)
+
+# --- grouping sets / rollup / cube + grouping() ---------------------------
+register_sql(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+
+register_sql(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+
+register_sql(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+
+# --- high-cardinality group-by (the umami/spill-relevant shape) -----------
+register_sql(
+    "agg_high_cardinality",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS order_total,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    tags=("agg", "high-cardinality", "spill"),
+    bench=True,
+)
+
+# --- count(*) vs count(col) null semantics --------------------------------
+register_sql(
+    "agg_count_nulls",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_all,
+           COUNT(o.o_orderkey) AS n_orders,
+           COUNT(DISTINCT o.o_orderstatus) AS n_status
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("agg", "null-semantics", "outer-join"),
+)

@@ -1,0 +1,170 @@
+"""Window functions: ranking, analytic, aggregates-over-frames with
+ROWS / RANGE frame specs.
+
+Covers SURVEY.md §2.5 — reference WindowAggExec
+(windows/window_agg_exec.rs:55), BoundedWindowAggExec
+(bounded_window_agg_exec.rs:77), frame spec (expr/src/window_frame.rs:40),
+ranking + analytic functions (functions-window/src/lib.rs:68-78).
+GROUPS frames have no Spark equivalent — documented gap (README).
+
+Determinism: every ORDER BY inside a window includes a unique tiebreaker
+so rank/lead/lag are well-defined on both engines; sums over frames use
+the decimal convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_umami_spark.registry import dec, register, register_sql
+from datafusion_umami_spark.tables import table
+
+register_sql(
+    "window_ranking",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER()   OVER w AS rn,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           CAST(NTILE(4)  OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS prank,
+           ROUND(CUME_DIST()    OVER w, 9) AS cdist
+    FROM orders
+    WHERE o_custkey < 40
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window", "ranking"),
+)
+
+register_sql(
+    "window_lead_lag",
+    """
+    SELECT event_id, user_id,
+           LAG(value, 1)        OVER w AS prev_v,
+           LAG(value, 2, -1.0)  OVER w AS prev2_v,
+           LEAD(value)          OVER w AS next_v,
+           LEAD(event_type, 1, 'none') OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "analytic"),
+)
+
+register_sql(
+    "window_first_last_nth",
+    """
+    SELECT l_orderkey, l_linenumber,
+           FIRST_VALUE(l_partkey) OVER w AS first_part,
+           LAST_VALUE(l_partkey)  OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_part,
+           NTH_VALUE(l_partkey, 2) OVER w AS second_part
+    FROM lineitem
+    WHERE l_orderkey < 400
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+    """,
+    tags=("window", "analytic"),
+)
+
+
+@register(
+    "window_running_sum_rows",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS window3_qty
+    FROM lineitem
+    WHERE l_orderkey < 300
+    """,
+    tags=("window", "frame", "rows"),
+)
+def window_running_sum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames (reference window_frame.rs WindowFrameUnits::Rows):
+    running total + sliding 3-row sum via the DataFrame Window API."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 300)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sliding = w.rowsBetween(-1, 1)
+    q = dec("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(q).over(running).cast("double").alias("running_qty"),
+        F.sum(q).over(sliding).cast("double").alias("window3_qty"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(12,2))
+                               RANGE BETWEEN CAST(10000 AS DECIMAL(12,2)) PRECEDING
+                                         AND CAST(10000 AS DECIMAL(12,2)) FOLLOWING) AS BIGINT) AS n_similar
+    FROM orders
+    WHERE o_custkey < 30
+    """,
+    tags=("window", "frame", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with value offsets (reference WindowFrameUnits::Range):
+    count of same-customer orders within ±10000 of this order's price.
+    Decimal order key so the range arithmetic is exact on both engines."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 30)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            """
+            CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(12,2))
+                                RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS BIGINT)
+            """
+        ).alias("n_similar"),
+    )
+
+
+register_sql(
+    "window_agg_functions",
+    """
+    SELECT s_suppkey, s_nationkey,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) OVER wn AS DOUBLE) AS nation_total,
+           CAST(MAX(s_acctbal) OVER wn AS DOUBLE) AS nation_max,
+           CAST(MIN(s_acctbal) OVER wn AS DOUBLE) AS nation_min,
+           COUNT(*) OVER wn AS nation_n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) OVER wn AS DOUBLE)
+             / (COUNT(*) OVER wn) AS nation_avg
+    FROM supplier
+    WINDOW wn AS (PARTITION BY s_nationkey)
+    """,
+    tags=("window", "agg-over-window"),
+)
+
+register_sql(
+    "window_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) t
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk-per-group"),
+    bench=True,
+)
+
+register_sql(
+    "window_dedup_latest",
+    """
+    SELECT user_id, event_id, event_type
+    FROM (SELECT user_id, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+    tags=("window", "dedup", "latest-per-key"),
+)
