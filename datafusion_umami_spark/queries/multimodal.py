@@ -1,0 +1,163 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode / feature-extraction / frame-sampling as Arrow-batched pandas
+UDFs over mapInPandas.
+
+Part of the LLM-data-pipeline surface. The container has no image/audio
+libraries, so the *decode* step is a deterministic fake behind
+`_decode_image_stub` (clearly marked; a real deployment swaps in
+PIL/torchvision there — the Spark-side plumbing (schema, batch shape,
+partitioning) is identical either way and is what these queries prove.
+
+Scale notes: binary payloads ride in ordinary parquet BINARY columns —
+vectorized scan, no driver materialization; mapInPandas streams Arrow
+batches through Python with zero-copy into numpy, so per-batch overhead
+is amortized (the pattern that makes Python feature extraction viable on
+a 1000-executor cluster).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_umami_spark.registry import register, register_sql
+from datafusion_umami_spark.tables import table
+
+# --- binary column construction + metadata (oracle-checkable) -------------
+register_sql(
+    "mm_binary_plumbing",
+    """
+    SELECT doc_id,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           md5(payload) AS payload_md5,
+           meta.width AS width, meta.height AS height, meta.channels AS channels,
+           CAST(meta.width * meta.height * meta.channels AS BIGINT) AS n_pixels
+    FROM (SELECT doc_id,
+                 encode(text, 'UTF-8') AS payload,
+                 named_struct('width', CAST(doc_id % 64 + 1 AS BIGINT),
+                              'height', CAST(doc_id % 48 + 1 AS BIGINT),
+                              'channels', CAST(3 AS BIGINT)) AS meta
+          FROM documents)
+    """,
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           meta.width AS width, meta.height AS height, meta.channels AS channels,
+           CAST(meta.width * meta.height * meta.channels AS BIGINT) AS n_pixels
+    FROM (SELECT doc_id, text,
+                 CAST(text AS BLOB) AS payload,
+                 {'width': CAST(doc_id % 64 + 1 AS BIGINT),
+                  'height': CAST(doc_id % 48 + 1 AS BIGINT),
+                  'channels': CAST(3 AS BIGINT)} AS meta
+          FROM documents)
+    """,
+    tags=("multimodal", "binary", "struct", "llm-pipeline"),
+)
+
+
+def _decode_image_stub(payload: bytes) -> np.ndarray:
+    """STUB decode: deterministic fake 'pixels' from the raw bytes.
+
+    A real pipeline would do `PIL.Image.open(io.BytesIO(payload))` here;
+    that library is absent in this container, so we expose the bytes as a
+    uint8 vector — same shape contract (H*W flattening), fully
+    deterministic, lets the downstream plumbing be tested for real.
+    """
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+@register("mm_decode_features", oracle=None, tags=("multimodal", "pandas-udf", "llm-pipeline"))
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas
+    (rows-only check: byte-level features; the decode is the documented
+    stub above). Arrow batches in, Arrow batches out — no per-row serde."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = pdf["payload"].map(_decode_image_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pixels.map(len).astype("int64"),
+                    "mean_intensity": pixels.map(lambda a: float(a.mean()) if len(a) else 0.0),
+                    "max_intensity": pixels.map(lambda a: int(a.max()) if len(a) else 0),
+                    "first_byte": pixels.map(lambda a: int(a[0]) if len(a) else -1),
+                }
+            )
+
+    return docs.mapInPandas(
+        extract,
+        schema="doc_id long, n_bytes long, mean_intensity double, max_intensity long, first_byte long",
+    )
+
+
+@register("mm_frame_sample", oracle=None, tags=("multimodal", "pandas-udf", "video", "llm-pipeline"))
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: treat the payload as fixed-size 16-byte 'frames'
+    and emit every 4th frame with its offset + checksum — the video
+    keyframe-extraction shape (1 input row → N output rows) through
+    mapInPandas."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frame, stride = 16, 4
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "offset": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // frame
+                for idx in range(0, n_frames, stride):
+                    chunk = payload[idx * frame : (idx + 1) * frame]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["offset"].append(idx * frame)
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        sample, schema="doc_id long, frame_idx long, offset long, frame_md5 string"
+    )
+
+
+@register(
+    "mm_audio_window_rms",
+    oracle=None,
+    tags=("multimodal", "pandas-udf", "audio", "llm-pipeline"),
+)
+def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed RMS over a fake PCM stream (bytes as int8
+    samples, 32-sample windows) — the resample/feature shape for audio
+    columns, vectorized inside each Arrow batch."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    win = 32
+
+    def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "window_idx": [], "rms": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+                n = len(samples) // win
+                if n == 0:
+                    continue
+                windows = samples[: n * win].reshape(n, win)
+                vals = np.sqrt((windows**2).mean(axis=1))
+                out["doc_id"].extend([doc_id] * n)
+                out["window_idx"].extend(range(n))
+                out["rms"].extend(np.round(vals, 6))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(rms, schema="doc_id long, window_idx long, rms double")

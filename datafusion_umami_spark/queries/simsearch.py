@@ -1,0 +1,195 @@
+"""Similarity search over the embedding column: brute-force cosine top-k
+baseline, random-hyperplane LSH buckets, and IVF-style coarse
+quantization — the three-tier ANN story for a 100 TB corpus.
+
+Part of the LLM-data-pipeline surface. Scale design:
+- brute-force is the *per-bucket* kernel: a broadcast of the query
+  vector + a map-side cosine + TakeOrderedAndProject (no shuffle of the
+  corpus) — correct baseline at any size, O(corpus) work.
+- LSH: 12 fixed hyperplanes (deterministic, seeded, embedded as
+  literals) → 12-bit bucket id; candidates = query's bucket only. At
+  scale the bucket id is a partition/cluster key, so a probe touches
+  1/4096 of the data.
+- IVF-grid: coarse cells from the first two dimensions; probing the
+  query's cell ± neighbors. Stands in for kmeans centroids with a
+  deterministic, oracle-checkable assignment.
+
+All vector math is double-cast element arithmetic — identical in Spark
+(zip_with/aggregate) and DuckDB (list_transform/list_sum).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from datafusion_umami_spark.registry import register_sql
+
+# Deterministic hyperplanes: seeded, rounded to 4dp, embedded as literals
+# in BOTH engine texts (no runtime randomness — resumable & oracle-safe).
+_rng = np.random.RandomState(7)
+_PLANES = np.round(_rng.randn(12, 64), 4)
+
+
+def _sp_plane(p: np.ndarray) -> str:
+    return "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in p) + ")"
+
+
+def _du_plane(p: np.ndarray) -> str:
+    return "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in p) + "]"
+
+
+def _sp_bucket_expr(vec: str) -> str:
+    bits = []
+    for i, p in enumerate(_PLANES):
+        dot = (
+            f"aggregate(zip_with({vec}, {_sp_plane(p)}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _du_bucket_expr(vec: str) -> str:
+    bits = []
+    for i, p in enumerate(_PLANES):
+        dot = f"list_sum(list_transform(list_zip({vec}, {_du_plane(p)}), z -> z[1] * z[2]))"
+        bits.append(f"CASE WHEN {dot} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+_SP_V = "transform(embedding, x -> CAST(x AS DOUBLE))"
+_DU_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+_SP_COS = (
+    "aggregate(zip_with(a.v, q.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    " / (a.nrm * q.nrm)"
+)
+_DU_COS = "list_sum(list_transform(list_zip(a.v, q.v), z -> z[1] * z[2])) / (a.nrm * q.nrm)"
+
+
+register_sql(
+    "ann_bruteforce_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_SP_V} AS v FROM embeddings),
+    normed AS (
+      SELECT vec_id, v,
+             sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
+                            (acc, x) -> acc + x)) AS nrm
+      FROM e),
+    q AS (SELECT v, nrm FROM normed WHERE vec_id = 0)
+    SELECT a.vec_id, ROUND({_SP_COS}, 6) AS cosine
+    FROM normed a CROSS JOIN q
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 10
+    """,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DU_V} AS v FROM embeddings),
+    normed AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e),
+    q AS (SELECT v, nrm FROM normed WHERE vec_id = 0)
+    SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
+    FROM normed a CROSS JOIN q
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 10
+    """,
+    tags=("ann", "cosine", "topk", "llm-pipeline"),
+    bench=True,
+)
+
+register_sql(
+    "ann_lsh_buckets",
+    f"""
+    WITH e AS (SELECT vec_id, {_SP_V} AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {_sp_bucket_expr("v")} AS bucket FROM e)
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_id
+    FROM bucketed
+    GROUP BY bucket
+    HAVING COUNT(*) > 1
+    """,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DU_V} AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {_du_bucket_expr("v")} AS bucket FROM e)
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_id
+    FROM bucketed
+    GROUP BY bucket
+    HAVING COUNT(*) > 1
+    """,
+    tags=("ann", "lsh", "llm-pipeline"),
+)
+
+register_sql(
+    "ann_lsh_probe",
+    f"""
+    WITH e AS (SELECT vec_id, {_SP_V} AS v FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v,
+             sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
+                            (acc, x) -> acc + x)) AS nrm,
+             {_sp_bucket_expr("v")} AS bucket
+      FROM e),
+    q AS (SELECT v, nrm, bucket FROM bucketed WHERE vec_id = 0)
+    SELECT a.vec_id, ROUND({_SP_COS}, 6) AS cosine
+    FROM bucketed a JOIN q ON a.bucket = q.bucket
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 5
+    """,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DU_V} AS v FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             {_du_bucket_expr("v")} AS bucket
+      FROM e),
+    q AS (SELECT v, nrm, bucket FROM bucketed WHERE vec_id = 0)
+    SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
+    FROM bucketed a JOIN q ON a.bucket = q.bucket
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 5
+    """,
+    tags=("ann", "lsh", "probe", "llm-pipeline"),
+)
+
+register_sql(
+    "ann_ivf_grid",
+    f"""
+    WITH e AS (SELECT vec_id, {_SP_V} AS v FROM embeddings),
+    cells AS (
+      SELECT vec_id, v,
+             sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
+                            (acc, x) -> acc + x)) AS nrm,
+             CAST(floor(element_at(v, 1) / 0.1) AS BIGINT) AS cx,
+             CAST(floor(element_at(v, 2) / 0.1) AS BIGINT) AS cy
+      FROM e),
+    q AS (SELECT v, nrm, cx, cy FROM cells WHERE vec_id = 0)
+    SELECT a.vec_id, ROUND({_SP_COS}, 6) AS cosine
+    FROM cells a JOIN q
+      ON a.cx BETWEEN q.cx - 1 AND q.cx + 1
+     AND a.cy BETWEEN q.cy - 1 AND q.cy + 1
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 5
+    """,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DU_V} AS v FROM embeddings),
+    cells AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             CAST(floor(v[1] / 0.1) AS BIGINT) AS cx,
+             CAST(floor(v[2] / 0.1) AS BIGINT) AS cy
+      FROM e),
+    q AS (SELECT v, nrm, cx, cy FROM cells WHERE vec_id = 0)
+    SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
+    FROM cells a JOIN q
+      ON a.cx BETWEEN q.cx - 1 AND q.cx + 1
+     AND a.cy BETWEEN q.cy - 1 AND q.cy + 1
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 5
+    """,
+    tags=("ann", "ivf", "llm-pipeline"),
+)
