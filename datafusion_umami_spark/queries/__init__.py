@@ -3,15 +3,20 @@ every query into `datafusion_umami_spark.registry.REGISTRY`."""
 
 from datafusion_umami_spark.queries import (  # noqa: F401
     aggregates,
+    catalog_ddl,
     dedup,
     functions_nested,
     functions_scalar,
     joins,
     multimodal,
+    recursive,
     relational,
     simsearch,
+    sources_sinks,
+    streaming_queries,
     subqueries,
     textanalysis,
     tpch,
+    udfs,
     windows,
 )

@@ -1,0 +1,329 @@
+"""Sources & sinks: CSV / NDJSON / Arrow-IPC scans, file-format writers,
+hive-partitioned layout + partition pruning, INSERT INTO, CTAS views.
+
+Covers SURVEY.md §2.1: CSV scan (reference
+datafusion/datasource-csv/src/file_format.rs:137), NDJSON scan
+(datasource-json/src/file_format.rs:136), Arrow IPC scan
+(core/src/datasource/file_format/arrow.rs:112), `ListingTable` hive-style
+partition columns (core/src/datasource/listing/table.rs:922), and
+`DataSinkExec` + format writers for INSERT INTO / COPY TO
+(datasource/src/sink.rs:48,83, datasource/src/write/).
+
+Correctness strategy: every sink query WRITES a dataset derived from the
+driver's parquet tables, READS it back through the target format, and
+returns an aggregate whose oracle runs on the ORIGINAL table — so the
+DuckDB hash-match proves the roundtrip was lossless, not just that the
+write "didn't crash".  Exact-typed columns (ints, strings, dates,
+decimals) are used so text formats roundtrip bit-exactly.
+
+Scale notes (100 TB): all writers here are executor-parallel
+(`df.write` fans out one file per partition); the hive-partitioned
+variant is the layout a real deployment would use (partition pruning at
+the scan, `PartitionFilters` in the plan).  Only the Arrow-IPC reader is
+driver-side (pyarrow → createDataFrame) — Spark has no native IPC
+source; documented as the low-priority gap SURVEY §2.1 calls out.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_umami_spark.registry import register
+from datafusion_umami_spark.tables import table
+
+_SINK_ROOT = os.environ.get("SPARK_GRAFT_SINK_DIR", "/tmp/datafusion_umami_spark_sinks")
+
+
+def _sink_dir(sf_dir: str, name: str) -> str:
+    """Deterministic per-(scale-factor, query) scratch path."""
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{_SINK_ROOT}/{h}/{name}"
+
+
+# --- CSV: write with header → read with explicit schema → aggregate --------
+@register(
+    "csv_scan_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           MIN(o_orderdate) AS first_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "sink", "csv"),
+)
+def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _sink_dir(sf_dir, "orders_csv")
+    (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    back = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_orderdate date, o_totalprice decimal(12,2)"
+    ).option("header", True).csv(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum("o_totalprice").cast("double").alias("total"),
+        F.min("o_orderdate").alias("first_order"),
+    )
+
+
+# --- CSV schema inference (reference infers at scan time) ------------------
+@register(
+    "csv_scan_inferred",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS nations, MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("source", "csv", "schema-inference"),
+)
+def csv_scan_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _sink_dir(sf_dir, "nation_csv")
+    table(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("nations"), F.min("n_name").alias("first_name")
+    )
+
+
+# --- NDJSON: write → read (schema inference) → join-shaped aggregate -------
+@register(
+    "json_scan_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_total
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("source", "sink", "json", "ndjson"),
+)
+def json_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _sink_dir(sf_dir, "customer_json")
+    (
+        table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
+        )
+        .write.mode("overwrite")
+        .json(path)
+    )
+    back = spark.read.schema(
+        "c_custkey bigint, c_mktsegment string, c_acctbal decimal(12,2)"
+    ).json(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"),
+        F.sum("c_acctbal").cast("double").alias("bal_total"),
+    )
+
+
+# --- Arrow IPC: pyarrow writer → pandas → createDataFrame ------------------
+@register(
+    "arrow_ipc_scan",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    tags=("source", "arrow-ipc"),
+)
+def arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC file scan. Spark has no native IPC reader (SURVEY §2.1) —
+    the file is decoded driver-side with pyarrow and parallelized via
+    createDataFrame (Arrow-accelerated). Fine for dimension-sized data;
+    a 100 TB deployment would convert IPC → parquet upstream instead."""
+    import pyarrow as pa
+    import pyarrow.ipc
+    import pyarrow.parquet as pq
+
+    root = _sink_dir(sf_dir, "supplier_ipc")
+    os.makedirs(root, exist_ok=True)
+    ipc_path = f"{root}/supplier.arrow"
+    tbl = pq.read_table(f"{sf_dir}/supplier.parquet")
+    with pa.ipc.new_file(ipc_path, tbl.schema) as w:
+        w.write_table(tbl)
+    with pa.ipc.open_file(ipc_path) as r:
+        pdf = r.read_all().to_pandas()
+    df = spark.createDataFrame(pdf)
+    return df.groupBy("s_nationkey").agg(
+        F.count("*").alias("suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(12,2)")).cast("double").alias("bal"),
+    )
+
+
+# --- Parquet sink: COPY-TO analog — write a query result, read it back -----
+@register(
+    "parquet_sink_roundtrip",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("sink", "parquet", "copy-to"),
+)
+def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _sink_dir(sf_dir, "revenue_parquet")
+    revenue = (
+        table(spark, sf_dir, "lineitem")
+        .join(table(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    revenue.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+# --- Hive-partitioned write + partition-pruned scan (ListingTable parity) --
+@register(
+    "partitioned_write_pruned_scan",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+    tags=("source", "sink", "partitioning", "partition-pruning", "listing-table"),
+)
+def partitioned_write_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned directory layout (reference ListingTable,
+    core/src/datasource/listing/table.rs:922): write lineitem partitioned
+    by l_returnflag, read the directory back, filter on the partition
+    column.  Catalyst prunes to the single `l_returnflag=R/` subtree —
+    at 100 TB this is the difference between scanning one partition and
+    the whole table (PartitionFilters in the scan node)."""
+    path = _sink_dir(sf_dir, "lineitem_by_flag")
+    (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("decimal(12,2)").alias("l_quantity"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("l_quantity").cast("double").alias("qty"),
+        )
+    )
+
+
+# --- INSERT INTO a catalog table (DataSinkExec parity) ----------------------
+@register(
+    "insert_into_table",
+    oracle="""
+    SELECT src, COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT 'lo' AS src, o_totalprice FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT 'hi' AS src, o_totalprice FROM orders WHERE o_orderkey % 10 = 1
+    )
+    GROUP BY src
+    """,
+    tags=("sink", "insert-into", "ddl"),
+)
+def insert_into_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO … SELECT against an external parquet table: first an
+    INSERT OVERWRITE (idempotent seed), then an appending INSERT INTO —
+    the two write modes of the reference's DataSinkExec
+    (datasource/src/sink.rs:48,83)."""
+    path = _sink_dir(sf_dir, "orders_slices_tbl")
+    spark.sql("DROP TABLE IF EXISTS orders_slices")
+    shutil.rmtree(path, ignore_errors=True)
+    spark.sql(
+        "CREATE TABLE orders_slices (src STRING, o_totalprice DECIMAL(12,2)) "
+        f"USING PARQUET LOCATION '{path}'"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice")
+    )
+    orders.createOrReplaceTempView("_orders_src")
+    spark.sql(
+        "INSERT OVERWRITE orders_slices "
+        "SELECT 'lo', o_totalprice FROM _orders_src WHERE o_orderkey % 10 = 0"
+    )
+    spark.sql(
+        "INSERT INTO orders_slices "
+        "SELECT 'hi', o_totalprice FROM _orders_src WHERE o_orderkey % 10 = 1"
+    )
+    return spark.sql(
+        "SELECT src, COUNT(*) AS cnt, CAST(SUM(o_totalprice) AS DOUBLE) AS total "
+        "FROM orders_slices GROUP BY src"
+    )
+
+
+# --- CTAS temp view (CREATE VIEW / MemTable parity) -------------------------
+@register(
+    "ctas_temp_view",
+    oracle="""
+    WITH top_parts AS (
+      SELECT l_partkey, COUNT(*) AS uses
+      FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 2
+    )
+    SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(uses) AS BIGINT) AS total_uses
+    FROM top_parts JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("ddl", "view", "ctas"),
+)
+def ctas_temp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE OR REPLACE TEMP VIEW AS SELECT — the reference's ViewTable
+    (catalog/src/view.rs:36) / MemTable CTAS path."""
+    from datafusion_umami_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW top_parts AS "
+        "SELECT l_partkey, COUNT(*) AS uses FROM lineitem "
+        "GROUP BY l_partkey HAVING COUNT(*) >= 2"
+    )
+    return spark.sql(
+        "SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(uses) AS BIGINT) AS total_uses "
+        "FROM top_parts JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
+    )

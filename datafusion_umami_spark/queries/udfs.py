@@ -1,0 +1,194 @@
+"""User-defined function surface: scalar / aggregate / window UDFs,
+SQL-registered functions, grouped-map transforms.
+
+Covers SURVEY.md §2.10's UDF row — the reference's `ScalarUDFImpl`
+(datafusion/expr/src/udf.rs:413), `AggregateUDFImpl` (udaf.rs:428),
+`WindowUDFImpl` (udwf.rs:306) and `TableFunctionImpl`
+(catalog/src/table.rs:317) — re-expressed as Spark's UDF tiers:
+
+- Arrow-batched `pandas_udf` (scalar)            ≈ ScalarUDFImpl
+- `pandas_udf(..., GROUPED_AGG)` in groupBy      ≈ AggregateUDFImpl
+- the same GROUPED_AGG udf `.over(Window...)`    ≈ WindowUDFImpl
+- `spark.udf.register` + use inside `spark.sql`  ≈ SQL function registry
+- `applyInPandas` grouped-map                    ≈ arbitrary per-group op
+
+Each query keeps the UDF's math EXACT (integer or string outputs) so the
+DuckDB oracle hash-matches — proving the UDF plumbing, not approximating
+it.  Scale notes: every UDF here is Arrow-batched (10-100× over
+row-at-a-time Python, per the PySpark guide); the one deliberately
+row-at-a-time function (`udf_sql_registered`) runs on a 25-row dimension
+table — the registration surface is the point, not the hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType
+
+from datafusion_umami_spark.registry import register
+from datafusion_umami_spark.tables import table
+
+
+# --- scalar pandas UDF (Arrow-batched) --------------------------------------
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(string_split_regex(trim(p_name), '\\s+')) AS BIGINT) AS n_tokens,
+           upper(substr(p_type, 1, 1)) AS type_initial
+    FROM part
+    WHERE p_partkey < 500 AND length(trim(p_name)) > 0
+    """,
+    tags=("udf", "pandas-udf", "scalar", "arrow"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(LongType())
+    def n_tokens(s: pd.Series) -> pd.Series:
+        return s.str.split().str.len().astype("int64")
+
+    @F.pandas_udf(StringType())
+    def initial_upper(s: pd.Series) -> pd.Series:
+        return s.str[:1].str.upper()
+
+    p = table(spark, sf_dir, "part")
+    return (
+        p.filter((F.col("p_partkey") < 500) & (F.length(F.trim("p_name")) > 0))
+        .select(
+            "p_partkey",
+            n_tokens(F.trim("p_name")).alias("n_tokens"),
+            initial_upper("p_type").alias("type_initial"),
+        )
+    )
+
+
+# --- aggregate pandas UDF (GROUPED_AGG) -------------------------------------
+@register(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+           CAST(MAX(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "udaf", "pandas-udf", "grouped-agg"),
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate: exact integer-cents sum — the arithmetic is done
+    inside the UDF so the partial/final merge (Spark splits GROUPED_AGG
+    per partition then combines) is exercised with hash-exact output."""
+
+    @F.pandas_udf(LongType())
+    def cents_sum(p: pd.Series) -> int:
+        return int(p.mul(100).round().astype("int64").sum())
+
+    @F.pandas_udf(LongType())
+    def round_max(p: pd.Series) -> int:
+        return int(p.round().astype("int64").max())
+
+    li = table(spark, sf_dir, "lineitem")
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg() — both metrics are pandas UDFs.
+    return li.groupBy("l_returnflag").agg(
+        cents_sum("l_extendedprice").alias("price_cents"),
+        round_max("l_quantity").alias("max_qty"),
+    )
+
+
+# --- the same GROUPED_AGG UDF as a WINDOW function --------------------------
+@register(
+    "udf_pandas_window_agg",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT))
+             OVER (PARTITION BY s_nationkey) AS BIGINT) AS nation_bal_cents
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey <= 60
+    QUALIFY row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) = 1
+    """,
+    tags=("udf", "udwf", "pandas-udf", "window"),
+)
+def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF evaluated `.over(Window.partitionBy(...))` —
+    Spark's route to the reference's WindowUDFImpl (udwf.rs:306)."""
+
+    @F.pandas_udf(LongType())
+    def cents_sum(p: pd.Series) -> int:
+        return int(p.mul(100).round().astype("int64").sum())
+
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 60)
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey")
+    wn = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "n_nationkey",
+            "n_name",
+            "s_suppkey",
+            cents_sum("s_acctbal").over(w).alias("nation_bal_cents"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "s_suppkey")
+    )
+
+
+# --- SQL-registered UDF used from spark.sql ---------------------------------
+@register(
+    "udf_sql_registered",
+    oracle="""
+    SELECT r_regionkey,
+           substr(r_name, 1, 2) || '-' || CAST(length(r_name) AS VARCHAR) AS region_code
+    FROM region
+    """,
+    tags=("udf", "sql-registration"),
+)
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`spark.udf.register` + use in SQL text — the function-registry
+    surface (reference registers UDFs into the SessionContext the same
+    way). Row-at-a-time Python on a 5-row table; the registration path
+    is what's under test."""
+
+    def region_code(name: str) -> str:
+        return f"{name[:2]}-{len(name)}"
+
+    spark.udf.register("region_code", region_code, StringType())
+    table(spark, sf_dir, "region").createOrReplaceTempView("_region_udf")
+    return spark.sql(
+        "SELECT r_regionkey, region_code(r_name) AS region_code FROM _region_udf"
+    )
+
+
+# --- grouped-map applyInPandas ----------------------------------------------
+@register(
+    "udf_grouped_map_topn",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders WHERE o_custkey <= 200
+    ) WHERE rnk <= 2
+    """,
+    tags=("udf", "grouped-map", "applyInPandas"),
+)
+def udf_grouped_map_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via `applyInPandas` — the escape hatch for operators
+    Spark lacks (the pattern the dedup/ANN modules build on).  Shuffles
+    once on the grouping key; each group is a pandas frame in one task."""
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(2)
+        pdf["rnk"] = range(1, len(pdf) + 1)
+        return pdf[["o_custkey", "o_orderkey", "rnk"]]
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    return o.groupBy("o_custkey").applyInPandas(
+        top2, "o_custkey bigint, o_orderkey bigint, rnk int"
+    )

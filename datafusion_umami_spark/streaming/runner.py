@@ -1,0 +1,59 @@
+"""Streaming runner: bounded parquet → readStream → memory sink.
+
+`Trigger.AvailableNow` drains everything currently in the source and
+stops — on the driver's bounded tables that makes a streaming query a
+deterministic function of its input, so the SAME DuckDB oracles used for
+batch queries apply.  On a real cluster the identical plan runs
+unbounded (drop the trigger, point the sink at kafka/delta): the
+transformations, watermarks and state logic don't change — that is the
+Structured Streaming design point.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`spark.readStream` over the events parquet (StreamingTableExec
+    parity).  ts is parquet timestamp[ns] surfaced as long via
+    `spark.sql.legacy.parquet.nanosAsLong` and truncated to µs exactly
+    (integer division), matching the batch loader in tables.py."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource wants a directory; events.parquet is a single file,
+    # so stream the directory with a glob filter (on a real deployment the
+    # path would be a growing directory of files).
+    sdf = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def stream_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into an
+    in-memory sink table and return it as a batch DataFrame."""
+    spark = sdf.sparkSession
+    checkpoint = tempfile.mkdtemp(prefix=f"dus_stream_{name}_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
