@@ -1,0 +1,83 @@
+"""Out-of-core / plan-perturbation parity — the umami semantics gate.
+
+The reference's umami layer (SURVEY.md §0) exists so joins and
+aggregations return IDENTICAL results whether the build side fits in
+memory, is partially spilled, or fully grace-partitioned.  Spark's
+equivalents are shuffle partitioning + AQE + executor-side spill, all
+config-driven — so the testable contract is: the same query under
+hostile execution configs (tiny shuffle partition count → huge
+per-partition state; broadcast disabled → shuffle joins; AQE off → no
+runtime rescue) produces hash-identical results.
+
+Mirrors the reference's memory-limit tests (core/tests/memory_limit/)
+and its fuzz strategy of cross-checking alternate plans of one query
+(core/tests/fuzz_cases/, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_umami_spark.oracle import canonical_rows
+from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+_load_all()
+
+# Heavy-state queries: big hash aggregation, multi-join with large build
+# sides, semi/anti joins, windowed dedup — the shapes umami targets.
+HEAVY = [
+    "agg_high_cardinality",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_q21",
+    "window_dedup_latest",
+    "dedup_exact",
+]
+
+HOSTILE_CONF = {
+    # 3 shuffle partitions → each task holds ~10× more state than the
+    # tuned default: forces the spill/large-hash-table path.
+    "spark.sql.shuffle.partitions": "3",
+    # no broadcast: every join must run as a shuffle (SMJ/SHJ) — the
+    # grace-hash-join-equivalent path.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # no AQE rescue: the static plan must already be correct.
+    "spark.sql.adaptive.enabled": "false",
+}
+
+
+def _with_conf(spark, conf: dict[str, str]):
+    saved = {k: spark.conf.get(k) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    return saved
+
+
+@pytest.mark.parametrize("name", HEAVY)
+def test_hostile_config_same_result(name, spark, sf_dir):
+    spec = REGISTRY[name]
+    baseline = canonical_rows(spec.fn(spark, sf_dir).toPandas())
+    saved = _with_conf(spark, HOSTILE_CONF)
+    try:
+        hostile = canonical_rows(spec.fn(spark, sf_dir).toPandas())
+    finally:
+        _with_conf(spark, saved)
+    assert baseline == hostile, f"{name}: result depends on execution config"
+
+
+def test_shuffle_join_plan_used_under_hostile_conf(spark, sf_dir):
+    """Sanity: the hostile config really does change the physical plan
+    (otherwise the parity test proves nothing)."""
+    from tests.test_plans import plan_str
+
+    # q13 has no explicit broadcast hint (hints rightly survive the conf,
+    # so q5's F.broadcast(nation) would still broadcast here)
+    spec = REGISTRY["tpch_q13"]
+    saved = _with_conf(spark, HOSTILE_CONF)
+    try:
+        plan = plan_str(spec.fn(spark, sf_dir), "simple")
+    finally:
+        _with_conf(spark, saved)
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
