@@ -41,6 +41,8 @@ def _canon_value(v: object) -> str:
             return "<nan>"
         # repr is exact for float64; -0.0 normalized
         return repr(v + 0.0) if v == 0 else repr(v)
+    if v is pd.NaT:  # NaT subclasses datetime — must be caught first
+        return "<null>"
     if isinstance(v, pd.Timestamp):
         if v.tzinfo is not None:
             v = v.tz_convert("UTC").tz_localize(None)

@@ -7,7 +7,9 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     dedup,
     functions_nested,
     functions_scalar,
+    h2o,
     joins,
+    json_funcs,
     multimodal,
     recursive,
     relational,
@@ -17,6 +19,7 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     subqueries,
     textanalysis,
     tpch,
+    types_edges,
     udfs,
     windows,
 )

@@ -107,57 +107,73 @@ _DU_SHINGLES = r"""
       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
 """
 
+# MinHash via affine permutations of ONE base hash per distinct shingle:
+# mh_s = MIN over shingles of ((2s+1)·h + s·12582917) mod p, p = 2^31-1.
+# One md5 per shingle (not per shingle×seed), all 8 signature components
+# aggregated in a single groupBy pass as an array — no 8× row expansion,
+# which is what makes the signature stage a single linear scan at 100 TB.
+# Banding: 4 bands × 2 rows (posexplode of sig pairs) → candidate pairs
+# come from an EQUI-join on (band, band_sig); Jaccard is then estimated
+# from the two 8-element signature arrays directly.
+_P31 = 2_147_483_647
+_SP_MH = ", ".join(
+    f"MIN(({2 * s + 1} * h + {s * 12_582_917}) % {_P31})" for s in range(8)
+)
+_DU_MH = ", ".join(
+    f"MIN(({2 * s + 1} * h + {s * 12_582_917}) % {_P31})" for s in range(8)
+)
+
 register_sql(
     "dedup_minhash_lsh",
     f"""
     WITH shingles AS ({_SP_SHINGLES}),
-    seeds AS (SELECT explode(sequence(0, 7)) AS seed),
+    hashes AS (
+      SELECT doc_id, {_sp_h("shingle")} % {_P31} AS h
+      FROM (SELECT DISTINCT doc_id, shingle FROM shingles)),
     sigs AS (
-      SELECT doc_id, seed,
-             MIN({_sp_h("concat(shingle, '#', CAST(seed AS STRING))")}) AS mh
-      FROM (SELECT DISTINCT doc_id, shingle FROM shingles) CROSS JOIN seeds
-      GROUP BY doc_id, seed),
+      SELECT doc_id, array({_SP_MH}) AS mhs
+      FROM hashes GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, seed DIV 2 AS band,
-             concat(CAST(MIN(mh) AS STRING), ':', CAST(MAX(mh) AS STRING)) AS band_sig
-      FROM sigs GROUP BY doc_id, seed DIV 2),
+      SELECT doc_id, band,
+             concat(CAST(element_at(mhs, 2 * band + 1) AS STRING), ':',
+                    CAST(element_at(mhs, 2 * band + 2) AS STRING)) AS band_sig
+      FROM sigs LATERAL VIEW explode(sequence(0, 3)) t AS band),
     candidates AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-    est AS (
-      SELECT c.da, c.db,
-             CAST(ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) / 8.0, 4) AS DOUBLE) AS est_jaccard
-      FROM candidates c
-        JOIN sigs sa ON sa.doc_id = c.da
-        JOIN sigs sb ON sb.doc_id = c.db AND sb.seed = sa.seed
-      GROUP BY c.da, c.db)
-    SELECT da, db, est_jaccard FROM est
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+    SELECT c.da, c.db,
+           CAST(ROUND(size(filter(sequence(1, 8),
+                    i -> element_at(sa.mhs, i) = element_at(sb.mhs, i))) / 8.0, 4)
+                AS DOUBLE) AS est_jaccard
+    FROM candidates c
+      JOIN sigs sa ON sa.doc_id = c.da
+      JOIN sigs sb ON sb.doc_id = c.db
     """,
     oracle=f"""
     WITH shingles AS ({_DU_SHINGLES}),
-    seeds AS (SELECT unnest(range(0, 8)) AS seed),
+    hashes AS (
+      SELECT doc_id, {_du_h("shingle")} % {_P31} AS h
+      FROM (SELECT DISTINCT doc_id, shingle FROM shingles)),
     sigs AS (
-      SELECT doc_id, seed,
-             MIN({_du_h("concat(shingle, '#', CAST(seed AS VARCHAR))")}) AS mh
-      FROM (SELECT DISTINCT doc_id, shingle FROM shingles) CROSS JOIN seeds
-      GROUP BY doc_id, seed),
+      SELECT doc_id, [{_DU_MH}] AS mhs
+      FROM hashes GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, seed // 2 AS band,
-             concat(CAST(MIN(mh) AS VARCHAR), ':', CAST(MAX(mh) AS VARCHAR)) AS band_sig
-      FROM sigs GROUP BY doc_id, seed // 2),
+      SELECT doc_id, band,
+             concat(CAST(mhs[2 * band + 1] AS VARCHAR), ':',
+                    CAST(mhs[2 * band + 2] AS VARCHAR)) AS band_sig
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs),
     candidates AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-    est AS (
-      SELECT c.da, c.db,
-             CAST(ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) / 8.0, 4) AS DOUBLE) AS est_jaccard
-      FROM candidates c
-        JOIN sigs sa ON sa.doc_id = c.da
-        JOIN sigs sb ON sb.doc_id = c.db AND sb.seed = sa.seed
-      GROUP BY c.da, c.db)
-    SELECT da, db, est_jaccard FROM est
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+    SELECT c.da, c.db,
+           CAST(ROUND(len(list_filter(range(1, 9),
+                    i -> sa.mhs[i] = sb.mhs[i])) / 8.0, 4)
+                AS DOUBLE) AS est_jaccard
+    FROM candidates c
+      JOIN sigs sa ON sa.doc_id = c.da
+      JOIN sigs sb ON sb.doc_id = c.db
     """,
     tags=("dedup", "minhash", "lsh", "llm-pipeline"),
     bench=True,

@@ -1,0 +1,83 @@
+"""H2O db-benchmark-shaped queries (groupby / join / window) on events.
+
+The reference ships the h2o db-benchmark harness
+(reference benchmarks/queries/h2o/groupby.sql, join.sql, window.sql;
+runner benchmarks/src/h2o.rs) — these reproduce its three query shapes
+on the driver's 100k-row (sf0.1) events table and join to the customer
+dimension.  All three are bench-flagged: together with the TPC-H set
+they make the headline suite cover scan-agg, high-cardinality agg,
+fact-dim join, and windowed analytics.
+
+Scale notes: the groupbys are partial-aggregated map-side; the join
+broadcasts the 15k-row customer dim at sf0.1 (and would shuffle-join
+cleanly at 100 TB since both sides hash-partition on the key); the
+window pre-limits per-partition via WindowGroupLimit (asserted in
+tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from datafusion_umami_spark.registry import register_sql
+
+# --- h2o groupby: low-card key, two keys, high-card key ----------------------
+register_sql(
+    "h2o_groupby",
+    """
+    SELECT event_type,
+           user_id % 100 AS user_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / (100.0 * COUNT(value)) AS avg_value
+    FROM events
+    GROUP BY event_type, user_id % 100
+    """,
+    tags=("h2o", "agg", "groupby"),
+    bench=True,
+)
+
+register_sql(
+    "h2o_groupby_highcard",
+    """
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           MAX(event_type) AS max_type
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 3
+    """,
+    tags=("h2o", "agg", "high-cardinality"),
+    bench=True,
+)
+
+# --- h2o join: fact × dimension ----------------------------------------------
+register_sql(
+    "h2o_join_dim",
+    """
+    SELECT c_mktsegment,
+           event_type,
+           COUNT(*) AS events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+    tags=("h2o", "join"),
+    bench=True,
+)
+
+# --- h2o window: per-key top-2 + running aggregate ----------------------------
+register_sql(
+    "h2o_window_topn",
+    """
+    SELECT user_id, event_id, value_rank FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS value_rank
+      FROM events
+    ) WHERE value_rank <= 2
+    """,
+    tags=("h2o", "window", "topk-per-group"),
+    bench=True,
+)

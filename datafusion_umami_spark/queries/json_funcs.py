@@ -1,0 +1,80 @@
+"""Semi-structured (JSON) column processing over events.props.
+
+The reference core has no JSON functions (they live in a separate
+datafusion-functions-json extension), but a data-pipeline engine needs
+them: event payloads, API dumps and crawl metadata are JSON columns at
+rest.  Spark-first: `get_json_object` / `from_json` are JVM-side
+expressions (no Python), fully codegen'd, and `from_json` with an
+explicit schema lets Catalyst prune untouched fields.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_umami_spark.registry import register, register_sql
+from datafusion_umami_spark.tables import table
+
+# --- path extraction + aggregation ------------------------------------------
+register_sql(
+    "json_extract_agg",
+    """
+    SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS events,
+           COUNT(DISTINCT event_type) AS types
+    FROM events
+    WHERE get_json_object(props, '$.k') IS NOT NULL
+    GROUP BY CAST(get_json_object(props, '$.k') AS BIGINT) % 10
+    """,
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS events,
+           COUNT(DISTINCT event_type) AS types
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("json", "semi-structured", "llm-pipeline"),
+)
+
+
+# --- from_json with explicit schema → typed struct ---------------------------
+@register(
+    "json_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           event_type
+    FROM events
+    WHERE event_id < 400
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+    tags=("json", "struct", "schema"),
+)
+def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    parsed = ev.withColumn("p", F.from_json("props", "k bigint"))
+    return (
+        parsed.filter(F.col("p.k") > 50)
+        .select("event_id", F.col("p.k").alias("k"), "event_type")
+    )
+
+
+# --- to_json roundtrip (struct → json text → extract) -------------------------
+register_sql(
+    "json_to_json_roundtrip",
+    """
+    SELECT n_nationkey,
+           get_json_object(to_json(named_struct('name', n_name, 'region', n_regionkey)),
+                           '$.name') AS name_from_json
+    FROM nation
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           json_extract_string(to_json(struct_pack(name := n_name, region := n_regionkey)),
+                               '$.name') AS name_from_json
+    FROM nation
+    """,
+    tags=("json", "to-json"),
+)

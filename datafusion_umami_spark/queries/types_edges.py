@@ -1,0 +1,138 @@
+"""Type-system edge semantics: decimals, intervals, try_cast, temporal
+precision, and the SURVEY §1.2 shims for types Spark lacks.
+
+Covers the ScalarValue type matrix (reference
+datafusion/common/src/scalar/mod.rs:222-328) where the mapping is not
+1:1: Decimal precision/rounding, IntervalYearMonth/DayTime arithmetic,
+Time64 (no Spark TimeType → µs-since-midnight shim), UInt64 (→
+DECIMAL(20,0) widening), TryCast (expressions/cast.rs try variants).
+Each query pins the RESULT type explicitly on both sides so the oracle
+hash compares values, not engine-default scales (Spark and DuckDB have
+different implicit decimal-division scale rules — the explicit final
+CAST is the documented convention from registry.py).
+"""
+
+from __future__ import annotations
+
+from datafusion_umami_spark.registry import register_sql
+
+# --- decimal arithmetic at high precision -----------------------------------
+register_sql(
+    "types_decimal_arith",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))
+                AS DECIMAL(38,8)) AS DOUBLE) AS gross_d38,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) / NULLIF(CAST(l_quantity AS DECIMAL(18,4)), 0)
+                AS DECIMAL(24,10)) AS DOUBLE) AS unit_price,
+           CAST(ROUND(CAST(l_discount AS DECIMAL(10,6)), 1) AS DOUBLE) AS disc_r1
+    FROM lineitem
+    WHERE l_orderkey < 300
+    """,
+    tags=("types", "decimal"),
+)
+
+# --- interval arithmetic: year-month + day-time ------------------------------
+register_sql(
+    "types_interval_arith",
+    """
+    SELECT o_orderkey,
+           o_orderdate,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(o_orderdate - INTERVAL 90 DAY AS DATE) AS minus_90d,
+           CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS plus_1y,
+           CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 36 HOUR AS TIMESTAMP) AS plus_36h
+    FROM orders
+    WHERE o_orderkey < 200
+    """,
+    tags=("types", "interval", "datetime"),
+)
+
+# --- try_cast: malformed / overflowing input → NULL, not error ---------------
+register_sql(
+    "types_try_cast",
+    """
+    SELECT p_partkey,
+           TRY_CAST(p_name AS INT) AS name_as_int,
+           TRY_CAST(substr(p_type, 1, 3) AS DATE) AS type_as_date,
+           CAST(TRY_CAST(p_retailprice AS DECIMAL(5,2)) AS DOUBLE) AS price_narrow,
+           TRY_CAST(CAST(p_partkey AS STRING) AS TINYINT) AS key_as_tiny
+    FROM part
+    WHERE p_partkey < 400
+    """,
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_name AS INT) AS name_as_int,
+           TRY_CAST(substr(p_type, 1, 3) AS DATE) AS type_as_date,
+           CAST(TRY_CAST(p_retailprice AS DECIMAL(5,2)) AS DOUBLE) AS price_narrow,
+           TRY_CAST(CAST(p_partkey AS VARCHAR) AS TINYINT) AS key_as_tiny
+    FROM part
+    WHERE p_partkey < 400
+    """,
+    tags=("types", "try-cast", "null-semantics"),
+)
+
+# --- Time64 shim: µs-since-midnight (Spark has no TIME type) -----------------
+register_sql(
+    "types_time_of_day_shim",
+    """
+    SELECT event_id,
+           unix_micros(ts) - unix_micros(date_trunc('DAY', ts)) AS time_of_day_us,
+           hour(ts) AS h, minute(ts) AS m, second(ts) AS s
+    FROM events
+    WHERE event_id < 500
+    """,
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS time_of_day_us,
+           CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS m,
+           CAST(second(ts) AS INT) AS s
+    FROM events
+    WHERE event_id < 500
+    """,
+    tags=("types", "time", "shim"),
+)
+
+# --- unsigned widening shims (UInt8→SMALLINT … UInt64→DECIMAL(20,0)) ---------
+register_sql(
+    "types_unsigned_widening",
+    """
+    SELECT CAST(255 AS SMALLINT) AS u8_max,
+           CAST(65535 AS INT) AS u16_max,
+           CAST(4294967295 AS BIGINT) AS u32_max,
+           CAST(CAST('18446744073709551615' AS DECIMAL(20,0)) AS STRING) AS u64_max,
+           CAST(CAST(CAST('18446744073709551615' AS DECIMAL(20,0)) + 1 AS DECIMAL(21,0))
+                AS STRING) AS u64_plus1
+    """,
+    oracle="""
+    SELECT CAST(255 AS SMALLINT) AS u8_max,
+           CAST(65535 AS INT) AS u16_max,
+           CAST(4294967295 AS BIGINT) AS u32_max,
+           CAST(CAST('18446744073709551615' AS DECIMAL(20,0)) AS VARCHAR) AS u64_max,
+           CAST(CAST(CAST('18446744073709551615' AS DECIMAL(20,0)) + 1 AS DECIMAL(21,0))
+                AS VARCHAR) AS u64_plus1
+    """,
+    tags=("types", "unsigned", "shim"),
+)
+
+# --- timestamp precision: µs round-trip + ns truncation ----------------------
+register_sql(
+    "types_timestamp_precision",
+    """
+    SELECT event_id, ts,
+           unix_micros(ts) AS us,
+           CAST(date_trunc('MILLISECOND', ts) AS TIMESTAMP) AS ts_ms,
+           CAST(date_trunc('SECOND', ts) AS TIMESTAMP) AS ts_s
+    FROM events
+    WHERE event_id < 300
+    """,
+    oracle="""
+    SELECT event_id, ts,
+           epoch_us(ts) AS us,
+           date_trunc('millisecond', ts) AS ts_ms,
+           date_trunc('second', ts) AS ts_s
+    FROM events
+    WHERE event_id < 300
+    """,
+    tags=("types", "timestamp", "precision"),
+)
