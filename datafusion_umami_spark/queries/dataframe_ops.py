@@ -1,0 +1,139 @@
+"""DataFrame-API conveniences + pipeline sampling operators.
+
+Covers the reference's DataFrame-only surface (SURVEY.md §3.2:
+`fill_null` core/src/dataframe/mod.rs:2268, `drop_columns`,
+`with_column:2021`) and adds the deterministic sampling operators a
+training-data pipeline needs (hash-Bernoulli, stratified top-k) —
+expressed so the SAME rows are chosen on any engine / partitioning
+(`rand()`-based sampling can't be oracle-checked; hash-based can, and
+at 100 TB deterministic sampling is also what you want for
+reproducibility).
+
+Portable hash convention (same as dedup.py): 60-bit prefix of md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_umami_spark.registry import register, register_sql
+from datafusion_umami_spark.tables import table
+
+
+# --- fill_null / dropna ------------------------------------------------------
+@register(
+    "df_fill_drop_null",
+    oracle="""
+    WITH holey AS (
+      SELECT c_custkey,
+             NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey < 400)
+    SELECT c_custkey, COALESCE(seg, 'UNKNOWN') AS seg,
+           CAST(COALESCE(bal, 0.0) AS DOUBLE) AS bal
+    FROM holey
+    WHERE NOT (seg IS NULL AND bal IS NULL)
+    """,
+    tags=("dataframe-api", "fill-null", "dropna"),
+)
+def df_fill_drop_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.na.fill / df.na.drop — the reference's DataFrame::fill_null
+    (core/src/dataframe/mod.rs:2268)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    holey = c.select(
+        "c_custkey",
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    return (
+        holey.na.drop(how="all", subset=["seg", "bal"])
+        .na.fill({"seg": "UNKNOWN", "bal": 0.0})
+        .select("c_custkey", "seg", F.col("bal").cast("double").alias("bal"))
+    )
+
+
+# --- deterministic hash-Bernoulli sample -------------------------------------
+register_sql(
+    "sample_hash_bernoulli",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 = 0
+    """,
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+    """,
+    tags=("sampling", "bernoulli", "llm-pipeline"),
+)
+
+# --- stratified sample: deterministic top-k per stratum ----------------------
+register_sql(
+    "sample_stratified_topk",
+    """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+    oracle="""
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+    tags=("sampling", "stratified", "llm-pipeline"),
+)
+
+
+# --- multi-column unnest: arrays_zip + posexplode ----------------------------
+@register(
+    "unnest_multi_posexplode",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey,
+             string_split(n_name, 'A') AS parts
+      FROM nation WHERE n_nationkey < 10)
+    SELECT n_nationkey,
+           CAST(i - 1 AS INT) AS pos,
+           parts[i] AS part,
+           CAST(length(parts[i]) AS INT) AS part_len
+    FROM src CROSS JOIN LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) t
+    """,
+    tags=("unnest", "posexplode", "multi-column"),
+)
+def unnest_multi_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of zipped parallel arrays (reference UnnestExec
+    multi-column mode, physical-plan/src/unnest.rs:60): position +
+    value + derived column unnested in lockstep."""
+    n = table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
+    src = n.select(
+        "n_nationkey",
+        F.split("n_name", "A").alias("parts"),
+    )
+    named = src.select(
+        "n_nationkey",
+        "parts",
+        F.transform("parts", lambda x: F.length(x)).alias("lens"),
+    )
+    zipped = named.select(
+        "n_nationkey", F.arrays_zip("parts", "lens").alias("z")
+    )
+    return zipped.select(
+        "n_nationkey", F.posexplode("z").alias("pos", "pv")
+    ).select(
+        "n_nationkey",
+        "pos",
+        F.col("pv.parts").alias("part"),
+        F.col("pv.lens").alias("part_len"),
+    )

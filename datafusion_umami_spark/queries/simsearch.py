@@ -21,8 +21,13 @@ All vector math is double-cast element arithmetic — identical in Spark
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
-from datafusion_umami_spark.registry import register_sql
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_umami_spark.registry import register, register_sql
+from datafusion_umami_spark.tables import table
 
 # Deterministic hyperplanes: seeded, rounded to 4dp, embedded as literals
 # in BOTH engine texts (no runtime randomness — resumable & oracle-safe).
@@ -98,6 +103,64 @@ register_sql(
     tags=("ann", "cosine", "topk", "llm-pipeline"),
     bench=True,
 )
+
+# --- vectorized numpy kernel: the actual 100 TB fast path -------------------
+@register(
+    "ann_bruteforce_vectorized",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DU_V} AS v FROM embeddings),
+    normed AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e),
+    q AS (SELECT v, nrm FROM normed WHERE vec_id = 0)
+    SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
+    FROM normed a CROSS JOIN q
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 10
+    """,
+    tags=("ann", "cosine", "topk", "pandas-udf", "vectorized", "llm-pipeline"),
+    bench=True,
+)
+def ann_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched numpy kernel for brute-force cosine top-k: each
+    batch computes a (batch × dim)·(dim,) matrix-vector product and
+    emits only its local top-k; the global TakeOrderedAndProject merges
+    k rows per partition.  This two-phase top-k is the pattern that
+    scales — the corpus never shuffles, only k·partitions candidate
+    rows move.  The dot product accumulates left-to-right (python sum
+    over the product array) so the IEEE result — and thus the rounded
+    oracle hash — is bit-identical to the SQL fold in DuckDB/Spark."""
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.expr(_SP_V).alias("v"))
+        .head()[0]
+    )
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = np.sqrt(np.sum(q * q))
+    k = 10
+
+    def topk_per_batch(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            mask = ids != 0
+            if not mask.any():
+                continue
+            mat = np.stack(pdf.loc[mask, "embedding"].to_numpy()).astype(np.float64)
+            # accumulate in array order (add.reduce == the SQL fold),
+            # keeping the result bit-identical to the oracle's list_sum
+            dots = np.add.reduce(mat * q, axis=1)
+            nrms = np.sqrt(np.add.reduce(mat * mat, axis=1))
+            cos = dots / (nrms * qn)
+            idx = np.argsort(-cos, kind="stable")[:k]
+            yield pd.DataFrame(
+                {"vec_id": ids[mask][idx], "cosine": np.round(cos[idx], 6)}
+            )
+
+    local = emb.mapInPandas(topk_per_batch, "vec_id bigint, cosine double")
+    return local.orderBy(F.desc("cosine"), "vec_id").limit(k)
+
 
 register_sql(
     "ann_lsh_buckets",
