@@ -8,11 +8,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Per-query time is the best of N_ITERS runs (mirrors the reference's
 `compare.py` multi-iteration protocol, reference benchmarks/bench.sh).
-Execution is a full action (count via noop write semantics —
-df.count() would let Catalyst prune aggregates, so we use
-collect-with-limit-free foreach-equivalent: toLocalIterator drain is
-overkill; .collect() materializes results like the reference's
-`collect()`).
+Execution is a full materialization of the result via `toPandas()`
+(Arrow-batched transfer) — the same "collect everything" semantics as
+the reference's `collect()`, without py4j per-row deserialization
+overhead polluting the engine measurement on wide results.
 """
 
 from __future__ import annotations
@@ -41,7 +40,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(N_ITERS):
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
+            spec.fn(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 4)
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)

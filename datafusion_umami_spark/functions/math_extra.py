@@ -1,0 +1,41 @@
+"""gcd / lcm as pure Catalyst expressions.
+
+The reference ships gcd/lcm scalar functions
+(reference datafusion/functions/src/math/gcd.rs, lcm.rs); Spark has no
+builtin, so Euclid's algorithm is expressed as a bounded `aggregate`
+fold over a struct accumulator — stays JVM-side / codegen-able (no
+Python UDF).  24 iterations cover any 63-bit input pair (Euclid needs
+≤ log_φ(min(a,b)) ≈ 1.44·log2 steps, and worst-case 63-bit Fibonacci
+neighbors need 87 — we bound inputs in the registered query; raise
+_ITERS for full-range use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_ITERS = 40
+
+
+def gcd_col(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    a, b = F.abs(a.cast("bigint")), F.abs(b.cast("bigint"))
+    acc = F.struct(a.alias("a"), b.alias("b"))
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_ITERS)),
+        acc,
+        lambda s, _i: F.when(s.b == 0, s).otherwise(
+            F.struct(s.b.alias("a"), (s.a % s.b).alias("b"))
+        ),
+    )
+    return fold.a
+
+
+def lcm_col(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    a, b = F.abs(a.cast("bigint")), F.abs(b.cast("bigint"))
+    g = gcd_col(a, b)
+    return F.when((a == 0) | (b == 0), F.lit(0)).otherwise(a / g * b).cast("bigint")

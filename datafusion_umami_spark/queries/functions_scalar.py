@@ -388,3 +388,68 @@ register_sql(
     """,
     tags=("scalar", "uuid"),
 )
+
+# --- find_in_set / substring_index / strpos / nanvl -------------------------
+# (reference unicode/find_in_set.rs, substr_index.rs, strpos.rs,
+# math/nanvl.rs).  DuckDB lacks find_in_set / substring_index / nanvl —
+# the oracle emulates them with list functions / CASE-isnan.
+register_sql(
+    "fn_string_set_index",
+    """
+    SELECT p_partkey,
+           find_in_set(p_brand, 'Brand#11,Brand#22,Brand#33,Brand#44,Brand#55')
+             AS brand_pos,
+           substring_index(p_type, ' ', 2) AS type_prefix2,
+           CAST(position('a' IN p_name) AS BIGINT) AS first_a,
+           CAST(locate('b', p_name, 3) AS BIGINT) AS b_from_3,
+           nanvl(CASE WHEN p_size % 3 = 0 THEN CAST('NaN' AS DOUBLE)
+                      ELSE CAST(p_retailprice AS DOUBLE) END, -1.0)
+             AS price_or_nan_guard
+    FROM part WHERE p_partkey < 300
+    """,
+    oracle="""
+    SELECT p_partkey,
+           CAST(coalesce(list_position(string_split(
+                 'Brand#11,Brand#22,Brand#33,Brand#44,Brand#55', ','), p_brand), 0)
+             AS INT) AS brand_pos,
+           array_to_string(list_slice(string_split(p_type, ' '), 1, 2), ' ')
+             AS type_prefix2,
+           CAST(position('a' IN p_name) AS BIGINT) AS first_a,
+           CAST(CASE WHEN strpos(substr(p_name, 3), 'b') = 0 THEN 0
+                     ELSE strpos(substr(p_name, 3), 'b') + 2 END AS BIGINT)
+             AS b_from_3,
+           CASE WHEN p_size % 3 = 0 THEN -1.0
+                ELSE CAST(p_retailprice AS DOUBLE) END
+             AS price_or_nan_guard
+    FROM part WHERE p_partkey < 300
+    """,
+    tags=("scalar", "string", "find-in-set", "nanvl"),
+)
+
+
+# --- gcd / lcm (no Spark builtin → Catalyst Euclid fold) ---------------------
+@register(
+    "fn_math_gcd_lcm",
+    oracle="""
+    SELECT p_partkey,
+           gcd(p_partkey + 4, CAST(p_size AS BIGINT) * 3) AS g,
+           lcm(p_size, (p_partkey % 7) + 1) AS l
+    FROM part WHERE p_partkey < 300
+    """,
+    tags=("scalar", "math", "gcd", "lcm"),
+)
+def fn_math_gcd_lcm(spark, sf_dir):
+    """gcd/lcm (reference functions/src/math/gcd.rs, lcm.rs): Spark has
+    no builtin, so `functions.math_extra` expresses Euclid's algorithm
+    as a bounded JVM-side `aggregate` fold — no Python UDF."""
+    from pyspark.sql import functions as F
+
+    from datafusion_umami_spark.functions.math_extra import gcd_col, lcm_col
+    from datafusion_umami_spark.tables import table
+
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        gcd_col(F.col("p_partkey") + 4, F.col("p_size").cast("bigint") * 3).alias("g"),
+        lcm_col(F.col("p_size"), (F.col("p_partkey") % 7) + 1).alias("l"),
+    )
