@@ -72,11 +72,32 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8)
 
 
-@register("mm_decode_features", oracle=None, tags=("multimodal", "pandas-udf", "llm-pipeline"))
+@register(
+    "mm_decode_features",
+    # the driver-generated documents are pure ASCII (verified at every SF),
+    # so byte intensities == character codes and DuckDB can recompute the
+    # stub-decoded features exactly — a FULL oracle for the UDF plumbing.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, CAST(i AS INT), 1))) AS codes
+      FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CASE WHEN n > 0 THEN list_sum(codes) / CAST(n AS DOUBLE) ELSE 0.0 END
+             AS mean_intensity,
+           CAST(CASE WHEN n > 0 THEN list_max(codes) ELSE 0 END AS BIGINT)
+             AS max_intensity,
+           CAST(CASE WHEN n > 0 THEN codes[1] ELSE -1 END AS BIGINT) AS first_byte
+    FROM b
+    """,
+    tags=("multimodal", "pandas-udf", "llm-pipeline"),
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary payloads via mapInPandas
-    (rows-only check: byte-level features; the decode is the documented
-    stub above). Arrow batches in, Arrow batches out — no per-row serde."""
+    """Feature extraction over binary payloads via mapInPandas; the
+    decode is the documented stub above. Arrow batches in, Arrow batches
+    out — no per-row serde."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
@@ -100,7 +121,19 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_frame_sample", oracle=None, tags=("multimodal", "pandas-udf", "video", "llm-pipeline"))
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           i AS frame_idx,
+           i * 16 AS offset,
+           md5(substr(text, CAST(i * 16 + 1 AS INT), 16)) AS frame_md5
+    FROM documents
+    CROSS JOIN LATERAL (SELECT unnest(range(0, length(text) // 16)) AS i) t
+    WHERE i % 4 = 0
+    """,
+    tags=("multimodal", "pandas-udf", "video", "llm-pipeline"),
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: treat the payload as fixed-size 16-byte 'frames'
     and emit every 4th frame with its offset + checksum — the video
@@ -133,7 +166,18 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_audio_window_rms",
-    oracle=None,
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, wi,
+             list_transform(range(wi * 32 + 1, wi * 32 + 33),
+                            i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS DOUBLE))
+               AS cs
+      FROM documents
+      CROSS JOIN LATERAL (SELECT unnest(range(0, length(text) // 32)) AS wi) t)
+    SELECT doc_id, wi AS window_idx,
+           ROUND(sqrt(list_sum(list_transform(cs, c -> c * c)) / 32.0), 6) AS rms
+    FROM w
+    """,
     tags=("multimodal", "pandas-udf", "audio", "llm-pipeline"),
 )
 def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,114 @@
+"""Randomized cross-engine fuzz — mirror of the reference's fuzz_cases
+(reference datafusion/core/tests/fuzz_cases/: aggregate_fuzz, sort_fuzz,
+join_fuzz with a randomized batch generator, cross-checked against
+alternate plans / engines) and its batch-size-parameterized operator
+tests (joins/hash_join.rs `#[apply(batch_sizes)]`).
+
+Seeded generator (reproducible) composes queries from an ANSI subset
+valid verbatim in BOTH Spark SQL and DuckDB: random predicates, group
+keys, aggregates, sorts, limits over the driver tables.  Half the cases
+additionally run Spark with a 1 MiB `files.maxPartitionBytes` (many
+input splits — the analog of the reference's small batch sizes) to
+catch chunking bugs.
+
+All aggregates are exact (integer-cents / counts / min-max), so results
+must hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from datafusion_umami_spark.oracle import canonical_rows
+from datafusion_umami_spark.tables import register_views
+
+N_CASES = 24
+
+_TABLES = {
+    "lineitem": {
+        "keys": [
+            "l_returnflag",
+            "l_linestatus",
+            "l_linenumber",
+            "l_orderkey % 7",
+            "l_suppkey % 5",
+        ],
+        "preds": [
+            "l_quantity > 25",
+            "l_discount BETWEEN 0.02 AND 0.07",
+            "l_shipdate >= DATE '1995-06-01'",
+            "l_shipdate < DATE '1997-01-01'",
+            "l_returnflag <> 'N'",
+            "l_extendedprice < 30000.0",
+            "l_orderkey % 3 = 1",
+        ],
+        "aggs": [
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents",
+            "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum",
+            "MIN(l_shipdate) AS first_ship",
+            "MAX(l_shipdate) AS last_ship",
+            "COUNT(DISTINCT l_suppkey) AS n_supps",
+        ],
+        "cols": ["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"],
+    },
+    "orders": {
+        "keys": ["o_orderstatus", "o_orderpriority", "o_custkey % 11"],
+        "preds": [
+            "o_totalprice > 50000.0",
+            "o_orderdate >= DATE '1996-01-01'",
+            "o_orderstatus IN ('O', 'F')",
+            "o_orderkey % 4 <> 2",
+        ],
+        "aggs": [
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents",
+            "MIN(o_orderdate) AS first_date",
+            "COUNT(DISTINCT o_orderpriority) AS n_prio",
+        ],
+        "cols": ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    },
+}
+
+
+def _gen_case(rng: random.Random) -> str:
+    tname = rng.choice(sorted(_TABLES))
+    t = _TABLES[tname]
+    preds = rng.sample(t["preds"], k=rng.randint(1, 3))
+    where = " AND ".join(preds)
+    if rng.random() < 0.7:
+        keys = rng.sample(t["keys"], k=rng.randint(1, 2))
+        aggs = rng.sample(t["aggs"], k=rng.randint(1, 3))
+        key_aliases = [f"{k} AS k{i}" for i, k in enumerate(keys)]
+        sql = (
+            f"SELECT {', '.join(key_aliases)}, COUNT(*) AS cnt, {', '.join(aggs)} "
+            f"FROM {tname} WHERE {where} GROUP BY {', '.join(keys)}"
+        )
+        if rng.random() < 0.4:
+            sql += " HAVING COUNT(*) > 2"
+    else:
+        cols = rng.sample(t["cols"], k=rng.randint(2, len(t["cols"])))
+        uniq = ", ".join(t["cols"][:2])  # deterministic total order
+        sql = (
+            f"SELECT {', '.join(cols)} FROM {tname} WHERE {where} "
+            f"ORDER BY {uniq} LIMIT {rng.choice([7, 40, 200])}"
+        )
+    return sql
+
+
+_RNG = random.Random(20260813)
+CASES = [(_gen_case(_RNG), i % 2 == 1) for i in range(N_CASES)]
+
+
+@pytest.mark.parametrize("sql,small_splits", CASES, ids=range(N_CASES))
+def test_fuzz_cross_engine(sql, small_splits, spark, duck, sf_dir):
+    register_views(spark, sf_dir)
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    if small_splits:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+    try:
+        s_rows = canonical_rows(spark.sql(sql).toPandas())
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+    d_rows = canonical_rows(duck.execute(sql).df())
+    assert s_rows == d_rows, f"mismatch for: {sql}"
