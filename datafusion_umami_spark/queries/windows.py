@@ -168,3 +168,91 @@ register_sql(
     """,
     tags=("window", "dedup", "latest-per-key"),
 )
+
+
+# --- GROUPS frame emulation --------------------------------------------------
+# The reference supports GROUPS window frames (expr/src/window_frame.rs:40);
+# Spark has only ROWS/RANGE.  Exact emulation: GROUPS distance over the
+# ORDER BY key == RANGE distance over dense_rank(key), so a first window
+# pass computes dense_rank and a second applies a RANGE frame on it.
+# DuckDB runs the real GROUPS frame as the oracle — a native cross-check
+# that the emulation is exact (including peer-row duplicates).
+register_sql(
+    "window_groups_frame_emulated",
+    """
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             CAST(l_quantity AS BIGINT) AS qty_key,
+             DENSE_RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY CAST(l_quantity AS BIGINT)) AS dr,
+             l_returnflag
+      FROM lineitem WHERE l_orderkey < 400)
+    SELECT l_orderkey, l_linenumber, qty_key,
+           CAST(SUM(qty_key) OVER (PARTITION BY l_returnflag ORDER BY dr
+                                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                AS BIGINT) AS qty_groups_sum,
+           CAST(COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY dr
+                               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                AS BIGINT) AS peers_in_frame
+    FROM ranked
+    """,
+    # DuckDB also lacks GROUPS frames — the oracle recomputes the same
+    # semantics with a structurally INDEPENDENT formulation (per-peer-group
+    # aggregation + self-join on dense-rank distance ≤ 1), so the check
+    # does not share the emulation's code path.
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty_key,
+             l_returnflag,
+             DENSE_RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY CAST(l_quantity AS BIGINT)) AS dr
+      FROM lineitem WHERE l_orderkey < 400),
+    g AS (
+      SELECT l_returnflag, dr, SUM(qty_key) AS s, COUNT(*) AS c
+      FROM ranked GROUP BY l_returnflag, dr),
+    gwin AS (
+      SELECT a.l_returnflag, a.dr, SUM(b.s) AS ws, SUM(b.c) AS wc
+      FROM g a
+      JOIN g b ON b.l_returnflag = a.l_returnflag AND b.dr BETWEEN a.dr - 1 AND a.dr + 1
+      GROUP BY a.l_returnflag, a.dr)
+    SELECT r.l_orderkey, r.l_linenumber, r.qty_key,
+           CAST(gwin.ws AS BIGINT) AS qty_groups_sum,
+           CAST(gwin.wc AS BIGINT) AS peers_in_frame
+    FROM ranked r
+    JOIN gwin ON gwin.l_returnflag = r.l_returnflag AND gwin.dr = r.dr
+    """,
+    tags=("window", "groups-frame", "emulation"),
+)
+
+# --- IGNORE NULLS analytic functions -----------------------------------------
+register_sql(
+    "window_ignore_nulls",
+    """
+    WITH holey AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS px
+      FROM orders WHERE o_custkey < 120)
+    SELECT o_orderkey, o_custkey, px,
+           lag(px) IGNORE NULLS OVER w AS prev_px,
+           lead(px) IGNORE NULLS OVER w AS next_px,
+           first_value(px) IGNORE NULLS OVER w AS first_px,
+           last_value(px) IGNORE NULLS OVER w AS running_last_px
+    FROM holey
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    # DuckDB spells IGNORE NULLS inside the call parentheses
+    oracle="""
+    WITH holey AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS px
+      FROM orders WHERE o_custkey < 120)
+    SELECT o_orderkey, o_custkey, px,
+           lag(px IGNORE NULLS) OVER w AS prev_px,
+           lead(px IGNORE NULLS) OVER w AS next_px,
+           first_value(px IGNORE NULLS) OVER w AS first_px,
+           last_value(px IGNORE NULLS) OVER w AS running_last_px
+    FROM holey
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    tags=("window", "analytic", "ignore-nulls"),
+)
