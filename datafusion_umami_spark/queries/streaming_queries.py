@@ -169,7 +169,17 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- arbitrary stateful processing (applyInPandasWithState) -----------------
 @register(
     "stream_stateful_user_sessions",
-    oracle=None,  # per-batch update emission has no single-SQL twin
+    # The bounded source is one parquet file → one micro-batch under
+    # AvailableNow, so update-mode emits exactly one row per user and the
+    # final state equals the batch aggregate (would need rows-only if the
+    # driver ever splits events across files per TESTDATA.md).
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
+    FROM events
+    GROUP BY user_id
+    """,
     tags=("streaming", "stateful", "applyInPandasWithState", "pandas-udf"),
 )
 def stream_stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

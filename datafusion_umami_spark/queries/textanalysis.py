@@ -157,3 +157,77 @@ register_sql(
     """,
     tags=("text", "fingerprint", "llm-pipeline"),
 )
+
+
+# --- winnowing fingerprint (true rolling hash) -------------------------------
+# MOSS-style winnowing: polynomial rolling hash over every k=8-gram of
+# the character stream (base 257 mod 1e9+7), then the min hash of each
+# w=4 window of consecutive k-gram hashes; the distinct mins are the
+# document's fingerprints.  Every step is a JVM-side higher-order array
+# expression (no UDF) with per-term modular reduction so no product
+# exceeds int64.  The DuckDB twin evaluates the identical arithmetic.
+_K, _W, _B, _M = 8, 4, 257, 1_000_000_007
+_POWS = [pow(_B, _K - 1 - j, _M) for j in range(_K)]
+
+
+def _poly_terms(elem_at) -> str:
+    """Unrolled `(Σ_j cs[i+j]·B^(k-1-j) mod M) mod M` for 1-indexed arrays."""
+    terms = " + ".join(
+        f"({elem_at('cs', f'i + {j}')} * {_POWS[j]}) % {_M}" for j in range(_K)
+    )
+    return f"({terms}) % {_M}"
+
+
+_SP_HASH = _poly_terms(lambda arr, ix: f"element_at({arr}, {ix})")
+_DU_HASH = _poly_terms(lambda arr, ix: f"{arr}[{ix}]")
+_SP_WIN = ", ".join(f"element_at(khash, i + {j})" for j in range(_W))
+_DU_WIN = ", ".join(f"khash[i + {j}]" for j in range(_W))
+
+register_sql(
+    "text_winnowing_fingerprint",
+    f"""
+    WITH codes AS (
+      SELECT doc_id,
+             transform(sequence(1, length(text)),
+                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS cs,
+             length(text) AS n
+      FROM documents WHERE length(text) >= {_K + _W - 1}),
+    kg AS (
+      SELECT doc_id,
+             transform(sequence(1, n - {_K - 1}), i -> {_SP_HASH}) AS khash
+      FROM codes),
+    wins AS (
+      SELECT doc_id,
+             array_distinct(transform(sequence(1, size(khash) - {_W - 1}),
+                                      i -> least({_SP_WIN}))) AS fps
+      FROM kg)
+    SELECT doc_id,
+           CAST(size(fps) AS BIGINT) AS n_fingerprints,
+           CAST(aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) AS fp_sum,
+           CAST(array_min(fps) AS BIGINT) AS fp_min
+    FROM wins
+    """,
+    oracle=f"""
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS cs,
+             length(text) AS n
+      FROM documents WHERE length(text) >= {_K + _W - 1}),
+    kg AS (
+      SELECT doc_id,
+             list_transform(range(1, n - {_K - 2}), i -> {_DU_HASH}) AS khash
+      FROM codes),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(khash) - {_W - 2}),
+                                          i -> least({_DU_WIN}))) AS fps
+      FROM kg)
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(list_sum(fps) AS BIGINT) AS fp_sum,
+           CAST(list_min(fps) AS BIGINT) AS fp_min
+    FROM wins
+    """,
+    tags=("text", "fingerprint", "rolling-hash", "winnowing", "llm-pipeline"),
+)

@@ -1,0 +1,76 @@
+"""Scale-stress + approximation-quality tests.
+
+1. Data amplification: explode lineitem ×16 at runtime (~1M rows from
+   sf0.001, ~10M from sf0.1) and verify grouped aggregates equal exactly
+   16× the base aggregates under a tiny shuffle-partition count — the
+   local analog of the reference's memory-limit / external-aggregation
+   stress suite (reference core/tests/memory_limit/,
+   benchmarks/src/bin/external_aggr.rs).  The amplified agg pushes far
+   more state per task than the tuned config would allow, exercising
+   Spark's spillable aggregation path while keeping an exactly
+   computable expected result.
+
+2. Approximation quality: approx_count_distinct / percentile_approx are
+   rows-only in the oracle gate (sketches are implementation-specific);
+   here we bound their relative error against exact values — the same
+   tolerance-check strategy the reference uses for its HLL/t-digest
+   tests (functions-aggregate hyperloglog.rs, approx_percentile tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_umami_spark.oracle import canonical_rows
+from datafusion_umami_spark.tables import table
+
+AMPLIFY = 16
+
+
+def test_amplified_aggregation_exact(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    base = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"),
+        )
+        .select(
+            "l_suppkey",
+            (F.col("cnt") * AMPLIFY).alias("cnt"),
+            (F.col("cents") * AMPLIFY).alias("cents"),
+        )
+    )
+    amplified = (
+        li.crossJoin(spark.range(AMPLIFY).select(F.col("id").alias("_rep")))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        got = canonical_rows(amplified.toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert got == canonical_rows(base.toPandas())
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).head()
+    assert abs(row.approx - row.exact) / max(row.exact, 1) < 0.1
+
+
+def test_percentile_approx_tolerance(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+    ).head()
+    assert abs(row.approx - row.exact) / max(abs(row.exact), 1e-9) < 0.05
