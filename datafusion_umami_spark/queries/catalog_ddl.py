@@ -89,3 +89,50 @@ def catalog_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in spark.table("nation").schema.fields
     ]
     return spark.createDataFrame(cols, "column_name string, data_type string")
+
+
+@register("ddl_explain_cost", oracle=None, tags=("ddl", "explain", "statistics"))
+def ddl_explain_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN COST — optimized plan with CBO statistics (the analog of
+    the reference's EXPLAIN with statistics display, explain.rs +
+    AnalyzeExec's stats output)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "EXPLAIN COST SELECT o_orderstatus, count(*) FROM orders GROUP BY o_orderstatus"
+    )
+
+
+@register(
+    "repartition_coalesce_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           MIN(l_shipdate) AS first_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("repartition", "coalesce", "partial-sort"),
+)
+def repartition_coalesce_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-visible RepartitionExec(Hash) + PartialSort + CoalescePartitions
+    (reference repartition/mod.rs:471, sorts/partial_sort.rs:80,
+    coalesce_partitions.rs:40): hash-repartition on the group key, sort
+    within partitions, aggregate (shuffle-free — data already co-located),
+    then coalesce to one partition.  Results must be identical to the
+    direct plan; the oracle checks exactly that."""
+    from datafusion_umami_spark.tables import table
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.repartition(8, "l_returnflag")
+        .sortWithinPartitions("l_returnflag", "l_shipdate")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"),
+            F.min("l_shipdate").alias("first_ship"),
+        )
+        .coalesce(1)
+    )
