@@ -128,8 +128,10 @@ register_sql(
     f"""
     WITH shingles AS ({_SP_SHINGLES}),
     hashes AS (
+      -- no DISTINCT: MIN over duplicate shingles equals MIN over the set,
+      -- so the dedup shuffle would be pure waste
       SELECT doc_id, {_sp_h("shingle")} % {_P31} AS h
-      FROM (SELECT DISTINCT doc_id, shingle FROM shingles)),
+      FROM shingles),
     sigs AS (
       SELECT doc_id, array({_SP_MH}) AS mhs
       FROM hashes GROUP BY doc_id),
@@ -154,7 +156,7 @@ register_sql(
     WITH shingles AS ({_DU_SHINGLES}),
     hashes AS (
       SELECT doc_id, {_du_h("shingle")} % {_P31} AS h
-      FROM (SELECT DISTINCT doc_id, shingle FROM shingles)),
+      FROM shingles),
     sigs AS (
       SELECT doc_id, [{_DU_MH}] AS mhs
       FROM hashes GROUP BY doc_id),
