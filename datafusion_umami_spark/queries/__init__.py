@@ -4,6 +4,7 @@ every query into `datafusion_umami_spark.registry.REGISTRY`."""
 from datafusion_umami_spark.queries import (  # noqa: F401
     aggregates,
     asof,
+    bucketing,
     catalog_ddl,
     dataframe_ops,
     dedup,

@@ -209,3 +209,51 @@ def stream_stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return stream_to_memory(out, "stream_stateful_user_sessions", "update")
+
+
+# --- session windows (batch sessionization; gaps-and-islands oracle) --------
+@register(
+    "session_window_agg",
+    # DuckDB twin: classic gaps-and-islands — a new session starts when
+    # the gap to the previous event is >= 30 minutes (Spark session
+    # windows are [start, last_ts + gap), so an event landing exactly on
+    # the boundary opens a new session).
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session-window", "sessionization", "event-time"),
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window over events (30-minute inactivity gap): the
+    sessionization operator every behavioral/training pipeline needs.
+    Runs identically over readStream (dynamic gap close via watermark);
+    batch mode here so the DuckDB oracle applies row-for-row."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "events",
+        )
+    )

@@ -117,3 +117,19 @@ def test_no_python_row_udf_in_headline_queries(name, spark, sf_dir):
     mapInPandas stages) is acceptable where Python is needed at all."""
     plan = plan_str(q(name, spark, sf_dir), "simple")
     assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python UDF"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key → the sort-merge join must
+    read pre-distributed buckets with NO Exchange before the join (the
+    co-located join that removes the dominant shuffle at 100 TB)."""
+    from datafusion_umami_spark.queries.bucketing import bucketed_join_df
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_str(bucketed_join_df(spark, sf_dir), "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    join_part = plan.split("SortMergeJoin")[-1]  # subtree below the join
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in join_part, plan
