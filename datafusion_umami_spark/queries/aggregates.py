@@ -310,3 +310,19 @@ register_sql(
     """,
     tags=("agg", "null-semantics", "outer-join"),
 )
+
+
+# --- NULL group keys: NULLs form one group (reference group-by null
+# handling, aggregates/group_values) ------------------------------------------
+register_sql(
+    "agg_null_group_keys",
+    """
+    SELECT CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+           CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_nationkey END AS nk,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "null-semantics", "null-group-keys"),
+)
