@@ -232,3 +232,35 @@ register_sql(
     """,
     tags=("unnest", "inline", "struct"),
 )
+
+
+# --- map_values / map_entries / map_from_entries / map_concat / compact -----
+register_sql(
+    "map_entries_values",
+    """
+    SELECT t.id,
+           array_sort(map_values(t.m)) AS vals_sorted,
+           array_sort(transform(map_entries(t.m),
+                                e -> concat(e.key, '=', CAST(e.value AS STRING))))
+             AS entries_str,
+           element_at(map_from_entries(map_entries(t.m)), 'b') AS b_roundtrip,
+           element_at(map_concat(t.m, map('c', id * 30)), 'c') AS c_val,
+           array_compact(array(id, NULL, id * 2, NULL)) AS compacted
+    FROM (SELECT id, map('a', id * 10, 'b', id * 20) AS m FROM range(1, 5)) t
+    """,
+    oracle="""
+    SELECT t.id,
+           list_sort(map_values(t.m)) AS vals_sorted,
+           list_sort(list_transform(map_entries(t.m),
+                                    e -> concat(e.key, '=', CAST(e.value AS VARCHAR))))
+             AS entries_str,
+           map_from_entries(map_entries(t.m))['b'][1] AS b_roundtrip,
+           (t.m2)['c'][1] AS c_val,
+           list_filter([t.id, NULL, t.id * 2, NULL], x -> x IS NOT NULL) AS compacted
+    FROM (SELECT range AS id,
+                 map(['a', 'b'], [range * 10, range * 20]) AS m,
+                 map(['c'], [range * 30]) AS m2
+          FROM range(1, 5)) t
+    """,
+    tags=("map", "entries", "compact"),
+)
