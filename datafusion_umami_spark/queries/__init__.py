@@ -6,6 +6,7 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     asof,
     bucketing,
     catalog_ddl,
+    clickbench,
     dataframe_ops,
     dedup,
     functions_nested,
