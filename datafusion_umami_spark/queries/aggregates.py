@@ -162,16 +162,22 @@ register_sql(
 @register(
     "agg_array_agg_sorted",
     oracle="""
-    SELECT n_regionkey, ARRAY_AGG(n_name ORDER BY n_name) AS names
+    SELECT n_regionkey,
+           array_to_string(list_sort(ARRAY_AGG(n_name)), ',') AS names
     FROM nation GROUP BY n_regionkey
     """,
     tags=("agg", "array-agg"),
 )
 def agg_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_agg (reference functions-aggregate/src/array_agg.rs):
-    Spark collect_list is unordered by contract → sort for determinism."""
+    Spark collect_list is unordered by contract → sort for determinism.
+    Output projected to a joined string: ARRAY columns are not portable
+    through the driver's pandas canonicalizer (sqllogictest prints arrays
+    as text for the same reason)."""
     n = table(spark, sf_dir, "nation")
-    return n.groupBy("n_regionkey").agg(F.array_sort(F.collect_list("n_name")).alias("names"))
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names")
+    )
 
 
 @register(
@@ -229,10 +235,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("agg_approx_percentile", oracle=None, tags=("agg", "approx", "tdigest"))
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile_cont (reference t-digest approx_percentile_cont.rs)."""
+    """approx_percentile_cont (reference t-digest approx_percentile_cont.rs).
+    Scalar p25/p50/p75 columns (not one array column) — array output is not
+    portable through the driver's canonicalizer."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("quartiles")
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("p25"),
+        F.percentile_approx("l_extendedprice", 0.50, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("p75"),
     )
 
 

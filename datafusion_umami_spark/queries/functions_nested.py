@@ -50,6 +50,10 @@ register_sql(
     tags=("array", "nested"),
 )
 
+# Array outputs are projected through array_join/array_to_string: the
+# driver's pandas canonicalizer cannot sort list-valued cells (reference
+# sqllogictest test_files/array.slt prints arrays as text for the same
+# portability reason).
 register_sql(
     "arr_literal_setops",
     """
@@ -57,15 +61,23 @@ register_sql(
            array_contains(t.xs, 3) AS has3,
            arrays_overlap(t.xs, array(9, 10)) AS overlaps,
            CAST(array_position(t.xs, 4) AS BIGINT) AS pos4,
-           array_sort(array_distinct(t.xs)) AS dedup,
-           array_sort(array_union(t.xs, array(99))) AS with99,
-           array_sort(array_intersect(t.xs, array(1, 2, 99))) AS common,
-           array_sort(array_except(t.xs, array(1))) AS no1,
-           array_remove(t.xs, 2) AS no2,
-           array_join(array_sort(t.xs), '|') AS joined,
-           flatten(array(t.xs, array(7, 8))) AS flat,
-           array_repeat(t.id, 3) AS rep,
-           sequence(1, t.id) AS seq
+           array_join(transform(array_sort(array_distinct(t.xs)),
+                                v -> CAST(v AS STRING)), ',') AS dedup,
+           array_join(transform(array_sort(array_union(t.xs, array(99))),
+                                v -> CAST(v AS STRING)), ',') AS with99,
+           array_join(transform(array_sort(array_intersect(t.xs, array(1, 2, 99))),
+                                v -> CAST(v AS STRING)), ',') AS common,
+           array_join(transform(array_sort(array_except(t.xs, array(1))),
+                                v -> CAST(v AS STRING)), ',') AS no1,
+           array_join(transform(array_remove(t.xs, 2),
+                                v -> CAST(v AS STRING)), ',') AS no2,
+           array_join(array_sort(transform(t.xs, v -> CAST(v AS STRING))), '|') AS joined,
+           array_join(transform(flatten(array(t.xs, array(7, 8))),
+                                v -> CAST(v AS STRING)), ',') AS flat,
+           array_join(transform(array_repeat(t.id, 3),
+                                v -> CAST(v AS STRING)), ',') AS rep,
+           array_join(transform(sequence(1, t.id),
+                                v -> CAST(v AS STRING)), ',') AS seq
     FROM (SELECT id, array(CAST(id AS INT) % 5 + 1, 2, 3, 4, 2) AS xs
           FROM range(1, 6) ) t
     """,
@@ -74,15 +86,15 @@ register_sql(
            list_contains(t.xs, 3) AS has3,
            len(list_intersect(t.xs, [9, 10])) > 0 AS overlaps,
            CAST(list_position(t.xs, 4) AS BIGINT) AS pos4,
-           list_sort(list_distinct(t.xs)) AS dedup,
-           list_sort(list_distinct(list_concat(t.xs, [99]))) AS with99,
-           list_sort(list_intersect(t.xs, [1, 2, 99])) AS common,
-           list_sort(list_filter(list_distinct(t.xs), x -> x <> 1)) AS no1,
-           list_filter(t.xs, x -> x <> 2) AS no2,
-           array_to_string(list_sort(t.xs), '|') AS joined,
-           list_concat(t.xs, [7, 8]) AS flat,
-           [CAST(t.id AS BIGINT) for i in range(3)] AS rep,
-           range(1, CAST(t.id AS BIGINT) + 1) AS seq
+           array_to_string(list_sort(list_distinct(t.xs)), ',') AS dedup,
+           array_to_string(list_sort(list_distinct(list_concat(t.xs, [99]))), ',') AS with99,
+           array_to_string(list_sort(list_intersect(t.xs, [1, 2, 99])), ',') AS common,
+           array_to_string(list_sort(list_filter(list_distinct(t.xs), x -> x <> 1)), ',') AS no1,
+           array_to_string(list_filter(t.xs, x -> x <> 2), ',') AS no2,
+           array_to_string(list_sort(list_transform(t.xs, x -> CAST(x AS VARCHAR))), '|') AS joined,
+           array_to_string(list_concat(t.xs, [7, 8]), ',') AS flat,
+           array_to_string([CAST(t.id AS BIGINT) for i in range(3)], ',') AS rep,
+           array_to_string(range(1, CAST(t.id AS BIGINT) + 1), ',') AS seq
     FROM (SELECT range AS id, [CAST(range AS INT) % 5 + 1, 2, 3, 4, 2] AS xs
           FROM range(1, 6)) t
     """,
@@ -156,7 +168,7 @@ register_sql(
     SELECT t.id,
            element_at(t.m, 'a') AS a_val,
            CAST(size(t.m) AS BIGINT) AS m_size,
-           array_sort(map_keys(t.m)) AS keys_sorted,
+           array_join(array_sort(map_keys(t.m)), ',') AS keys_sorted,
            t.st.x AS struct_x,
            t.st.y AS struct_y
     FROM (SELECT id,
@@ -168,7 +180,7 @@ register_sql(
     SELECT t.id,
            m['a'][1] AS a_val,
            CAST(cardinality(t.m) AS BIGINT) AS m_size,
-           list_sort(map_keys(t.m)) AS keys_sorted,
+           array_to_string(list_sort(map_keys(t.m)), ',') AS keys_sorted,
            t.st.x AS struct_x,
            t.st.y AS struct_y
     FROM (SELECT range AS id,
@@ -239,24 +251,27 @@ register_sql(
     "map_entries_values",
     """
     SELECT t.id,
-           array_sort(map_values(t.m)) AS vals_sorted,
-           array_sort(transform(map_entries(t.m),
-                                e -> concat(e.key, '=', CAST(e.value AS STRING))))
+           array_join(transform(array_sort(map_values(t.m)),
+                                v -> CAST(v AS STRING)), ',') AS vals_sorted,
+           array_join(array_sort(transform(map_entries(t.m),
+                                e -> concat(e.key, '=', CAST(e.value AS STRING)))), ',')
              AS entries_str,
            element_at(map_from_entries(map_entries(t.m)), 'b') AS b_roundtrip,
            element_at(map_concat(t.m, map('c', id * 30)), 'c') AS c_val,
-           array_compact(array(id, NULL, id * 2, NULL)) AS compacted
+           array_join(transform(array_compact(array(id, NULL, id * 2, NULL)),
+                                v -> CAST(v AS STRING)), ',') AS compacted
     FROM (SELECT id, map('a', id * 10, 'b', id * 20) AS m FROM range(1, 5)) t
     """,
     oracle="""
     SELECT t.id,
-           list_sort(map_values(t.m)) AS vals_sorted,
-           list_sort(list_transform(map_entries(t.m),
-                                    e -> concat(e.key, '=', CAST(e.value AS VARCHAR))))
+           array_to_string(list_sort(map_values(t.m)), ',') AS vals_sorted,
+           array_to_string(list_sort(list_transform(map_entries(t.m),
+                                    e -> concat(e.key, '=', CAST(e.value AS VARCHAR)))), ',')
              AS entries_str,
            map_from_entries(map_entries(t.m))['b'][1] AS b_roundtrip,
            (t.m2)['c'][1] AS c_val,
-           list_filter([t.id, NULL, t.id * 2, NULL], x -> x IS NOT NULL) AS compacted
+           array_to_string(list_filter([t.id, NULL, t.id * 2, NULL], x -> x IS NOT NULL), ',')
+             AS compacted
     FROM (SELECT range AS id,
                  map(['a', 'b'], [range * 10, range * 20]) AS m,
                  map(['c'], [range * 30]) AS m2
