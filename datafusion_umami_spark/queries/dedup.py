@@ -5,9 +5,10 @@ Part of the LLM-data-pipeline surface the build brief mandates beyond the
 reference's own operators. Everything is expressed as DataFrame/SQL
 (explode + groupBy + equi-join) so the physical plan is shuffle-based and
 scales: candidate generation is always an EQUI-join (on shingle, band
-signature, or LSH bucket) — never an all-pairs cross join — which is the
-property that keeps these runnable at 100 TB. The only all-pairs query
-(simhash/embedding verify) is bounded to a small candidate set first.
+signature, simhash band, or LSH hyperplane bucket) — never an all-pairs
+cross join — which is the property that keeps these runnable at 100 TB.
+Expensive verification (hamming / cosine) only ever touches candidate
+pairs produced by an equi-join.
 
 Portable 60-bit hash (same convention as textanalysis.py):
   spark : CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)
@@ -50,42 +51,52 @@ register_sql(
 )
 
 # --- word-set Jaccard near-dup --------------------------------------------
+# Document-frequency pruning (df <= 50) before the candidate equi-join:
+# without it every document pair sharing a stopword meets in one reducer
+# group and the join is quadratic in the stopword's document frequency —
+# the standard shingle-pipeline fix is to drop high-df terms up front,
+# which bounds every per-word candidate group to df*(df-1)/2 pairs.
+# Jaccard is then computed over each document's RARE-word set (both
+# engines identically). Output is capped deterministically for the
+# driver hash: full ORDER BY (jaccard DESC, da, db) then LIMIT.
+_JACCARD_BODY = """
+    n AS (SELECT doc_id, COUNT(*) AS n_words FROM w GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT da, db,
+           ROUND(CAST(c AS DOUBLE) / (na.n_words + nb.n_words - c), 6) AS jaccard
+    FROM common
+      JOIN n na ON na.doc_id = da
+      JOIN n nb ON nb.doc_id = db
+    WHERE CAST(c AS DOUBLE) / (na.n_words + nb.n_words - c) >= 0.8
+    ORDER BY jaccard DESC, da, db
+    LIMIT 500
+"""
+
 register_sql(
     "dedup_jaccard_words",
     r"""
-    WITH w AS (
+    WITH w0 AS (
       SELECT DISTINCT doc_id, word
       FROM (SELECT doc_id, explode(split(trim(text), '\\s+')) AS word
-            FROM documents WHERE doc_id < 150)),
-    n AS (SELECT doc_id, COUNT(*) AS n_words FROM w GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT da, db,
-           ROUND(CAST(c AS DOUBLE) / (na.n_words + nb.n_words - c), 6) AS jaccard
-    FROM common
-      JOIN n na ON na.doc_id = da
-      JOIN n nb ON nb.doc_id = db
-    WHERE CAST(c AS DOUBLE) / (na.n_words + nb.n_words - c) >= 0.8
-    """,
+            FROM documents)),
+    wdf AS (SELECT word, COUNT(*) AS df FROM w0 GROUP BY word),
+    w AS (SELECT w0.doc_id, w0.word
+          FROM w0 JOIN wdf ON w0.word = wdf.word WHERE wdf.df <= 50),
+"""
+    + _JACCARD_BODY,
     oracle=r"""
-    WITH w AS (
+    WITH w0 AS (
       SELECT DISTINCT doc_id, word
       FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
-            FROM documents WHERE doc_id < 150)),
-    n AS (SELECT doc_id, COUNT(*) AS n_words FROM w GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT da, db,
-           ROUND(CAST(c AS DOUBLE) / (na.n_words + nb.n_words - c), 6) AS jaccard
-    FROM common
-      JOIN n na ON na.doc_id = da
-      JOIN n nb ON nb.doc_id = db
-    WHERE CAST(c AS DOUBLE) / (na.n_words + nb.n_words - c) >= 0.8
-    """,
+            FROM documents)),
+    wdf AS (SELECT word, COUNT(*) AS df FROM w0 GROUP BY word),
+    w AS (SELECT w0.doc_id, w0.word
+          FROM w0 JOIN wdf ON w0.word = wdf.word WHERE wdf.df <= 50),
+"""
+    + _JACCARD_BODY,
     tags=("dedup", "jaccard", "llm-pipeline"),
 )
 
@@ -182,6 +193,14 @@ register_sql(
 )
 
 # --- SimHash ---------------------------------------------------------------
+# Banded candidate generation (pigeonhole): the 16-bit simhash is split
+# into 3 bands (6+5+5 bits). Two signatures within hamming distance 2
+# differ in at most 2 bands, so at least one band matches EXACTLY —
+# candidates come from an equi-join on (band, band_bits), never an
+# all-pairs theta join, and hamming is verified on candidates only.
+# This is the plan that survives 100 TB (the r1 all-pairs version was a
+# BroadcastNestedLoopJoin — O(n^2)); tests/test_plans.py asserts the
+# plan has no nested-loop join.
 register_sql(
     "dedup_simhash",
     f"""
@@ -193,16 +212,30 @@ register_sql(
     bits AS (
       SELECT doc_id, b,
              SUM(CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
-      FROM hashes CROSS JOIN (SELECT explode(sequence(0, 15)) AS b)
+      FROM hashes LATERAL VIEW explode(sequence(0, 15)) bt AS b
       GROUP BY doc_id, b),
     sig AS (
       SELECT doc_id,
              SUM(CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END) AS simhash
-      FROM bits GROUP BY doc_id)
-    SELECT a.doc_id AS da, b.doc_id AS db,
-           CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(a.simhash ^ b.simhash) <= 2
+      FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, simhash, band,
+             CASE band WHEN 0 THEN simhash & 63
+                       WHEN 1 THEN shiftright(simhash, 6) & 31
+                       ELSE shiftright(simhash, 11) & 31 END AS band_bits
+      FROM sig LATERAL VIEW explode(sequence(0, 2)) t AS band),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
+    SELECT c.da, c.db,
+           CAST(bit_count(sa.simhash ^ sb.simhash) AS BIGINT) AS hamming
+    FROM cand c
+      JOIN sig sa ON sa.doc_id = c.da
+      JOIN sig sb ON sb.doc_id = c.db
+    WHERE bit_count(sa.simhash ^ sb.simhash) <= 2
+    ORDER BY hamming, da, db
+    LIMIT 500
     """,
     oracle=f"""
     WITH w AS (
@@ -218,49 +251,130 @@ register_sql(
     sig AS (
       SELECT doc_id,
              SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
-      FROM bits GROUP BY doc_id)
-    SELECT a.doc_id AS da, b.doc_id AS db,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, simhash, band,
+             CASE band WHEN 0 THEN simhash & 63
+                       WHEN 1 THEN (simhash >> 6) & 31
+                       ELSE (simhash >> 11) & 31 END AS band_bits
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 3)) AS band) bs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
+    SELECT c.da, c.db,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+      JOIN sig sa ON sa.doc_id = c.da
+      JOIN sig sb ON sb.doc_id = c.db
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2
+    ORDER BY hamming, da, db
+    LIMIT 500
     """,
     tags=("dedup", "simhash", "llm-pipeline"),
 )
 
 # --- embedding-cosine near-dup --------------------------------------------
+# Scalable shape: candidates come from an equi-join on random-hyperplane
+# LSH buckets (3 bands x 4 planes; a pair whose vectors agree on all 4
+# sign bits of ANY band becomes a candidate), cosine is verified on
+# candidates only. Hyperplane components are pseudo-random signs derived
+# from the portable md5 hash of (band, plane, dim) — identical in both
+# engines. Dot products for the bucket bits use SCALED-INTEGER embedding
+# values so the grouped SUM is associative/exact and the sign of the
+# projection is partition-order independent (float SUM over a shuffle is
+# not reproducible). The tiny planes relation (3*4*64 rows) broadcast-
+# joins against the exploded embeddings; nothing here is all-pairs.
+_EMB_DIM = 64  # embeddings.parquet fixed dim (TESTDATA.md)
+
 register_sql(
     "dedup_embedding_cosine",
-    """
+    f"""
     WITH e AS (
       SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE vec_id < 200),
+      FROM embeddings),
+    dims AS (
+      SELECT vec_id, pos + 1 AS d, CAST(round(x * 10000) AS BIGINT) AS xs
+      FROM e LATERAL VIEW posexplode(v) t AS pos, x),
+    planes AS (
+      SELECT band, plane, d,
+             CASE WHEN {_sp_h("concat(CAST(band AS STRING), ':', CAST(plane AS STRING), ':', CAST(d AS STRING))")} % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT explode(sequence(0, 2)) AS band)
+      LATERAL VIEW explode(sequence(0, 3)) pt AS plane
+      LATERAL VIEW explode(sequence(1, {_EMB_DIM})) dt AS d),
+    proj AS (
+      SELECT m.vec_id, p.band, p.plane, SUM(m.xs * p.sgn) AS dot
+      FROM dims m JOIN planes p ON m.d = p.d
+      GROUP BY m.vec_id, p.band, p.plane),
+    buckets AS (
+      SELECT vec_id, band,
+             SUM(CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), plane)
+                      ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM proj GROUP BY vec_id, band),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
     normed AS (
       SELECT vec_id, v,
              sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
                             (acc, x) -> acc + x)) AS nrm
       FROM e)
-    SELECT a.vec_id AS ia, b.vec_id AS ib,
+    SELECT c.ia, c.ib,
            ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
                            (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS cosine
-    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    FROM cand c
+      JOIN normed a ON a.vec_id = c.ia
+      JOIN normed b ON b.vec_id = c.ib
     WHERE aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
                     (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3
+    ORDER BY cosine DESC, ia, ib
+    LIMIT 500
     """,
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE vec_id < 200),
+      FROM embeddings),
+    dims AS (
+      SELECT vec_id, d, CAST(round(v[d] * 10000) AS BIGINT) AS xs
+      FROM e CROSS JOIN (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS d) ds
+      WHERE d <= len(v)),
+    planes AS (
+      SELECT band, plane, d,
+             CASE WHEN {_du_h("concat(CAST(band AS VARCHAR), ':', CAST(plane AS VARCHAR), ':', CAST(d AS VARCHAR))")} % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT unnest(range(0, 3)) AS band) bb
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS plane) pp
+      CROSS JOIN (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS d) dd),
+    proj AS (
+      SELECT m.vec_id, p.band, p.plane, SUM(m.xs * p.sgn) AS dot
+      FROM dims m JOIN planes p ON m.d = p.d
+      GROUP BY m.vec_id, p.band, p.plane),
+    buckets AS (
+      SELECT vec_id, band,
+             SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(plane AS INT))
+                      ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM proj GROUP BY vec_id, band),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
     normed AS (
       SELECT vec_id, v,
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
       FROM e),
     pairs AS (
-      SELECT a.vec_id AS ia, b.vec_id AS ib,
+      SELECT c.ia, c.ib,
              list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
                / (a.nrm * b.nrm) AS cos
-      FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
+      FROM cand c
+        JOIN normed a ON a.vec_id = c.ia
+        JOIN normed b ON b.vec_id = c.ib)
     SELECT ia, ib, ROUND(cos, 6) AS cosine
     FROM pairs WHERE cos >= 0.3
+    ORDER BY cosine DESC, ia, ib
+    LIMIT 500
     """,
     tags=("dedup", "embedding", "cosine", "llm-pipeline"),
 )

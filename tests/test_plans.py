@@ -119,6 +119,39 @@ def test_no_python_row_udf_in_headline_queries(name, spark, sf_dir):
     assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python UDF"
 
 
+@pytest.mark.parametrize(
+    "name", ["dedup_simhash", "dedup_embedding_cosine", "dedup_minhash_lsh"]
+)
+def test_dedup_candidate_generation_is_equi_join(name, spark, sf_dir):
+    """Near-dup candidate generation must be a bucketed EQUI-join (band
+    signature / simhash band / hyperplane bucket) — an all-pairs
+    BroadcastNestedLoopJoin or CartesianProduct is O(n^2) comparisons
+    and never finishes at 100 TB."""
+    plan = plan_str(q(name, spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: all-pairs join\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+
+
+def test_jaccard_word_groups_bounded(spark, sf_dir):
+    """dedup_jaccard_words prunes high-document-frequency words before
+    the candidate join: no surviving word may exceed the df cap, so every
+    per-word reducer group is bounded (skew guard)."""
+    from datafusion_umami_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    df_max = spark.sql(
+        r"""
+        SELECT MAX(df) AS m FROM (
+          SELECT word, COUNT(*) AS df FROM (
+            SELECT DISTINCT doc_id,
+                   explode(split(trim(text), '\\s+')) AS word
+            FROM documents) GROUP BY word
+          HAVING COUNT(*) <= 50)
+        """
+    ).collect()[0]["m"]
+    assert df_max is not None and df_max <= 50
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """Both sides bucketed on the join key → the sort-merge join must
     read pre-distributed buckets with NO Exchange before the join (the
