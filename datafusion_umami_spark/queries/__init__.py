@@ -1,29 +1,36 @@
 """Operator-coverage query modules. Importing this package registers
-every query into `datafusion_umami_spark.registry.REGISTRY`."""
+every query into `datafusion_umami_spark.registry.REGISTRY`.
+
+IMPORT ORDER IS LOAD-BEARING: the driver's correctness sweep walks the
+registry in registration (= import) order under a budget, so modules
+that were unverified in round 1 come first (TPC-H, joins, windows,
+subqueries), then the rest of SURVEY.md §2, then the LLM-pipeline and
+streaming modules whose queries are individually slower.
+"""
 
 from datafusion_umami_spark.queries import (  # noqa: F401
-    aggregates,
-    asof,
-    bucketing,
-    catalog_ddl,
-    clickbench,
-    dataframe_ops,
-    dedup,
-    functions_nested,
-    functions_scalar,
-    h2o,
-    joins,
-    json_funcs,
-    multimodal,
-    recursive,
-    relational,
-    simsearch,
-    sources_sinks,
-    streaming_queries,
-    subqueries,
-    textanalysis,
     tpch,
+    joins,
+    windows,
+    subqueries,
+    relational,
+    aggregates,
+    functions_nested,
+    dedup,
+    functions_scalar,
+    sources_sinks,
+    json_funcs,
     types_edges,
     udfs,
-    windows,
+    recursive,
+    h2o,
+    clickbench,
+    catalog_ddl,
+    dataframe_ops,
+    bucketing,
+    asof,
+    simsearch,
+    textanalysis,
+    multimodal,
+    streaming_queries,
 )

@@ -302,6 +302,8 @@ register_sql(
            COUNT(*) AS n_lines
     FROM lineitem
     GROUP BY l_orderkey
+    ORDER BY order_total DESC, l_orderkey
+    LIMIT 100
     """,
     tags=("agg", "high-cardinality", "spill"),
     bench=True,

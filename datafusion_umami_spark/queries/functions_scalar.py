@@ -307,6 +307,8 @@ register_sql(
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
     FROM events
     GROUP BY bucket
+    ORDER BY bucket
+    LIMIT 1000
     """,
     tags=("scalar", "datetime", "date-bin", "tumbling-window"),
 )
@@ -319,6 +321,8 @@ def fn_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(date_bin("ts", 900, "2024-01-01 00:00:00").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("double").alias("total"))
+        .orderBy("bucket")
+        .limit(1000)
     )
 
 

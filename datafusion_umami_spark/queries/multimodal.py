@@ -131,6 +131,8 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     CROSS JOIN LATERAL (SELECT unnest(range(0, length(text) // 16)) AS i) t
     WHERE i % 4 = 0
+    ORDER BY doc_id, frame_idx
+    LIMIT 1000
     """,
     tags=("multimodal", "pandas-udf", "video", "llm-pipeline"),
 )
@@ -159,8 +161,12 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
-        sample, schema="doc_id long, frame_idx long, offset long, frame_md5 string"
+    return (
+        docs.mapInPandas(
+            sample, schema="doc_id long, frame_idx long, offset long, frame_md5 string"
+        )
+        .orderBy("doc_id", "frame_idx")
+        .limit(1000)
     )
 
 
@@ -177,6 +183,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, wi AS window_idx,
            ROUND(sqrt(list_sum(list_transform(cs, c -> c * c)) / 32.0), 6) AS rms
     FROM w
+    ORDER BY doc_id, window_idx
+    LIMIT 1000
     """,
     tags=("multimodal", "pandas-udf", "audio", "llm-pipeline"),
 )
@@ -204,4 +212,8 @@ def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["rms"].extend(np.round(vals, 6))
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(rms, schema="doc_id long, window_idx long, rms double")
+    return (
+        docs.mapInPandas(rms, schema="doc_id long, window_idx long, rms double")
+        .orderBy("doc_id", "window_idx")
+        .limit(1000)
+    )

@@ -41,6 +41,8 @@ from datafusion_umami_spark.tables import table
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
     GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    LIMIT 1000
     """,
     tags=("streaming", "window", "tumbling", "watermark", "event-time"),
 )
@@ -59,7 +61,11 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
-    return stream_to_memory(agg, "stream_tumbling_counts", "complete")
+    return (
+        stream_to_memory(agg, "stream_tumbling_counts", "complete")
+        .orderBy("win_start", "event_type")
+        .limit(1000)
+    )
 
 
 # --- sliding window (1h width, 30m slide) -----------------------------------
@@ -236,6 +242,8 @@ def stream_stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS events
     FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    LIMIT 1000
     """,
     tags=("streaming", "session-window", "sessionization", "event-time"),
 )
@@ -256,4 +264,6 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
             "events",
         )
+        .orderBy("user_id", "session_start")
+        .limit(1000)
     )

@@ -22,6 +22,8 @@ register_sql(
     FROM orders
     WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
                                  / COUNT(*) * 1.5 FROM orders)
+    ORDER BY o_orderkey
+    LIMIT 1000
     """,
     tags=("subquery", "scalar"),
 )
@@ -46,6 +48,8 @@ register_sql(
     FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
       AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+    ORDER BY o_orderkey
+    LIMIT 1000
     """,
     tags=("subquery", "in", "not-in"),
 )

@@ -47,6 +47,8 @@ register_sql(
            LEAD(event_type, 1, 'none') OVER w AS next_type
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    LIMIT 1000
     """,
     tags=("window", "analytic"),
 )
