@@ -14,12 +14,15 @@ UNION ALL mode accumulates every produced row; UNION (distinct) mode
 keeps only rows never seen before (the textbook transitive-closure
 termination rule).
 
-Scale notes (100 TB): each iteration is a distributed job; the delta is
-`persist()`-ed so the next step reads memory/disk cache instead of
-recomputing the lineage (which would grow exponentially).  `checkpoint`
--style lineage truncation via `localCheckpoint` kicks in past
-`_LINEAGE_CAP` iterations — without it the logical plan itself grows
-unboundedly even though the data doesn't.
+Scale notes (100 TB): each iteration is a distributed job; every delta
+is materialized with an eager `localCheckpoint`, so (a) the next step
+and every later `subtract` read stored blocks instead of recomputing the
+step lineage, and (b) the accumulated relation is a flat UNION of
+checkpointed leaves — its plan grows one leaf per iteration (linear),
+never re-deriving earlier iterations (the O(k²) recompute an
+unpersisted accumulator would pay).  No persist()/unpersist() juggling:
+checkpoint blocks stay referenced exactly as long as some returned
+DataFrame needs them.
 """
 
 from __future__ import annotations
@@ -28,8 +31,6 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
-
-_LINEAGE_CAP = 8  # iterations before lineage truncation
 
 
 def recursive_cte(
@@ -51,21 +52,17 @@ def recursive_cte(
                      yields zero rows (caller must bound the recursion,
                      same as any SQL engine).
     """
-    acc = seed
-    delta = seed.persist()
-    try:
-        for it in range(max_iterations):
-            nxt = step(delta)
-            if distinct:
-                nxt = nxt.subtract(acc)  # anti-join against all seen rows
-            nxt = nxt.persist()
-            if it >= _LINEAGE_CAP:
-                nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
-                return acc
-            acc = acc.unionAll(nxt)
-            delta.unpersist()
-            delta = nxt
-        raise RuntimeError(f"recursive_cte did not converge in {max_iterations} iterations")
-    finally:
-        delta.unpersist()
+    acc = seed.localCheckpoint(eager=True)
+    delta = acc
+    for _ in range(max_iterations):
+        nxt = step(delta)
+        if distinct:
+            nxt = nxt.subtract(acc)  # anti-join against all seen rows
+        # Eager checkpoint: materializes the delta and truncates its
+        # lineage, so acc stays a union of self-contained leaves.
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            return acc
+        acc = acc.unionAll(nxt)
+        delta = nxt
+    raise RuntimeError(f"recursive_cte did not converge in {max_iterations} iterations")

@@ -74,3 +74,30 @@ def test_percentile_approx_tolerance(spark, sf_dir):
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
     ).head()
     assert abs(row.approx - row.exact) / max(abs(row.exact), 1e-9) < 0.05
+
+
+def test_recursive_cte_lineage_stays_flat(spark, sf_dir):
+    """15-iteration transitive closure over a path graph: the returned
+    accumulator must be a union of CHECKPOINTED leaves — its optimized
+    plan contains no Join even though every step performs one.  Without
+    per-iteration materialization the plan re-derives all prior
+    iterations (O(k²) recompute) and join nodes pile up in the lineage."""
+    from datafusion_umami_spark.operators.recursive import recursive_cte
+
+    n = 15
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    seed = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+
+    def step(delta):
+        return (
+            delta.join(edges, delta["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+        )
+
+    result = recursive_cte(seed, step, distinct=True)
+    got = sorted(r.node for r in result.collect())
+    assert got == list(range(n + 1))
+    plan = result._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
