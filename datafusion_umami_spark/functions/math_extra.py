@@ -4,10 +4,11 @@ The reference ships gcd/lcm scalar functions
 (reference datafusion/functions/src/math/gcd.rs, lcm.rs); Spark has no
 builtin, so Euclid's algorithm is expressed as a bounded `aggregate`
 fold over a struct accumulator — stays JVM-side / codegen-able (no
-Python UDF).  24 iterations cover any 63-bit input pair (Euclid needs
-≤ log_φ(min(a,b)) ≈ 1.44·log2 steps, and worst-case 63-bit Fibonacci
-neighbors need 87 — we bound inputs in the registered query; raise
-_ITERS for full-range use).
+Python UDF).  Euclid needs ≤ log_φ(min(a,b)) ≈ 1.44·log2(min(a,b))
+steps; the worst case for 63-bit inputs (consecutive Fibonacci numbers)
+is 91 iterations, so _ITERS = 92 is safe for the FULL int64 range.  The
+fold short-circuits through the s.b == 0 branch once converged, so the
+spare iterations cost almost nothing.
 """
 
 from __future__ import annotations
@@ -15,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_ITERS = 40
+_ITERS = 92
 
 
 def gcd_col(a: Column | str, b: Column | str) -> Column:

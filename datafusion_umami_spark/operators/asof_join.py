@@ -9,8 +9,19 @@ union-and-carry-forward pattern:
 
   1. tag right rows (0) and left rows (1), union by shared schema;
   2. single shuffle: partition by key, order by (time, tag);
-  3. `last_value(right_payload) IGNORE NULLS` over the running window
-     carries the most recent right payload forward onto each left row.
+  3. `last_value(struct(right_payload...)) IGNORE NULLS` over the
+     running window carries the most recent right ROW forward onto each
+     left row.
+
+The carried value is a single STRUCT of all payload columns (non-null
+exactly for right rows), not per-column last(): per-column carry would
+skip a matched right row's NULL payload field and splice in a stale
+value from an older row — the struct guarantees every output payload
+column comes from the same matched right row and NULL fields survive.
+
+Precondition: (key, time) pairs should be unique on the right side —
+with duplicates, "the" latest right row is ambiguous (every SQL engine's
+ASOF join shares this caveat). Pass validate_unique=True to assert it.
 
 One shuffle total, no range explosion, no skew amplification from
 near-duplicate timestamps — strictly better at scale than the naive
@@ -31,23 +42,46 @@ def asof_join(
     left_time: str,
     right_time: str,
     right_payload: list[str],
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Left as-of join; output = left columns + right_payload columns
-    (null when no right row precedes the left row for that key)."""
+    (null when no right row precedes the left row for that key).
+
+    validate_unique=True runs an extra aggregation job asserting the
+    right side has no duplicate (key, time) pair before joining.
+    """
+    if validate_unique:
+        dup = (
+            right.groupBy(on, right_time)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"asof_join: right side has duplicate ({on}, {right_time}) "
+                f"pair {dup[0][0]!r}/{dup[0][1]!r} — latest-row is ambiguous"
+            )
     lcols = left.columns
+    from pyspark.sql.types import StructField, StructType
+
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in right_payload]
+    )
     l = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rp_{c}") for c in right_payload],
+        F.lit(None).cast(payload_type).alias("_rp"),
     )
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_rp_{c}") for c in right_payload],
+        F.struct(*[F.col(c).alias(c) for c in right_payload]).alias("_rp"),
     )
     w = (
         Window.partitionBy("_k")
@@ -55,13 +89,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(f"_rp_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in right_payload
-        ],
+        "*", F.last("_rp", ignorenulls=True).over(w).alias("_asof")
     )
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"_asof_{c}").alias(c) for c in right_payload],
+        *[F.col(f"_asof.{c}").alias(c) for c in right_payload],
     )

@@ -149,8 +149,12 @@ register_sql(
     "agg_min_by_max_by",
     """
     SELECT o_orderstatus,
-           MIN_BY(o_orderkey, o_totalprice) AS cheapest_order,
-           MAX_BY(o_orderkey, o_totalprice) AS priciest_order,
+           MIN_BY(o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
+                    + o_orderkey) AS cheapest_order,
+           MAX_BY(o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
+                    + o_orderkey) AS priciest_order,
            CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
            CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
     FROM orders GROUP BY o_orderstatus

@@ -128,9 +128,11 @@ def ann_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits only its local top-k; the global TakeOrderedAndProject merges
     k rows per partition.  This two-phase top-k is the pattern that
     scales — the corpus never shuffles, only k·partitions candidate
-    rows move.  The dot product accumulates left-to-right (python sum
-    over the product array) so the IEEE result — and thus the rounded
-    oracle hash — is bit-identical to the SQL fold in DuckDB/Spark."""
+    rows move.  Local selection uses EXACTLY the oracle's total order
+    (round(cos, 6) DESC, vec_id ASC), so local-top-k ∪ global-merge is
+    lossless at the k boundary; numpy's pairwise summation can differ
+    from a sequential fold in the last ulp, but the comparison key is
+    the 6-decimal rounding on both engines."""
     emb = table(spark, sf_dir, "embeddings")
     qvec = (
         emb.filter(F.col("vec_id") == 0)
@@ -148,15 +150,14 @@ def ann_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not mask.any():
                 continue
             mat = np.stack(pdf.loc[mask, "embedding"].to_numpy()).astype(np.float64)
-            # accumulate in array order (add.reduce == the SQL fold),
-            # keeping the result bit-identical to the oracle's list_sum
             dots = np.add.reduce(mat * q, axis=1)
             nrms = np.sqrt(np.add.reduce(mat * mat, axis=1))
-            cos = dots / (nrms * qn)
-            idx = np.argsort(-cos, kind="stable")[:k]
-            yield pd.DataFrame(
-                {"vec_id": ids[mask][idx], "cosine": np.round(cos[idx], 6)}
-            )
+            cos_r = np.round(dots / (nrms * qn), 6)
+            # select by the SAME total order the global merge / oracle
+            # uses: (rounded cosine DESC, vec_id ASC) — lexsort's last
+            # key is primary
+            idx = np.lexsort((ids[mask], -cos_r))[:k]
+            yield pd.DataFrame({"vec_id": ids[mask][idx], "cosine": cos_r[idx]})
 
     local = emb.mapInPandas(topk_per_batch, "vec_id bigint, cosine double")
     return local.orderBy(F.desc("cosine"), "vec_id").limit(k)

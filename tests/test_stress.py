@@ -101,3 +101,33 @@ def test_recursive_cte_lineage_stays_flat(spark, sf_dir):
     assert got == list(range(n + 1))
     plan = result._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_asof_join_null_payload_preserved(spark, sf_dir):
+    """A matched right row with a NULL payload field must yield NULL (and
+    all payload columns from that same row) — not a stale value carried
+    from an earlier right row."""
+    from datafusion_umami_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 20)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0, "a"), (1, 15, None, "b")],
+        "k long, t long, price double, tag string",
+    )
+    out = asof_join(left, right, "k", "t", "t", ["price", "tag"]).orderBy("t")
+    rows = [(r.t, r.price, r.tag) for r in out.collect()]
+    # t=10 matches right@5 (100.0,'a'); t=20 matches right@15 (NULL,'b')
+    assert rows == [(10, 100.0, "a"), (20, None, "b")]
+
+
+def test_asof_join_validate_unique_raises(spark, sf_dir):
+    import pytest as _pytest
+
+    from datafusion_umami_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 5, 2.0)], "k long, t long, v double"
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        asof_join(left, right, "k", "t", "t", ["v"], validate_unique=True)
