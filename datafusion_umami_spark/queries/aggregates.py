@@ -250,6 +250,40 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- weighted percentile (reference approx_percentile_cont_with_weight.rs:
+# the t-digest weighted variant; here EXACT weighted interpolation so the
+# DuckDB twin hash-matches — Spark's percentile(col, p, frequency) over
+# integer cents equals quantile_cont over the weight-expanded multiset) ----
+register_sql(
+    "agg_weighted_percentile",
+    """
+    SELECT l_returnflag,
+           ROUND(percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25,
+                            CAST(l_quantity AS INT)) / 100.0, 4) AS wp25,
+           ROUND(percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.50,
+                            CAST(l_quantity AS INT)) / 100.0, 4) AS wp50,
+           ROUND(percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75,
+                            CAST(l_quantity AS INT)) / 100.0, 4) AS wp75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    oracle="""
+    WITH expanded AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+      CROSS JOIN LATERAL (SELECT unnest(range(CAST(l_quantity AS INT))) AS rep) t)
+    SELECT l_returnflag,
+           ROUND(quantile_cont(cents, 0.25) / 100.0, 4) AS wp25,
+           ROUND(quantile_cont(cents, 0.50) / 100.0, 4) AS wp50,
+           ROUND(quantile_cont(cents, 0.75) / 100.0, 4) AS wp75
+    FROM expanded
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "weighted"),
+)
+
+
 # --- HAVING ----------------------------------------------------------------
 register_sql(
     "agg_having",

@@ -103,6 +103,71 @@ def ddl_explain_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "prepared_statement_params",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_totalprice < 200000.0
+    GROUP BY o_orderstatus
+    """,
+    tags=("ddl", "prepare", "parameters"),
+)
+def prepared_statement_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREPARE / EXECUTE parity (reference sql/src/statement.rs:706-723
+    plans PREPARE/EXECUTE/DEALLOCATE with typed placeholders): Spark's
+    named-parameter binding `spark.sql(text, args=...)` is the same
+    plan-once-bind-later surface; the oracle runs the bound equivalent."""
+    import datetime
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderdate >= :start_ts AND o_totalprice < :cap
+        GROUP BY o_orderstatus
+        """,
+        args={"start_ts": datetime.datetime(1995, 1, 1), "cap": 200000.0},
+    )
+
+
+@register("ddl_explain_analyze", oracle=None, tags=("ddl", "explain", "analyze", "metrics"))
+def ddl_explain_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN ANALYZE analog (reference physical-plan/src/analyze.rs:42
+    executes the child and reports runtime metrics): run the query with
+    an attached Observation (observable metrics), then surface the
+    post-execution AQE-final physical plan plus the observed row/value
+    metrics as rows."""
+    from pyspark.sql import Observation
+
+    register_views(spark, sf_dir)
+    obs = Observation("analyze")
+    df = (
+        spark.table("orders")
+        .filter(F.col("o_totalprice") > 0)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_scanned"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "price_cents_total"
+            ),
+        )
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    df.collect()  # execute: metrics only exist after the action
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    metrics = obs.get
+    rows = [("final_plan_head", final_plan.splitlines()[0].strip())] + [
+        (k, str(v)) for k, v in sorted(metrics.items())
+    ]
+    return spark.createDataFrame(rows, "metric string, value string")
+
+
+@register(
     "repartition_coalesce_roundtrip",
     oracle="""
     SELECT l_returnflag,
