@@ -169,6 +169,57 @@ def arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Avro scan: container-file roundtrip through the pure-Python shim ------
+@register(
+    "avro_scan_roundtrip",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS retail,
+           MIN(p_name) AS first_part
+    FROM part
+    GROUP BY p_brand
+    """,
+    tags=("source", "sink", "avro"),
+)
+def avro_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro scan (reference datasource-avro/src/file_format.rs:90): the
+    part table is written to an Avro Object Container File and read back
+    through `sources.avro_io` (pure-Python Avro 1.11 encoding — no
+    spark-avro jar / fastavro offline), then aggregated; the oracle runs
+    on the ORIGINAL parquet so the hash-match proves the roundtrip was
+    lossless. Driver-side like the Arrow-IPC shim; a cluster deployment
+    would swap in the spark-avro datasource with the query unchanged."""
+    import pyarrow.parquet as pq
+
+    from datafusion_umami_spark.sources.avro_io import read_avro, write_avro
+
+    root = _sink_dir(sf_dir, "part_avro")
+    os.makedirs(root, exist_ok=True)
+    path = f"{root}/part.avro"
+    cols = ["p_partkey", "p_name", "p_brand", "p_retailprice"]
+    tbl = pq.read_table(f"{sf_dir}/part.parquet", columns=cols)
+    write_avro(
+        path,
+        [
+            ("p_partkey", "long"),
+            ("p_name", "string"),
+            ("p_brand", "string"),
+            ("p_retailprice", "double"),
+        ],
+        zip(*[tbl.column(c).to_pylist() for c in cols]),
+    )
+    _, rows = read_avro(path)
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, p_retailprice double"
+    )
+    return df.groupBy("p_brand").agg(
+        F.count("*").alias("parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(12,2)")).cast("double").alias("retail"),
+        F.min("p_name").alias("first_part"),
+    )
+
+
 # --- Parquet sink: COPY-TO analog — write a query result, read it back -----
 @register(
     "parquet_sink_roundtrip",

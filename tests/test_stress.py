@@ -131,3 +131,29 @@ def test_asof_join_validate_unique_raises(spark, sf_dir):
     )
     with _pytest.raises(ValueError, match="duplicate"):
         asof_join(left, right, "k", "t", "t", ["v"], validate_unique=True)
+
+
+def test_avro_io_roundtrip_edge_values(tmp_path):
+    """Pure-Python Avro OCF: nulls, negative/boundary longs, unicode,
+    NaN-free doubles, booleans, bytes survive a write/read cycle."""
+    from datafusion_umami_spark.sources.avro_io import read_avro, write_avro
+
+    fields = [
+        ("i", "long"),
+        ("x", "double"),
+        ("s", "string"),
+        ("b", "boolean"),
+        ("raw", "bytes"),
+    ]
+    rows = [
+        (0, 0.0, "", False, b""),
+        (-1, -1.5, "héllo ⚡", True, b"\x00\xff"),
+        (2**63 - 1, 1e308, "a" * 5000, None, None),
+        (-(2**63), -1e-308, None, True, b"xyz"),
+        (None, None, "plain", False, bytes(range(256))),
+    ]
+    path = str(tmp_path / "edge.avro")
+    write_avro(path, fields, rows)
+    got_fields, got_rows = read_avro(path)
+    assert got_fields == fields
+    assert got_rows == rows
