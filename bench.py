@@ -6,8 +6,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec}, "sf": ...}
 
-Per-query time is the best of N_ITERS runs (mirrors the reference's
-`compare.py` multi-iteration protocol, reference benchmarks/bench.sh).
+Per-query time is the best of N_ITERS MEASURED runs after one untimed
+warmup (the warmup pays scan-cache/code-gen costs that would otherwise
+make per-query numbers noisy; mirrors the reference's `compare.py`
+multi-iteration protocol, reference benchmarks/bench.sh).
 Execution is a full materialization of the result via `toPandas()`
 (Arrow-batched transfer) — the same "collect everything" semantics as
 the reference's `collect()`, without py4j per-row deserialization
@@ -37,6 +39,7 @@ def main() -> None:
     specs = bench_queries()
     times: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
+        spec.fn(spark, sf_dir).toPandas()  # warmup, untimed
         best = float("inf")
         for _ in range(N_ITERS):
             t0 = time.perf_counter()

@@ -2,11 +2,15 @@
 benchmark suite (reference benchmarks/src/clickbench.rs:36-76,
 benchmarks/queries/clickbench/): web-analytics scan-heavy aggregations.
 
-Three canonical shapes: top-K entities by distinct users (CB q13-ish),
-quantile-grade numeric scan (q26-ish, exact here for the oracle), and
-substring search + grouped count (q20-ish).  All scan→agg→topk: zero
-joins, map-side partial aggs, TakeOrderedAndProject — the plans that
-must stay scan-bound at 100 TB.
+Ten canonical shapes over the events table: top-K entities by distinct
+users (CB q13-ish), quantile-grade numeric scan (q26-ish, exact here
+for the oracle), substring search + grouped count (q20-ish), global and
+grouped multi-COUNT(DISTINCT) (extended q0/q3), regex-extract + agg
+over wide strings (q28), IN-heavy filter stacks with OFFSET pagination
+(q40), primary-key point lookup (q19), stats + HAVING ranked by spread
+(extended q4), and two-key top-k by count (q16/q33).  All scan→agg→topk:
+zero joins, map-side partial aggs, TakeOrderedAndProject — the plans
+that must stay scan-bound at 100 TB.
 """
 
 from __future__ import annotations
@@ -54,4 +58,122 @@ register_sql(
     LIMIT 20
     """,
     tags=("clickbench", "like", "substring"),
+)
+
+# CB extended q0-ish: several COUNT(DISTINCT) in one no-grouping pass
+register_sql(
+    "cb_multi_distinct",
+    """
+    SELECT COUNT(DISTINCT event_type) AS d_types,
+           COUNT(DISTINCT user_id) AS d_users,
+           COUNT(DISTINCT user_id % 100) AS d_buckets
+    FROM events
+    """,
+    tags=("clickbench", "distinct-agg"),
+)
+
+# CB extended q3-ish: grouped multi-COUNT(DISTINCT), ranked
+register_sql(
+    "cb_grouped_multi_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS d_users,
+           COUNT(DISTINCT user_id % 50) AS d_ubuckets,
+           COUNT(DISTINCT CAST(floor(value) AS BIGINT) % 10) AS d_valmod
+    FROM events
+    GROUP BY event_type
+    ORDER BY d_users DESC, event_type
+    LIMIT 10
+    """,
+    tags=("clickbench", "distinct-agg", "topk"),
+)
+
+# CB q28-ish: regex extraction from a wide string column + agg + HAVING
+register_sql(
+    "cb_regex_extract_agg",
+    r"""
+    SELECT regexp_extract(props, '"k":\\s*(\\d+)', 1) AS k,
+           COUNT(*) AS c,
+           ROUND(AVG(length(props)), 6) AS avg_len,
+           MIN(event_type) AS first_type
+    FROM events
+    WHERE props <> ''
+    GROUP BY k
+    HAVING COUNT(*) > 5
+    ORDER BY c DESC, k
+    LIMIT 25
+    """,
+    oracle=r"""
+    SELECT regexp_extract(props, '"k":\s*(\d+)', 1) AS k,
+           COUNT(*) AS c,
+           ROUND(AVG(length(props)), 6) AS avg_len,
+           MIN(event_type) AS first_type
+    FROM events
+    WHERE props <> ''
+    GROUP BY k
+    HAVING COUNT(*) > 5
+    ORDER BY c DESC, k
+    LIMIT 25
+    """,
+    tags=("clickbench", "regex", "wide-string"),
+    bench=True,
+)
+
+# CB q40-ish: stacked IN / BETWEEN filters with ranked pagination
+register_sql(
+    "cb_in_heavy_filter",
+    """
+    SELECT user_id % 20 AS ub, COUNT(*) AS hits
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase', 'signup')
+      AND user_id % 7 IN (0, 2, 5)
+      AND value BETWEEN 5.0 AND 150.0
+    GROUP BY user_id % 20
+    ORDER BY hits DESC, ub
+    LIMIT 10 OFFSET 5
+    """,
+    tags=("clickbench", "in-list", "offset"),
+)
+
+# CB q19-ish: point lookup on the (sorted) primary key — pushdown probe
+register_sql(
+    "cb_point_lookup",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_id = 777
+    """,
+    tags=("clickbench", "point-lookup", "pushdown"),
+)
+
+# CB extended q4-ish: two-key stats ranked by spread, HAVING-filtered
+# (variance family rounded on both sides per the determinism convention;
+# avg via exact integer cents)
+register_sql(
+    "cb_stats_having",
+    """
+    SELECT event_type, user_id % 10 AS ug, COUNT(*) AS c,
+           ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * COUNT(*)), 6) AS avg_v,
+           ROUND(CAST(STDDEV_SAMP(value) AS DOUBLE), 4) AS sd_v
+    FROM events
+    GROUP BY event_type, user_id % 10
+    HAVING COUNT(*) > 3
+    ORDER BY sd_v DESC, event_type, ug
+    LIMIT 10
+    """,
+    tags=("clickbench", "stats", "having"),
+)
+
+# CB q16/q33-ish: two-key frequency top-k
+register_sql(
+    "cb_two_key_topk",
+    """
+    SELECT user_id, event_type, COUNT(*) AS c
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY c DESC, user_id, event_type
+    LIMIT 10
+    """,
+    tags=("clickbench", "topk", "two-key"),
 )
