@@ -81,3 +81,52 @@ register_sql(
     tags=("h2o", "window", "topk-per-group"),
     bench=True,
 )
+
+# --- remaining h2o groupby shapes (reference groupby.sql q6/q7/q9/q10) ------
+register_sql(
+    "h2o_groupby_range",
+    """
+    SELECT event_type, ROUND(MAX(value) - MIN(value), 6) AS range_v
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("h2o", "agg", "range"),
+)
+
+register_sql(
+    "h2o_groupby_median_sd",
+    """
+    SELECT event_type, user_id % 10 AS ug,
+           CAST(MEDIAN(value) AS DOUBLE) AS median_v,
+           ROUND(CAST(STDDEV_SAMP(value) AS DOUBLE), 4) AS sd_v
+    FROM events
+    GROUP BY event_type, user_id % 10
+    """,
+    tags=("h2o", "agg", "median", "stats"),
+)
+
+register_sql(
+    "h2o_groupby_corr2",
+    """
+    SELECT user_id % 5 AS ug,
+           ROUND(POWER(CORR(value, CAST(event_id AS DOUBLE)), 2), 6) AS r2
+    FROM events
+    GROUP BY user_id % 5
+    """,
+    tags=("h2o", "agg", "corr"),
+)
+
+register_sql(
+    "h2o_groupby_sixkey",
+    """
+    SELECT event_type, user_id % 2 AS k2, user_id % 3 AS k3, user_id % 5 AS k5,
+           user_id % 7 AS k7, CAST(floor(value / 100) AS BIGINT) AS vbucket,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3, 4, 5, 6
+    ORDER BY cents DESC, event_type, k2, k3, k5, k7, vbucket
+    LIMIT 500
+    """,
+    tags=("h2o", "agg", "multi-key"),
+)
