@@ -25,6 +25,7 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     recursive,
     h2o,
     clickbench,
+    job_shapes,
     catalog_ddl,
     dataframe_ops,
     bucketing,
