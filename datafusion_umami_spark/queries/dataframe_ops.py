@@ -137,3 +137,70 @@ def unnest_multi_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pv.parts").alias("part"),
         F.col("pv.lens").alias("part_len"),
     )
+
+
+# --- pivot: long -> wide conditional aggregation ---------------------------
+@register(
+    "pivot_wide_agg",
+    oracle="""
+    SELECT user_id % 10 AS ug,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS click_cents,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS error_cents,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS signup_cents,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS view_cents
+    FROM events
+    GROUP BY user_id % 10
+    """,
+    tags=("pivot", "wide", "dataframe-api"),
+)
+def pivot_wide_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`groupBy().pivot(col, values).agg(...)` — long→wide reshaping with
+    an EXPLICIT value list (no extra distinct-scan job, and a stable
+    column set — the form that scales; an implicit pivot must first
+    collect the distinct keys to the driver). Oracle is the equivalent
+    conditional aggregation."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    e = (
+        table(spark, sf_dir, "events")
+        .withColumn("ug", F.col("user_id") % 10)
+        .withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
+    )
+    wide = e.groupBy("ug").pivot("event_type", types).agg(F.sum("cents"))
+    return wide.select(
+        "ug",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_cents") for t in types],
+    )
+
+
+# --- unpivot / melt: wide -> long -------------------------------------------
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_returnflag, metric,
+           CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM (
+      SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+    GROUP BY l_returnflag, metric
+    """,
+    tags=("unpivot", "melt", "dataframe-api"),
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.unpivot` (wide→long melt; SQL `stack()` equivalent), then
+    re-aggregated so the oracle is a UNION ALL reshape over the same
+    table. Pure map-side reshape — 3× the rows, zero extra shuffles
+    beyond the final aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "v",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.sum(F.round(F.col("v") * 100).cast("bigint")).alias("cents")
+    )

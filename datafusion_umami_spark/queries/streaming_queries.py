@@ -267,3 +267,59 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "session_start")
         .limit(1000)
     )
+
+
+# --- stream-stream interval join --------------------------------------------
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           CAST(a.ts AS TIMESTAMP) AS p_ts,
+           CAST(b.ts AS TIMESTAMP) AS e_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'purchase' AND b.event_type = 'error'
+    ORDER BY a.user_id, p_ts, e_ts
+    LIMIT 1000
+    """,
+    tags=("streaming", "join", "stream-stream", "interval", "watermark"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition
+    and watermarks on BOTH sides (errors within 30 minutes after each
+    purchase, per user) — Spark's bounded-state two-stream join; the
+    time bound + watermarks are what let the state store evict rows
+    (the reference's SymmetricHashJoinExec plays the same range-pruning
+    role, joins/symmetric_hash_join.rs:173).  AvailableNow on bounded
+    input processes everything, so the batch interval-join oracle
+    applies exactly."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        F.expr(
+            "user_id = e_user AND e_ts >= p_ts "
+            "AND e_ts <= p_ts + INTERVAL 30 MINUTES"
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        F.col("e_ts").cast("timestamp_ntz").alias("e_ts"),
+    )
+    return (
+        stream_to_memory(joined, "stream_stream_interval_join", "append")
+        .orderBy("user_id", "p_ts", "e_ts")
+        .limit(1000)
+    )
