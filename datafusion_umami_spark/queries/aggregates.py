@@ -376,3 +376,35 @@ register_sql(
     """,
     tags=("agg", "null-semantics", "null-group-keys"),
 )
+
+
+# --- FILTER clause on aggregates (reference sql FILTER (WHERE ...) support,
+# sqllogictest test_files/aggregate.slt) — same text both engines ----------
+register_sql(
+    "agg_filter_clause",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                FILTER (WHERE l_discount > 0.05) AS BIGINT) AS discounted_cents,
+           COUNT(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F') AS f_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "filter-clause"),
+)
+
+# --- GROUP BY ALL / ORDER BY ALL (reference supports both; Spark 4 too) ----
+register_sql(
+    "agg_group_by_all",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("agg", "group-by-all"),
+)

@@ -257,3 +257,49 @@ register_sql(
     """,
     tags=("ann", "ivf", "llm-pipeline"),
 )
+
+
+# --- per-label embedding centroid (exact-integer aggregation) ---------------
+register_sql(
+    "embedding_centroid_per_label",
+    """
+    WITH dims AS (
+      SELECT label, pos + 1 AS d,
+             CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS xs
+      FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x),
+    per_dim AS (
+      SELECT label, d, SUM(xs) AS sumx, COUNT(*) AS nv
+      FROM dims GROUP BY label, d)
+    SELECT label,
+           MAX(nv) AS n_vecs,
+           ROUND(sqrt(CAST(SUM(sumx * sumx) AS DOUBLE)) / (10000.0 * MAX(nv)), 6)
+             AS centroid_norm
+    FROM per_dim
+    GROUP BY label
+    ORDER BY label
+    """,
+    oracle="""
+    WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    dims AS (
+      SELECT label, d, CAST(round(v[d] * 10000) AS BIGINT) AS xs
+      FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
+      WHERE d <= len(v)),
+    per_dim AS (
+      SELECT label, d, SUM(xs) AS sumx, COUNT(*) AS nv
+      FROM dims GROUP BY label, d)
+    SELECT label,
+           MAX(nv) AS n_vecs,
+           ROUND(sqrt(CAST(SUM(sumx * sumx) AS DOUBLE)) / (10000.0 * MAX(nv)), 6)
+             AS centroid_norm
+    FROM per_dim
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("embedding", "centroid", "llm-pipeline"),
+)
+# Centroid math stays EXACT until the final sqrt: scaled-integer
+# components (1e4) make both grouped SUMs associative integer adds, so
+# the per-dim mean and the norm are partition-order independent —
+# float SUM over a shuffle would not be. sumx^2 fits int64 up to
+# ~1e9 vectors per (label, dim) at this scaling.
