@@ -33,6 +33,11 @@ HEAVY = [
     "tpch_q21",
     "window_dedup_latest",
     "dedup_exact",
+    # banded candidate-generation plans: band equi-joins + integer-exact
+    # bucket projections must be partition-count independent
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "stream_stream_interval_join",
 ]
 
 HOSTILE_CONF = {

@@ -119,6 +119,14 @@ def test_no_python_row_udf_in_headline_queries(name, spark, sf_dir):
     assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python UDF"
 
 
+def test_point_lookup_pushes_equality(spark, sf_dir):
+    """cb_point_lookup's equality predicate must reach the parquet scan
+    (row-group/page pruning at scale, not a full scan + post-filter)."""
+    plan = plan_str(q("cb_point_lookup", spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("EqualTo" in ln for ln in pushed), plan
+
+
 @pytest.mark.parametrize(
     "name", ["dedup_simhash", "dedup_embedding_cosine", "dedup_minhash_lsh"]
 )
