@@ -217,3 +217,75 @@ def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "window_idx")
         .limit(1000)
     )
+
+
+@register(
+    "mm_image_resize_pool",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text, (length(text) // 32) // 2 AS h2
+      FROM documents WHERE length(text) // 32 >= 2),
+    cells AS (
+      SELECT doc_id, r, c,
+             (ascii(substr(text, (2*r) * 32 + 2*c + 1, 1))
+            + ascii(substr(text, (2*r) * 32 + 2*c + 2, 1))
+            + ascii(substr(text, (2*r + 1) * 32 + 2*c + 1, 1))
+            + ascii(substr(text, (2*r + 1) * 32 + 2*c + 2, 1))) // 4 AS v
+      FROM dims
+      CROSS JOIN LATERAL (SELECT unnest(range(0, h2)) AS r) rs
+      CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cs)
+    SELECT doc_id,
+           CAST(MAX(r) + 1 AS BIGINT) AS out_h,
+           CAST(16 AS BIGINT) AS out_w,
+           CAST(SUM(v) AS BIGINT) AS pooled_sum,
+           CAST(MIN(v) AS BIGINT) AS pooled_min,
+           CAST(MAX(v) AS BIGINT) AS pooled_max
+    FROM cells GROUP BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "image", "resize", "llm-pipeline"),
+)
+def mm_image_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE shape: treat the payload as a 32-wide uint8 pixel
+    grid and 2x2 average-pool it (integer floor mean — deterministic),
+    emitting the resized dims + pooled statistics. The downsample every
+    vision pipeline runs before feature extraction, as an Arrow-batched
+    vectorized kernel; the DuckDB oracle recomputes the pooling
+    arithmetically via the ASCII byte equivalence."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    w = 32
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "out_h": [], "out_w": [],
+                "pooled_sum": [], "pooled_min": [], "pooled_max": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = len(payload) // w
+                h2 = h // 2
+                if h2 == 0:
+                    continue
+                arr = (
+                    np.frombuffer(payload[: h * w], dtype=np.uint8)
+                    .reshape(h, w)[: h2 * 2]
+                    .astype(np.int64)
+                )
+                pooled = (
+                    arr[0::2, 0::2] + arr[0::2, 1::2]
+                    + arr[1::2, 0::2] + arr[1::2, 1::2]
+                ) // 4
+                out["doc_id"].append(doc_id)
+                out["out_h"].append(h2)
+                out["out_w"].append(w // 2)
+                out["pooled_sum"].append(int(pooled.sum()))
+                out["pooled_min"].append(int(pooled.min()))
+                out["pooled_max"].append(int(pooled.max()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        pool,
+        "doc_id long, out_h long, out_w long, "
+        "pooled_sum long, pooled_min long, pooled_max long",
+    )

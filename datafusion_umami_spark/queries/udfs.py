@@ -192,3 +192,45 @@ def udf_grouped_map_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").applyInPandas(
         top2, "o_custkey bigint, o_orderkey bigint, rnk int"
     )
+
+
+# --- raw Arrow batches: mapInArrow ------------------------------------------
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT o_custkey % 10 AS bucket,
+           CAST(SUM(CAST(round(o_totalprice * 2 * 100) AS BIGINT)) AS BIGINT)
+             AS doubled_cents,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_custkey % 10
+    """,
+    tags=("udf", "map-in-arrow", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow`: the lowest-overhead Python hook — RecordBatch in,
+    RecordBatch out, no pandas materialization at all (pyarrow.compute
+    kernels are C++). The right tier when the Python logic is itself
+    expressible as Arrow compute; per-value work here is a vectorized
+    multiply + round, so nothing is row-at-a-time anywhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def double_price(batches):
+        for batch in batches:
+            cents = pc.cast(
+                pc.round(pc.multiply(batch.column("o_totalprice"), 200.0)),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("o_custkey"), cents],
+                ["o_custkey", "doubled_cents"],
+            )
+
+    mapped = o.mapInArrow(double_price, "o_custkey long, doubled_cents long")
+    return mapped.groupBy((F.col("o_custkey") % 10).alias("bucket")).agg(
+        F.sum("doubled_cents").alias("doubled_cents"),
+        F.count("*").alias("n"),
+    )
