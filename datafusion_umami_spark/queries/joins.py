@@ -273,3 +273,45 @@ register_sql(
     """,
     tags=("join", "mark", "in-subquery"),
 )
+
+
+# --- salted skew join (manual hot-key mitigation) ---------------------------
+register_sql(
+    "join_salted_skew",
+    """
+    WITH dim AS (
+      SELECT * FROM VALUES ('click', 'engagement'), ('view', 'engagement'),
+                           ('purchase', 'conversion'), ('signup', 'conversion'),
+                           ('error', 'fault') AS t(event_type, category)),
+    salted_dim AS (
+      SELECT event_type, category, s
+      FROM dim LATERAL VIEW explode(sequence(0, 7)) st AS s),
+    f AS (
+      SELECT event_type, value, pmod(event_id, 8) AS s FROM events)
+    SELECT sd.category,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(f.value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM f JOIN salted_dim sd
+      ON f.event_type = sd.event_type AND f.s = sd.s
+    GROUP BY sd.category
+    """,
+    oracle="""
+    WITH dim(event_type, category) AS (
+      VALUES ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'conversion'), ('signup', 'conversion'),
+             ('error', 'fault'))
+    SELECT dim.category,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events e JOIN dim ON e.event_type = dim.event_type
+    GROUP BY dim.category
+    """,
+    tags=("join", "skew", "salting"),
+)
+# Salting pattern: a hot join key (every fact row shares 5 event_types)
+# is split into 8 sub-keys by salting the fact side with pmod(id, 8) and
+# replicating the dim side 8x — the join's shuffle then spreads each hot
+# key over 8 reducers instead of 1. The oracle is the UNSALTED join:
+# identical results prove the rewrite is semantics-preserving. (AQE's
+# skewedJoin does this automatically for shuffle joins; the manual form
+# is the one that works for any join type and pre-AQE engines.)

@@ -258,3 +258,21 @@ register_sql(
     """,
     tags=("window", "analytic", "ignore-nulls"),
 )
+
+
+# --- event-time RANGE frame (interval bounds over a timestamp order key) ----
+register_sql(
+    "window_time_range_frame",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS events_last_hour,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS cents_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    LIMIT 1000
+    """,
+    tags=("window", "range-frame", "event-time", "interval"),
+)
