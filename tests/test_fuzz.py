@@ -112,3 +112,62 @@ def test_fuzz_cross_engine(sql, small_splits, spark, duck, sf_dir):
         spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
     d_rows = canonical_rows(duck.execute(sql).df())
     assert s_rows == d_rows, f"mismatch for: {sql}"
+
+
+# --- property-based roundtrip/identity checks (hypothesis) ------------------
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_avro_row = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    st.one_of(
+        st.none(),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+    ),
+    st.one_of(st.none(), st.text(max_size=200)),
+    st.one_of(st.none(), st.booleans()),
+    st.one_of(st.none(), st.binary(max_size=200)),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows=st.lists(_avro_row, max_size=50))
+def test_avro_roundtrip_property(rows, tmp_path_factory):
+    """write_avro ∘ read_avro == identity for arbitrary nullable
+    long/double/string/boolean/bytes rows (Avro 1.11 binary encoding)."""
+    from datafusion_umami_spark.sources.avro_io import read_avro, write_avro
+
+    fields = [
+        ("i", "long"), ("x", "double"), ("s", "string"),
+        ("b", "boolean"), ("raw", "bytes"),
+    ]
+    path = str(tmp_path_factory.mktemp("avro_prop") / "prop.avro")
+    write_avro(path, fields, rows)
+    got_fields, got_rows = read_avro(path)
+    assert got_fields == fields
+    assert got_rows == [tuple(r) for r in rows]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.integers(min_value=-(2**62), max_value=2**62),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_gcd_fold_matches_math_gcd(pairs, spark):
+    """The Catalyst Euclid fold equals math.gcd across the full int64
+    range (the 92-iteration bound covers worst-case Fibonacci pairs)."""
+    from datafusion_umami_spark.functions.math_extra import gcd_col
+
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", gcd_col("a", "b").alias("g")
+    )
+    for row in df.collect():
+        assert row.g == math.gcd(row.a, row.b), (row.a, row.b, row.g)
