@@ -17,7 +17,10 @@ Portable 60-bit hash (same convention as textanalysis.py):
 
 from __future__ import annotations
 
-from datafusion_umami_spark.registry import register_sql
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_umami_spark.registry import register, register_sql
 
 
 def _sp_h(s: str) -> str:
@@ -134,9 +137,9 @@ _DU_MH = ", ".join(
     f"MIN(({2 * s + 1} * h + {s * 12_582_917}) % {_P31})" for s in range(8)
 )
 
-register_sql(
-    "dedup_minhash_lsh",
-    f"""
+# Full candidate-pair SELECTs, shared by dedup_minhash_lsh and the
+# connected-components clustering query below.
+_SP_MINHASH_PAIRS = f"""
     WITH shingles AS ({_SP_SHINGLES}),
     hashes AS (
       -- no DISTINCT: MIN over duplicate shingles equals MIN over the set,
@@ -162,8 +165,9 @@ register_sql(
     FROM candidates c
       JOIN sigs sa ON sa.doc_id = c.da
       JOIN sigs sb ON sb.doc_id = c.db
-    """,
-    oracle=f"""
+"""
+
+_DU_MINHASH_PAIRS = f"""
     WITH shingles AS ({_DU_SHINGLES}),
     hashes AS (
       SELECT doc_id, {_du_h("shingle")} % {_P31} AS h
@@ -187,7 +191,12 @@ register_sql(
     FROM candidates c
       JOIN sigs sa ON sa.doc_id = c.da
       JOIN sigs sb ON sb.doc_id = c.db
-    """,
+"""
+
+register_sql(
+    "dedup_minhash_lsh",
+    _SP_MINHASH_PAIRS,
+    oracle=_DU_MINHASH_PAIRS,
     tags=("dedup", "minhash", "lsh", "llm-pipeline"),
     bench=True,
 )
@@ -378,3 +387,63 @@ register_sql(
     """,
     tags=("dedup", "embedding", "cosine", "llm-pipeline"),
 )
+
+
+# --- connected-components cluster assignment over near-dup pairs ------------
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+      SELECT da, db FROM ({_DU_MINHASH_PAIRS}) q WHERE est_jaccard >= 0.5),
+    edges AS (SELECT da, db FROM p UNION ALL SELECT db, da FROM p),
+    nodes AS (SELECT DISTINCT da AS n FROM edges),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.n, e.db FROM reach r JOIN edges e ON r.m = e.da)
+    SELECT CAST(n AS BIGINT) AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY n
+    """,
+    tags=("dedup", "clustering", "connected-components", "llm-pipeline"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment for near-dup groups: transitive closure over
+    the MinHash candidate pairs (est_jaccard >= 0.5), each document
+    labeled with the smallest doc_id reachable from it — the keeper-
+    selection step every dedup pipeline runs after pair generation
+    (keep cluster_id, drop the rest).  Closure via the same fixpoint
+    operator as WITH RECURSIVE (reference recursive_query.rs); the
+    DuckDB oracle is a native recursive CTE.
+
+    Scale: per iteration one equi-join of the frontier against the
+    (checkpointed) edge list — the frontier shrinks as the closure
+    saturates; cluster diameter bounds the iteration count.  For
+    web-scale graphs swap in large-star/small-star label propagation;
+    the per-iteration plan is the same shuffle-join shape."""
+    from datafusion_umami_spark.operators.recursive import recursive_cte
+    from datafusion_umami_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql(
+        f"SELECT da, db FROM ({_SP_MINHASH_PAIRS}) p WHERE est_jaccard >= 0.5"
+    )
+    # checkpoint: the edge list is re-joined every iteration; toDF gives
+    # the frame fresh attribute ids (joining the checkpointed frame
+    # against subtract() output under its original ids trips an
+    # optimizer attribute-resolution bug in Spark 4.1)
+    edges = (
+        pairs.union(pairs.selectExpr("db AS da", "da AS db"))
+        .localCheckpoint(eager=True)
+        .toDF("src", "dst")
+    )
+    seed = edges.selectExpr("src AS n", "src AS m").distinct()
+
+    def step(delta: DataFrame) -> DataFrame:
+        return delta.join(edges, delta["m"] == edges["src"]).select(
+            delta["n"], edges["dst"].alias("m")
+        )
+
+    closure = recursive_cte(seed, step, distinct=True)
+    return closure.groupBy("n").agg(F.min("m").alias("cluster_id")).select(
+        F.col("n").alias("doc_id"), "cluster_id"
+    )
