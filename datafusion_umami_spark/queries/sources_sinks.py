@@ -378,3 +378,96 @@ def ctas_temp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(uses) AS BIGINT) AS total_uses "
         "FROM top_parts JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
     )
+
+
+# --- dynamic partition overwrite (INSERT OVERWRITE one partition) -----------
+@register(
+    "dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM (
+      SELECT o_orderstatus, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderstatus <> 'F')
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "partitioning", "insert-overwrite", "dynamic-overwrite"),
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: rewrite ONE hive partition in place
+    while sibling partitions stay intact (partitionOverwriteMode=dynamic
+    — the INSERT OVERWRITE ... PARTITION behavior a warehouse needs; the
+    static default would wipe the whole table). The 'F' partition is
+    rewritten with doubled prices, then the whole table is re-read: the
+    oracle shows doubled cents for 'F' and untouched values elsewhere."""
+    path = _sink_dir(sf_dir, "orders_by_status")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            o.filter(F.col("o_orderstatus") == "F")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+    )
+
+
+# --- CSV corrupt-record handling modes --------------------------------------
+@register(
+    "csv_malformed_modes",
+    oracle="""
+    SELECT 'permissive' AS mode, CAST(3 AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_corrupt
+    UNION ALL
+    SELECT 'dropmalformed', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    """,
+    tags=("source", "csv", "malformed", "error-handling"),
+)
+def csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV reader error-handling modes (reference csv scan rejects or
+    null-fills bad rows; Spark: PERMISSIVE captures the raw line in
+    _corrupt_record, DROPMALFORMED discards it). A fixture with one
+    malformed row is read under both modes; counts are the contract."""
+    root = _sink_dir(sf_dir, "csv_malformed")
+    os.makedirs(root, exist_ok=True)
+    p = f"{root}/bad.csv"
+    with open(p, "w") as f:
+        f.write("1,alpha,10.5\n2,beta,not_a_number\n3,gamma,7.25\n")
+    schema = "id INT, name STRING, score DOUBLE, _corrupt_record STRING"
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(p)
+        .cache()
+    )
+    n_perm = perm.count()
+    n_corrupt = perm.filter(F.col("_corrupt_record").isNotNull()).count()
+    drop = (
+        spark.read.schema("id INT, name STRING, score DOUBLE")
+        .option("mode", "DROPMALFORMED")
+        .csv(p)
+    )
+    # collect() forces every column to parse; a bare count() would prune
+    # all columns, skip type conversion, and never detect the bad row
+    n_drop = len(drop.collect())
+    return spark.createDataFrame(
+        [("permissive", n_perm, n_corrupt), ("dropmalformed", n_drop, 0)],
+        "mode string, n_rows long, n_corrupt long",
+    )
