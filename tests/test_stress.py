@@ -157,3 +157,4 @@ def test_avro_io_roundtrip_edge_values(tmp_path):
     got_fields, got_rows = read_avro(path)
     assert got_fields == fields
     assert got_rows == rows
+
