@@ -13,10 +13,10 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     joins,
     windows,
     subqueries,
-    relational,
     aggregates,
     functions_nested,
     dedup,
+    relational,
     functions_scalar,
     sources_sinks,
     json_funcs,
