@@ -171,3 +171,94 @@ def test_gcd_fold_matches_math_gcd(pairs, spark):
     )
     for row in df.collect():
         assert row.g == math.gcd(row.a, row.b), (row.a, row.b, row.g)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_asof_join_matches_pandas_merge_asof(data, spark):
+    """asof_join == pandas.merge_asof(direction='backward') on random
+    inputs, including NULL payload values on matched right rows (the
+    struct-carry fix) and keys with no right-side rows at all."""
+    import pandas as _pd
+
+    from datafusion_umami_spark.operators.asof_join import asof_join
+
+    keys = data.draw(st.lists(st.integers(0, 3), min_size=1, max_size=12))
+    left_rows = [
+        (k, data.draw(st.integers(0, 100), label="lt")) for k in keys
+    ]
+    # right side: unique (key, time) pairs, payload may be NULL
+    rt_pairs = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 100)),
+            max_size=12,
+            unique=True,
+        )
+    )
+    right_rows = [
+        (k, t, data.draw(st.one_of(st.none(), st.integers(-5, 5)), label="pv"))
+        for k, t in rt_pairs
+    ]
+    left = spark.createDataFrame(left_rows, "k long, t long")
+    right = (
+        spark.createDataFrame(right_rows, "k long, rt long, payload long")
+        if right_rows
+        else spark.createDataFrame([], "k long, rt long, payload long")
+    )
+    got = {
+        (r.k, r.t, r.payload)
+        for r in asof_join(left, right, "k", "t", "rt", ["payload"]).collect()
+    }
+    lpd = _pd.DataFrame(left_rows, columns=["k", "t"]).sort_values("t", kind="stable")
+    rpd = _pd.DataFrame(right_rows, columns=["k", "rt", "payload"]).sort_values(
+        "rt", kind="stable"
+    )
+    if rpd.empty:
+        want = {(k, t, None) for k, t in left_rows}
+    else:
+        merged = _pd.merge_asof(
+            lpd, rpd, left_on="t", right_on="rt", by="k", direction="backward"
+        )
+        want = {
+            (int(r.k), int(r.t), None if _pd.isna(r.payload) else int(r.payload))
+            for r in merged.itertuples()
+        }
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), max_size=14, unique=True
+    )
+)
+def test_recursive_closure_matches_python_bfs(edges, spark):
+    """recursive_cte transitive closure == a pure-Python BFS fixpoint on
+    random digraphs (cycles included)."""
+    from pyspark.sql import functions as FF
+
+    from datafusion_umami_spark.operators.recursive import recursive_cte
+
+    if not edges:
+        return
+    e = spark.createDataFrame(edges, "src long, dst long").localCheckpoint(eager=True)
+    nodes = sorted({n for pair in edges for n in pair})
+    seed = spark.createDataFrame([(n, n) for n in nodes], "n long, m long")
+
+    def step(delta):
+        return delta.join(e, delta["m"] == e["src"]).select(
+            delta["n"], e["dst"].alias("m")
+        )
+
+    got = {(r.n, r.m) for r in recursive_cte(seed, step, distinct=True).collect()}
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    want = set()
+    for n in nodes:
+        reach, frontier = {n}, {n}
+        while frontier:
+            frontier = {d for x in frontier for d in adj.get(x, ())} - reach
+            reach |= frontier
+        want |= {(n, m) for m in reach}
+    assert got == want
