@@ -130,3 +130,24 @@ register_sql(
     """,
     tags=("h2o", "agg", "multi-key"),
 )
+
+# --- h2o window: global (un-partitioned) window ------------------------------
+# Reference window.sql "Basic/Sorted Window": OVER () and a global ORDER
+# BY collapse to ONE partition — fine on a bounded slice (scoped here to
+# 500 rows), an anti-pattern on the full table at 100 TB (every row
+# through one task). The partitioned variants above are the scale path.
+register_sql(
+    "h2o_window_global",
+    """
+    SELECT event_id,
+           CAST(SUM(cents) OVER () AS BIGINT) AS grand_total_cents,
+           ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+           CAST(SUM(cents) OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling_cents
+    FROM (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_id < 500)
+    ORDER BY event_id
+    """,
+    tags=("h2o", "window", "global-window"),
+)
