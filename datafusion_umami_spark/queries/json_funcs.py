@@ -78,3 +78,46 @@ register_sql(
     """,
     tags=("json", "to-json"),
 )
+
+
+# --- multi-path extraction: json_tuple, array length, nested paths ----------
+register_sql(
+    "json_tuple_arrays",
+    """
+    WITH j AS (
+      SELECT n_nationkey,
+             to_json(named_struct(
+               'name', n_name,
+               'region', n_regionkey,
+               'tags', array(concat('r', CAST(n_regionkey AS STRING)),
+                             'nation'),
+               'meta', named_struct('len', length(n_name)))) AS doc
+      FROM nation)
+    SELECT n_nationkey,
+           get_json_object(doc, '$.name') AS name,
+           CAST(get_json_object(doc, '$.region') AS BIGINT) AS region,
+           CAST(json_array_length(get_json_object(doc, '$.tags')) AS BIGINT)
+             AS n_tags,
+           get_json_object(doc, '$.tags[0]') AS first_tag,
+           CAST(get_json_object(doc, '$.meta.len') AS BIGINT) AS name_len
+    FROM j
+    """,
+    oracle="""
+    WITH j AS (
+      SELECT n_nationkey,
+             to_json(struct_pack(
+               name := n_name,
+               region := n_regionkey,
+               tags := [concat('r', CAST(n_regionkey AS VARCHAR)), 'nation'],
+               meta := struct_pack(len := length(n_name)))) AS doc
+      FROM nation)
+    SELECT n_nationkey,
+           json_extract_string(doc, '$.name') AS name,
+           CAST(json_extract_string(doc, '$.region') AS BIGINT) AS region,
+           CAST(json_array_length(doc, '$.tags') AS BIGINT) AS n_tags,
+           json_extract_string(doc, '$.tags[0]') AS first_tag,
+           CAST(json_extract_string(doc, '$.meta.len') AS BIGINT) AS name_len
+    FROM j
+    """,
+    tags=("json", "nested-paths", "json-array"),
+)
