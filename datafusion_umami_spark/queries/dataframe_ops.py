@@ -204,3 +204,40 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("l_returnflag", "metric").agg(
         F.sum(F.round(F.col("v") * 100).cast("bigint")).alias("cents")
     )
+
+
+# --- range repartitioning (sort-based partitioner) --------------------------
+@register(
+    "repartition_by_range",
+    oracle="""
+    SELECT l_shipdate,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_shipdate
+    ORDER BY l_shipdate
+    LIMIT 400
+    """,
+    tags=("repartition", "range-partitioning", "dataframe-api"),
+)
+def repartition_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repartitionByRange: contiguous key ranges per partition (sampled
+    range boundaries — the partitioner behind sorted/clustered layouts;
+    at 100 TB this is how time-ordered data lands in time-contiguous
+    files for pruning). Results must be partitioning-invariant; the
+    oracle checks exactly that."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
+    )
+    return (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .groupBy("l_shipdate")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"),
+        )
+        .orderBy("l_shipdate")
+        .limit(400)
+    )

@@ -315,3 +315,25 @@ register_sql(
 # identical results prove the rewrite is semantics-preserving. (AQE's
 # skewedJoin does this automatically for shuffle joins; the manual form
 # is the one that works for any join type and pre-AQE engines.)
+
+
+# --- SQL hint surface: /*+ BROADCAST(dim) */ --------------------------------
+register_sql(
+    "join_hint_broadcast_sql",
+    """
+    SELECT /*+ BROADCAST(n) */
+           n.n_name,
+           COUNT(*) AS suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("join", "hint", "broadcast"),
+)
