@@ -279,3 +279,34 @@ register_sql(
     """,
     tags=("map", "entries", "compact"),
 )
+
+# --- map higher-order functions: transform_keys/values, map_filter,
+# map_zip_with (reference functions-nested map module has no HOFs — this
+# is the Spark superset; DuckDB twin goes through entries lists) --------
+register_sql(
+    "map_higher_order",
+    """
+    SELECT t.id,
+           element_at(transform_values(t.m, (k, v) -> v * 10), 'b') AS b_x10,
+           element_at(transform_keys(t.m, (k, v) -> upper(k)), 'A') AS a_upper,
+           CAST(size(map_filter(t.m, (k, v) -> v >= 20)) AS BIGINT) AS n_big,
+           element_at(map_zip_with(t.m, t.m2, (k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0)),
+                      'a') AS a_sum
+    FROM (SELECT id,
+                 map('a', id, 'b', id * 2) AS m,
+                 map('a', id * 100, 'c', 7) AS m2
+          FROM range(1, 20)) t
+    """,
+    oracle="""
+    SELECT t.id,
+           (t.m['b'])[1] * 10 AS b_x10,
+           (t.m['a'])[1] AS a_upper,
+           CAST(len(list_filter(map_entries(t.m), e -> e.value >= 20)) AS BIGINT) AS n_big,
+           (t.m['a'])[1] + (t.m2['a'])[1] AS a_sum
+    FROM (SELECT range AS id,
+                 map(['a', 'b'], [range, range * 2]) AS m,
+                 map(['a', 'c'], [range * 100, 7]) AS m2
+          FROM range(1, 20)) t
+    """,
+    tags=("map", "higher-order", "nested"),
+)

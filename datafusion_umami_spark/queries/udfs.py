@@ -234,3 +234,56 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doubled_cents").alias("doubled_cents"),
         F.count("*").alias("n"),
     )
+
+
+# --- cogrouped applyInPandas ------------------------------------------------
+@register(
+    "udf_cogroup_merge",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS cents,
+           MIN(c.c_mktsegment) AS segment
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey < 150
+    GROUP BY c.c_custkey
+    """,
+    tags=("udf", "cogroup", "applyInPandas"),
+)
+def udf_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`groupBy().cogroup().applyInPandas`: both sides shuffle on the key
+    once, then each (customer-group, orders-group) pair meets in a
+    single pandas call — the escape hatch for custom keyed merges (the
+    API the reference has no analog for; SURVEY §3.2 DataFrame surface).
+    Semantics here mirror a LEFT JOIN + aggregate so DuckDB can oracle
+    the result exactly."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150).select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150).select(
+        "o_custkey", "o_totalprice"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "cents", "segment"]
+            )
+        cents = int(round(right["o_totalprice"] * 100).sum()) if len(right) else 0
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(left["c_custkey"].iloc[0])],
+                "n_orders": [len(right)],
+                "cents": [cents],
+                "segment": [left["c_mktsegment"].min()],
+            }
+        )
+
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            merge, "c_custkey bigint, n_orders bigint, cents bigint, segment string"
+        )
+    )
