@@ -276,3 +276,18 @@ def date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT explode(sequence(DATE '2024-01-01', DATE '2024-03-01', INTERVAL 1 DAY)) AS d
         """
     )
+
+
+# --- large top-k sort (reference benchmarks/src/sort_tpch.rs shape) ---------
+register_sql(
+    "sort_multicol_large",
+    """
+    SELECT l_shipdate, l_orderkey, l_linenumber, l_returnflag,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    LIMIT 5000
+    """,
+    tags=("sort", "multi-column", "topk-large"),
+    bench=True,
+)
