@@ -201,3 +201,69 @@ def repartition_coalesce_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .coalesce(1)
     )
+
+
+@register(
+    "ddl_create_database_ctas",
+    oracle="""
+    SELECT r_name, COUNT(*) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("ddl", "catalog", "create-database", "ctas"),
+)
+def ddl_create_database_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog lifecycle: CREATE DATABASE, CTAS a managed table into it,
+    query it fully qualified, DROP — the reference's CREATE EXTERNAL
+    TABLE / CTAS statement arms (sql/src/statement.rs CreateTable) over
+    Spark's warehouse catalog. The oracle runs the same aggregate on the
+    source tables, proving the CTAS materialization is lossless."""
+    register_views(spark, sf_dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS dus_scratch")
+    # re-create per invocation; the managed table lives in the (ignored)
+    # spark-warehouse dir until the next run drops it — DROP-on-exit
+    # would invalidate the returned plan (Spark uncaches dropped tables)
+    spark.sql("DROP TABLE IF EXISTS dus_scratch.region_counts")
+    spark.sql(
+        """
+        CREATE TABLE dus_scratch.region_counts AS
+        SELECT r_name, COUNT(*) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+    return spark.table("dus_scratch.region_counts")
+
+
+@register(
+    "cache_table_scan",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("catalog", "cache", "in-memory"),
+)
+def cache_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHE TABLE: the second scan must come from the columnar
+    InMemoryRelation, not parquet (Spark's materialized cache layer —
+    the reference's ListingTable has no analog; at scale this is the
+    hot-dimension pin). Plan containment is asserted here because the
+    cache is the semantic point of the query."""
+    register_views(spark, sf_dir)
+    spark.sql("CACHE TABLE customer")
+    try:
+        df = spark.sql(
+            """
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+            FROM customer
+            GROUP BY c_mktsegment
+            """
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemory" in plan, "CACHE TABLE did not produce an in-memory scan"
+        return df
+    finally:
+        spark.sql("UNCACHE TABLE IF EXISTS customer")

@@ -121,3 +121,34 @@ register_sql(
     """,
     tags=("json", "nested-paths", "json-array"),
 )
+
+
+# --- VARIANT: open-schema semi-structured type (Spark 4) --------------------
+register_sql(
+    "json_variant_ops",
+    """
+    WITH v AS (
+      SELECT event_id,
+             parse_json(concat('{"k": ', get_json_object(props, '$.k'),
+                               ', "type": "', event_type,
+                               '", "nested": {"half": ',
+                               CAST(CAST(get_json_object(props, '$.k') AS BIGINT) / 2.0
+                                    AS STRING), '}}')) AS doc
+      FROM events WHERE event_id < 500)
+    SELECT event_id,
+           variant_get(doc, '$.k', 'bigint') AS k,
+           variant_get(doc, '$.type', 'string') AS type,
+           ROUND(variant_get(doc, '$.nested.half', 'double'), 6) AS half,
+           try_variant_get(doc, '$.absent', 'bigint') AS absent
+    FROM v
+    """,
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           event_type AS type,
+           ROUND(CAST(json_extract_string(props, '$.k') AS BIGINT) / 2.0, 6) AS half,
+           CAST(NULL AS BIGINT) AS absent
+    FROM events WHERE event_id < 500
+    """,
+    tags=("json", "variant", "semi-structured", "spark4"),
+)
