@@ -136,3 +136,48 @@ register_sql(
     """,
     tags=("types", "timestamp", "precision"),
 )
+
+
+# --- try_* overflow-safe arithmetic (reference arrow kernels error on
+# int64 overflow; ANSI try-variants return NULL instead). DuckDB has no
+# TRY() in this build, so the oracle range-checks through HUGEINT. ------
+register_sql(
+    "types_try_arithmetic",
+    """
+    SELECT a, b,
+           try_add(a, b) AS t_add,
+           try_subtract(a, b) AS t_sub,
+           try_multiply(a, b) AS t_mul,
+           try_divide(a, b) AS t_div
+    FROM VALUES
+      (CAST(9223372036854775807 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(-9223372036854775808 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(9223372036854775807 AS BIGINT), CAST(-1 AS BIGINT)),
+      (CAST(4611686018427387904 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(10 AS BIGINT), CAST(20 AS BIGINT)),
+      (CAST(7 AS BIGINT), CAST(0 AS BIGINT)) AS t(a, b)
+    """,
+    oracle="""
+    WITH t(a, b) AS (VALUES
+      (CAST(9223372036854775807 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(-9223372036854775808 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(9223372036854775807 AS BIGINT), CAST(-1 AS BIGINT)),
+      (CAST(4611686018427387904 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(10 AS BIGINT), CAST(20 AS BIGINT)),
+      (CAST(7 AS BIGINT), CAST(0 AS BIGINT)))
+    SELECT a, b,
+           CASE WHEN CAST(a AS HUGEINT) + b
+                     BETWEEN -9223372036854775808 AND 9223372036854775807
+                THEN CAST(CAST(a AS HUGEINT) + b AS BIGINT) END AS t_add,
+           CASE WHEN CAST(a AS HUGEINT) - b
+                     BETWEEN -9223372036854775808 AND 9223372036854775807
+                THEN CAST(CAST(a AS HUGEINT) - b AS BIGINT) END AS t_sub,
+           CASE WHEN CAST(a AS HUGEINT) * b
+                     BETWEEN -9223372036854775808 AND 9223372036854775807
+                THEN CAST(CAST(a AS HUGEINT) * b AS BIGINT) END AS t_mul,
+           CASE WHEN b = 0 THEN NULL
+                ELSE CAST(a AS DOUBLE) / CAST(b AS DOUBLE) END AS t_div
+    FROM t
+    """,
+    tags=("types", "try-arithmetic", "overflow"),
+)
