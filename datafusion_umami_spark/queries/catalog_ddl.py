@@ -218,12 +218,20 @@ def ddl_create_database_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     TABLE / CTAS statement arms (sql/src/statement.rs CreateTable) over
     Spark's warehouse catalog. The oracle runs the same aggregate on the
     source tables, proving the CTAS materialization is lossless."""
+    import shutil
+    from urllib.parse import urlparse
+
     register_views(spark, sf_dir)
     spark.sql("CREATE DATABASE IF NOT EXISTS dus_scratch")
     # re-create per invocation; the managed table lives in the (ignored)
     # spark-warehouse dir until the next run drops it — DROP-on-exit
-    # would invalidate the returned plan (Spark uncaches dropped tables)
+    # would invalidate the returned plan (Spark uncaches dropped tables).
+    # Also purge the LOCATION itself: the in-memory catalog forgets the
+    # table across sessions while its files persist, and CREATE TABLE
+    # refuses a managed location that already exists.
     spark.sql("DROP TABLE IF EXISTS dus_scratch.region_counts")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/dus_scratch.db/region_counts", ignore_errors=True)
     spark.sql(
         """
         CREATE TABLE dus_scratch.region_counts AS
