@@ -219,7 +219,7 @@ def ddl_create_database_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's warehouse catalog. The oracle runs the same aggregate on the
     source tables, proving the CTAS materialization is lossless."""
     import shutil
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     register_views(spark, sf_dir)
     spark.sql("CREATE DATABASE IF NOT EXISTS dus_scratch")
@@ -230,7 +230,7 @@ def ddl_create_database_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table across sessions while its files persist, and CREATE TABLE
     # refuses a managed location that already exists.
     spark.sql("DROP TABLE IF EXISTS dus_scratch.region_counts")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    wh = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
     shutil.rmtree(f"{wh}/dus_scratch.db/region_counts", ignore_errors=True)
     spark.sql(
         """

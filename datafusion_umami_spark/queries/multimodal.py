@@ -241,6 +241,8 @@ def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(v) AS BIGINT) AS pooled_min,
            CAST(MAX(v) AS BIGINT) AS pooled_max
     FROM cells GROUP BY doc_id
+    ORDER BY doc_id
+    LIMIT 1000
     """,
     tags=("multimodal", "pandas-udf", "image", "resize", "llm-pipeline"),
 )
@@ -284,8 +286,12 @@ def mm_image_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["pooled_max"].append(int(pooled.max()))
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
-        pool,
-        "doc_id long, out_h long, out_w long, "
-        "pooled_sum long, pooled_min long, pooled_max long",
+    return (
+        docs.mapInPandas(
+            pool,
+            "doc_id long, out_h long, out_w long, "
+            "pooled_sum long, pooled_min long, pooled_max long",
+        )
+        .orderBy("doc_id")
+        .limit(1000)
     )

@@ -459,6 +459,7 @@ def csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_perm = perm.count()
     n_corrupt = perm.filter(F.col("_corrupt_record").isNotNull()).count()
+    perm.unpersist()  # both counts taken; don't leak a session cache entry
     drop = (
         spark.read.schema("id INT, name STRING, score DOUBLE")
         .option("mode", "DROPMALFORMED")

@@ -198,7 +198,17 @@ def read_avro(path: str) -> tuple[list[tuple[str, AvroType]], list[tuple]]:
     fields: list[tuple[str, AvroType]] = []
     for fld in schema["fields"]:
         t = fld["type"]
-        typ = t[1] if isinstance(t, list) else t  # ["null", T] union
+        # only ["null", T] unions are supported: read_value always
+        # consumes a branch index, so a plain (non-union) field would
+        # silently decode from shifted offsets — fail loudly instead
+        if not (isinstance(t, list) and len(t) == 2 and t[0] == "null"):
+            raise ValueError(
+                f"unsupported avro field type {t!r} for {fld['name']!r}: "
+                "only nullable [\"null\", T] unions are supported"
+            )
+        typ = t[1]
+        if typ not in _SUPPORTED:
+            raise ValueError(f"unsupported avro type {typ!r}")
         fields.append((fld["name"], typ))
     sync = r.read(16)
     rows: list[tuple] = []
