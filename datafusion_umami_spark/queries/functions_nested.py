@@ -310,3 +310,33 @@ register_sql(
     """,
     tags=("map", "higher-order", "nested"),
 )
+
+# --- array append / prepend / insert (reference functions-nested
+# concat.rs array_append/array_prepend, extract.rs array_insert
+# equivalents) — outputs stringified per the canonicalizer convention --
+register_sql(
+    "arr_append_prepend_insert",
+    """
+    SELECT t.id,
+           array_join(transform(array_append(t.xs, 99),
+                                v -> CAST(v AS STRING)), ',') AS appended,
+           array_join(transform(array_prepend(t.xs, 0),
+                                v -> CAST(v AS STRING)), ',') AS prepended,
+           array_join(transform(array_insert(t.xs, 2, -7),
+                                v -> CAST(v AS STRING)), ',') AS inserted
+    FROM (SELECT id, array(CAST(id AS INT), CAST(id * 2 AS INT),
+                           CAST(id * 3 AS INT)) AS xs
+          FROM range(1, 8)) t
+    """,
+    oracle="""
+    SELECT t.id,
+           array_to_string(list_append(t.xs, 99), ',') AS appended,
+           array_to_string(list_prepend(0, t.xs), ',') AS prepended,
+           array_to_string(list_concat(list_concat(t.xs[1:1], [-7]), t.xs[2:]), ',')
+             AS inserted
+    FROM (SELECT range AS id, [CAST(range AS INT), CAST(range * 2 AS INT),
+                               CAST(range * 3 AS INT)] AS xs
+          FROM range(1, 8)) t
+    """,
+    tags=("array", "append", "nested"),
+)
