@@ -231,3 +231,103 @@ register_sql(
     """,
     tags=("text", "fingerprint", "rolling-hash", "winnowing", "llm-pipeline"),
 )
+
+
+# --- PII redaction (training-data scrubbing) --------------------------------
+# Email / phone / SSN shaped patterns replaced with typed tokens; the
+# patterns use the RE2-compatible subset (character classes, counted
+# repetition) so Spark's Java regex and DuckDB's RE2 agree. Pure map,
+# codegen'd, zero shuffle.
+register_sql(
+    "text_pii_redact",
+    r"""
+    WITH red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>'),
+                 '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>'),
+               '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>') AS clean,
+             text
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(text) - length(clean) AS BIGINT) AS chars_removed,
+           CAST(regexp_count(clean, '<EMAIL>') AS BIGINT) AS n_emails,
+           CAST(regexp_count(clean, '<SSN>') AS BIGINT) AS n_ssns,
+           CAST(regexp_count(clean, '<PHONE>') AS BIGINT) AS n_phones,
+           md5(clean) AS clean_md5
+    FROM red
+    ORDER BY doc_id
+    LIMIT 1000
+    """,
+    oracle=r"""
+    WITH red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+               '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS clean,
+             text
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(text) - length(clean) AS BIGINT) AS chars_removed,
+           CAST(len(regexp_extract_all(clean, '<EMAIL>')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(clean, '<SSN>')) AS BIGINT) AS n_ssns,
+           CAST(len(regexp_extract_all(clean, '<PHONE>')) AS BIGINT) AS n_phones,
+           md5(clean) AS clean_md5
+    FROM red
+    ORDER BY doc_id
+    LIMIT 1000
+    """,
+    tags=("text", "pii", "redaction", "llm-pipeline"),
+)
+
+
+# --- paragraph-level exact dedup (C4/RefinedWeb-style substring dedup) ------
+# Documents are split into sentence-ish units; a unit appearing in more
+# than one document is a repeated span. Output: the top repeated spans
+# with their document frequency and the keeper doc — the line-level
+# dedup pass that runs BEFORE document-level near-dup at corpus scale
+# (explode -> hash-groupBy, one shuffle, linear).
+register_sql(
+    "text_paragraph_dedup",
+    r"""
+    WITH units AS (
+      SELECT doc_id, trim(u) AS unit
+      FROM documents
+      LATERAL VIEW explode(split(text, '\\.')) t AS u),
+    good AS (SELECT doc_id, unit FROM units WHERE length(unit) >= 20),
+    spans AS (
+      SELECT md5(unit) AS span_hash,
+             MIN(unit) AS span_text,
+             COUNT(DISTINCT doc_id) AS doc_freq,
+             MIN(doc_id) AS keeper_doc
+      FROM good GROUP BY md5(unit))
+    SELECT span_hash, span_text, doc_freq, keeper_doc
+    FROM spans
+    WHERE doc_freq >= 2
+    ORDER BY doc_freq DESC, span_hash
+    LIMIT 500
+    """,
+    oracle=r"""
+    WITH units AS (
+      SELECT doc_id, trim(unnest(string_split(text, '.'))) AS unit
+      FROM documents),
+    good AS (SELECT doc_id, unit FROM units WHERE length(unit) >= 20),
+    spans AS (
+      SELECT md5(unit) AS span_hash,
+             MIN(unit) AS span_text,
+             COUNT(DISTINCT doc_id) AS doc_freq,
+             MIN(doc_id) AS keeper_doc
+      FROM good GROUP BY md5(unit))
+    SELECT span_hash, span_text, doc_freq, keeper_doc
+    FROM spans
+    WHERE doc_freq >= 2
+    ORDER BY doc_freq DESC, span_hash
+    LIMIT 500
+    """,
+    tags=("text", "dedup", "paragraph", "llm-pipeline"),
+)
