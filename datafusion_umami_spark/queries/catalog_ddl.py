@@ -275,3 +275,51 @@ def cache_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df
     finally:
         spark.sql("UNCACHE TABLE IF EXISTS customer")
+
+
+@register("ddl_analyze_table_stats", oracle=None, tags=("ddl", "statistics", "cbo"))
+def ddl_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS]: the stats
+    lifecycle feeding the cost-based optimizer (the reference computes
+    per-file statistics at listing time and exposes them to its
+    optimizer; Spark persists them in the catalog). Surfaces the
+    collected table + column stats via DESCRIBE EXTENDED."""
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    register_views(spark, sf_dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS dus_scratch")
+    spark.sql("DROP TABLE IF EXISTS dus_scratch.nation_stats")
+    wh = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    shutil.rmtree(f"{wh}/dus_scratch.db/nation_stats", ignore_errors=True)
+    spark.sql("CREATE TABLE dus_scratch.nation_stats AS SELECT * FROM nation")
+    spark.sql("ANALYZE TABLE dus_scratch.nation_stats COMPUTE STATISTICS")
+    spark.sql(
+        "ANALYZE TABLE dus_scratch.nation_stats "
+        "COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_name"
+    )
+    desc = spark.sql("DESCRIBE TABLE EXTENDED dus_scratch.nation_stats n_nationkey")
+    return desc.filter(F.col("info_name").isin("min", "max", "distinct_count", "num_nulls"))
+
+
+@register("ddl_show_partitions", oracle=None, tags=("ddl", "catalog", "partitions"))
+def ddl_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW PARTITIONS over a hive-partitioned managed table (the
+    reference's ListingTable partition discovery, table.rs:922, exposed
+    as a catalog listing)."""
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    register_views(spark, sf_dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS dus_scratch")
+    spark.sql("DROP TABLE IF EXISTS dus_scratch.orders_parts")
+    wh = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    shutil.rmtree(f"{wh}/dus_scratch.db/orders_parts", ignore_errors=True)
+    spark.sql(
+        """
+        CREATE TABLE dus_scratch.orders_parts
+        USING parquet PARTITIONED BY (o_orderstatus) AS
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        """
+    )
+    return spark.sql("SHOW PARTITIONS dus_scratch.orders_parts")
