@@ -158,3 +158,45 @@ def test_avro_io_roundtrip_edge_values(tmp_path):
     assert got_fields == fields
     assert got_rows == rows
 
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, sf_dir):
+    """Approximation quality for the MinHash signature: for candidate
+    pairs surfaced by LSH banding, the 8-permutation signature estimate
+    must track the TRUE shingle-set Jaccard (mean absolute error under
+    0.25 — an 8-component signature has std ~= sqrt(J(1-J)/8) <= 0.18,
+    so a larger systematic error means the permutations are broken)."""
+    from datafusion_umami_spark.queries.dedup import _SP_SHINGLES
+    from datafusion_umami_spark.registry import REGISTRY
+    from datafusion_umami_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    est = {
+        (r.da, r.db): r.est_jaccard
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert est, "no candidate pairs at this SF; quality check is vacuous"
+    pairs_sql = ",".join(f"({a},{b})" for a, b in list(est)[:50])
+    truth = spark.sql(
+        f"""
+        WITH shingles AS ({_SP_SHINGLES}),
+        s AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+        pairs AS (SELECT * FROM VALUES {pairs_sql} AS t(da, db)),
+        inter AS (
+          SELECT p.da, p.db, COUNT(*) AS i
+          FROM pairs p
+          JOIN s a ON a.doc_id = p.da
+          JOIN s b ON b.doc_id = p.db AND a.shingle = b.shingle
+          GROUP BY p.da, p.db),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id)
+        SELECT i.da, i.db,
+               CAST(i AS DOUBLE) / (na.n + nb.n - i) AS true_j
+        FROM inter i
+          JOIN sizes na ON na.doc_id = i.da
+          JOIN sizes nb ON nb.doc_id = i.db
+        """
+    ).collect()
+    assert truth, "intersection query returned nothing"
+    errs = [abs(est[(r.da, r.db)] - r.true_j) for r in truth]
+    mae = sum(errs) / len(errs)
+    assert mae < 0.25, f"minhash estimate MAE {mae:.3f} over {len(errs)} pairs"
