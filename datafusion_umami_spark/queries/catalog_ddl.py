@@ -22,6 +22,23 @@ from datafusion_umami_spark.registry import register
 from datafusion_umami_spark.tables import TABLE_NAMES, register_views
 
 
+def _fresh_scratch_location(spark: SparkSession, table: str) -> None:
+    """Prepare `dus_scratch.<table>` for re-creation: drop the catalog
+    entry AND purge its warehouse location. The in-memory session
+    catalog forgets the table across processes while its files persist
+    (and the warehouse dir is cwd-relative), so CREATE TABLE would
+    otherwise fail with LOCATION_ALREADY_EXISTS. DROP-on-exit is not an
+    option: Spark uncaches/invalidates plans of dropped tables."""
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS dus_scratch")
+    spark.sql(f"DROP TABLE IF EXISTS dus_scratch.{table}")
+    wh = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    shutil.rmtree(f"{wh}/dus_scratch.db/{table}", ignore_errors=True)
+
+
+
 @register("ddl_show_tables", oracle=None, tags=("ddl", "catalog", "show"))
 def ddl_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHOW TABLES over the registered star schema (catalog listing,
@@ -218,20 +235,8 @@ def ddl_create_database_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     TABLE / CTAS statement arms (sql/src/statement.rs CreateTable) over
     Spark's warehouse catalog. The oracle runs the same aggregate on the
     source tables, proving the CTAS materialization is lossless."""
-    import shutil
-    from urllib.parse import unquote, urlparse
-
     register_views(spark, sf_dir)
-    spark.sql("CREATE DATABASE IF NOT EXISTS dus_scratch")
-    # re-create per invocation; the managed table lives in the (ignored)
-    # spark-warehouse dir until the next run drops it — DROP-on-exit
-    # would invalidate the returned plan (Spark uncaches dropped tables).
-    # Also purge the LOCATION itself: the in-memory catalog forgets the
-    # table across sessions while its files persist, and CREATE TABLE
-    # refuses a managed location that already exists.
-    spark.sql("DROP TABLE IF EXISTS dus_scratch.region_counts")
-    wh = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
-    shutil.rmtree(f"{wh}/dus_scratch.db/region_counts", ignore_errors=True)
+    _fresh_scratch_location(spark, "region_counts")
     spark.sql(
         """
         CREATE TABLE dus_scratch.region_counts AS
@@ -284,14 +289,8 @@ def ddl_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-file statistics at listing time and exposes them to its
     optimizer; Spark persists them in the catalog). Surfaces the
     collected table + column stats via DESCRIBE EXTENDED."""
-    import shutil
-    from urllib.parse import unquote, urlparse
-
     register_views(spark, sf_dir)
-    spark.sql("CREATE DATABASE IF NOT EXISTS dus_scratch")
-    spark.sql("DROP TABLE IF EXISTS dus_scratch.nation_stats")
-    wh = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
-    shutil.rmtree(f"{wh}/dus_scratch.db/nation_stats", ignore_errors=True)
+    _fresh_scratch_location(spark, "nation_stats")
     spark.sql("CREATE TABLE dus_scratch.nation_stats AS SELECT * FROM nation")
     spark.sql("ANALYZE TABLE dus_scratch.nation_stats COMPUTE STATISTICS")
     spark.sql(
@@ -307,14 +306,8 @@ def ddl_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHOW PARTITIONS over a hive-partitioned managed table (the
     reference's ListingTable partition discovery, table.rs:922, exposed
     as a catalog listing)."""
-    import shutil
-    from urllib.parse import unquote, urlparse
-
     register_views(spark, sf_dir)
-    spark.sql("CREATE DATABASE IF NOT EXISTS dus_scratch")
-    spark.sql("DROP TABLE IF EXISTS dus_scratch.orders_parts")
-    wh = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
-    shutil.rmtree(f"{wh}/dus_scratch.db/orders_parts", ignore_errors=True)
+    _fresh_scratch_location(spark, "orders_parts")
     spark.sql(
         """
         CREATE TABLE dus_scratch.orders_parts

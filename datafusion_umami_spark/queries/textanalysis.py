@@ -236,21 +236,48 @@ register_sql(
 # --- PII redaction (training-data scrubbing) --------------------------------
 # Email / phone / SSN shaped patterns replaced with typed tokens; the
 # patterns use the RE2-compatible subset (character classes, counted
-# repetition) so Spark's Java regex and DuckDB's RE2 agree. Pure map,
-# codegen'd, zero shuffle.
+# repetition) so Spark's Java regex and DuckDB's RE2 agree. The fixture
+# text contains no PII-shaped substrings at any SF, so a deterministic
+# augmentation step (identical on both engines) plants real positives
+# on a doc_id-keyed subset — the regex parity is exercised on genuine
+# matches AND non-matches, not vacuously. Pure map, zero shuffle.
+_PII_AUG_SP = """
+      SELECT doc_id,
+             concat(text,
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat(' contact user', CAST(doc_id AS STRING),
+                                '@example.com now') ELSE '' END,
+               CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789 on file' ELSE '' END,
+               CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567 today' ELSE '' END)
+               AS text
+      FROM documents
+"""
+_PII_AUG_DU = """
+      SELECT doc_id,
+             concat(text,
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                                '@example.com now') ELSE '' END,
+               CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789 on file' ELSE '' END,
+               CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567 today' ELSE '' END)
+               AS text
+      FROM documents
+"""
+
 register_sql(
     "text_pii_redact",
-    r"""
-    WITH red AS (
+    rf"""
+    WITH aug AS ({_PII_AUG_SP}),
+    red AS (
       SELECT doc_id,
              regexp_replace(
                regexp_replace(
                  regexp_replace(text,
-                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>'),
-                 '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>'),
-               '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>') AS clean,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}', '<EMAIL>'),
+                 '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}', '<SSN>'),
+               '\\+?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}', '<PHONE>') AS clean,
              text
-      FROM documents)
+      FROM aug)
     SELECT doc_id,
            CAST(length(text) - length(clean) AS BIGINT) AS chars_removed,
            CAST(regexp_count(clean, '<EMAIL>') AS BIGINT) AS n_emails,
@@ -261,17 +288,18 @@ register_sql(
     ORDER BY doc_id
     LIMIT 1000
     """,
-    oracle=r"""
-    WITH red AS (
+    oracle=rf"""
+    WITH aug AS ({_PII_AUG_DU}),
+    red AS (
       SELECT doc_id,
              regexp_replace(
                regexp_replace(
                  regexp_replace(text,
-                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-                 '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
-               '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS clean,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
+                 '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}', '<SSN>', 'g'),
+               '\+?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}', '<PHONE>', 'g') AS clean,
              text
-      FROM documents)
+      FROM aug)
     SELECT doc_id,
            CAST(length(text) - length(clean) AS BIGINT) AS chars_removed,
            CAST(len(regexp_extract_all(clean, '<EMAIL>')) AS BIGINT) AS n_emails,
@@ -287,7 +315,9 @@ register_sql(
 
 
 # --- paragraph-level exact dedup (C4/RefinedWeb-style substring dedup) ------
-# Documents are split into sentence-ish units; a unit appearing in more
+# Documents are split into fixed 5-word chunks (the fixture has no
+# sentence punctuation, so word-window units are what repeats — 200+
+# spans recur across documents at every SF); a unit appearing in more
 # than one document is a repeated span. Output: the top repeated spans
 # with their document frequency and the keeper doc — the line-level
 # dedup pass that runs BEFORE document-level near-dup at corpus scale
@@ -295,17 +325,21 @@ register_sql(
 register_sql(
     "text_paragraph_dedup",
     r"""
-    WITH units AS (
-      SELECT doc_id, trim(u) AS unit
-      FROM documents
-      LATERAL VIEW explode(split(text, '\\.')) t AS u),
-    good AS (SELECT doc_id, unit FROM units WHERE length(unit) >= 20),
+    WITH w AS (SELECT doc_id, split(trim(text), '\\s+') AS ws FROM documents),
+    chunks AS (
+      SELECT doc_id, chunk
+      FROM w
+      LATERAL VIEW explode(
+        transform(sequence(0, greatest(size(ws) DIV 5 - 1, 0)),
+                  i -> concat_ws(' ', slice(ws, i * 5 + 1, 5)))) t AS chunk
+      WHERE size(ws) >= 5),
+    good AS (SELECT doc_id, chunk FROM chunks WHERE length(chunk) >= 20),
     spans AS (
-      SELECT md5(unit) AS span_hash,
-             MIN(unit) AS span_text,
+      SELECT md5(chunk) AS span_hash,
+             MIN(chunk) AS span_text,
              COUNT(DISTINCT doc_id) AS doc_freq,
              MIN(doc_id) AS keeper_doc
-      FROM good GROUP BY md5(unit))
+      FROM good GROUP BY md5(chunk))
     SELECT span_hash, span_text, doc_freq, keeper_doc
     FROM spans
     WHERE doc_freq >= 2
@@ -313,16 +347,20 @@ register_sql(
     LIMIT 500
     """,
     oracle=r"""
-    WITH units AS (
-      SELECT doc_id, trim(unnest(string_split(text, '.'))) AS unit
-      FROM documents),
-    good AS (SELECT doc_id, unit FROM units WHERE length(unit) >= 20),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, greatest(len(ws) // 5, 1)),
+                    i -> array_to_string(ws[i * 5 + 1 : i * 5 + 5], ' '))) AS chunk
+      FROM w WHERE len(ws) >= 5),
+    good AS (SELECT doc_id, chunk FROM chunks WHERE length(chunk) >= 20),
     spans AS (
-      SELECT md5(unit) AS span_hash,
-             MIN(unit) AS span_text,
+      SELECT md5(chunk) AS span_hash,
+             MIN(chunk) AS span_text,
              COUNT(DISTINCT doc_id) AS doc_freq,
              MIN(doc_id) AS keeper_doc
-      FROM good GROUP BY md5(unit))
+      FROM good GROUP BY md5(chunk))
     SELECT span_hash, span_text, doc_freq, keeper_doc
     FROM spans
     WHERE doc_freq >= 2

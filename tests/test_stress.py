@@ -176,7 +176,10 @@ def test_minhash_estimate_tracks_true_jaccard(spark, sf_dir):
         for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
     }
     assert est, "no candidate pairs at this SF; quality check is vacuous"
-    pairs_sql = ",".join(f"({a},{b})" for a, b in list(est)[:50])
+    # ALL pairs, deterministically ordered — a sampled subset would make
+    # the bound depend on collect() order; LEFT JOIN + coalesce keeps
+    # zero-intersection candidates (the worst-error pairs) in the MAE
+    pairs_sql = ",".join(f"({a},{b})" for a, b in sorted(est))
     truth = spark.sql(
         f"""
         WITH shingles AS ({_SP_SHINGLES}),
@@ -189,14 +192,19 @@ def test_minhash_estimate_tracks_true_jaccard(spark, sf_dir):
           JOIN s b ON b.doc_id = p.db AND a.shingle = b.shingle
           GROUP BY p.da, p.db),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id)
-        SELECT i.da, i.db,
-               CAST(i AS DOUBLE) / (na.n + nb.n - i) AS true_j
-        FROM inter i
-          JOIN sizes na ON na.doc_id = i.da
-          JOIN sizes nb ON nb.doc_id = i.db
+        SELECT p.da, p.db,
+               CAST(coalesce(i.i, 0) AS DOUBLE)
+                 / (na.n + nb.n - coalesce(i.i, 0)) AS true_j
+        FROM pairs p
+          LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+          JOIN sizes na ON na.doc_id = p.da
+          JOIN sizes nb ON nb.doc_id = p.db
         """
     ).collect()
-    assert truth, "intersection query returned nothing"
+    assert len(truth) == len(est), "truth query dropped candidate pairs"
     errs = [abs(est[(r.da, r.db)] - r.true_j) for r in truth]
     mae = sum(errs) / len(errs)
-    assert mae < 0.25, f"minhash estimate MAE {mae:.3f} over {len(errs)} pairs"
+    # full-set MAE at sf0.001 measures ~0.22; sampling std of an
+    # 8-component signature is <= 0.18, so 0.3 is a stable sanity bound
+    # that still catches broken permutations (MAE would approach 0.5)
+    assert mae < 0.3, f"minhash estimate MAE {mae:.3f} over {len(errs)} pairs"
