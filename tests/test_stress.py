@@ -208,3 +208,19 @@ def test_minhash_estimate_tracks_true_jaccard(spark, sf_dir):
     # 8-component signature is <= 0.18, so 0.3 is a stable sanity bound
     # that still catches broken permutations (MAE would approach 0.5)
     assert mae < 0.3, f"minhash estimate MAE {mae:.3f} over {len(errs)} pairs"
+
+
+def test_ansi_overflow_errors_like_reference(spark, sf_dir):
+    """Parity with the reference's checked arrow kernels: plain int64
+    arithmetic ERRORS on overflow under ANSI mode (the session default
+    here), and the try_* variants are the sanctioned NULL-tolerant path
+    (types_try_arithmetic covers those)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import ArithmeticException
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    with _pytest.raises((ArithmeticException, Py4JJavaError)):
+        spark.sql(
+            "SELECT CAST(9223372036854775807 AS BIGINT) + CAST(1 AS BIGINT)"
+        ).collect()
