@@ -316,3 +316,33 @@ def ddl_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("SHOW PARTITIONS dus_scratch.orders_parts")
+
+
+@register(
+    "ddl_schema_evolution",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'new',  CAST(NULL AS BIGINT)),
+      (CAST(2 AS BIGINT), 'new',  CAST(NULL AS BIGINT)),
+      (CAST(3 AS BIGINT), 'done', CAST(10 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'new',  CAST(20 AS BIGINT)))
+      AS t(id, status, score)
+    """,
+    tags=("ddl", "schema-evolution", "default-columns", "alter-table"),
+)
+def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution lifecycle: CREATE TABLE with a column DEFAULT,
+    INSERT omitting that column (default fills), ALTER TABLE ADD COLUMN
+    (old rows read NULL for the new column — parquet schema merging),
+    INSERT into the widened schema, and INSERT relying on the default
+    again. The oracle is the expected literal relation."""
+    _fresh_scratch_location(spark, "evolution")
+    spark.sql(
+        "CREATE TABLE dus_scratch.evolution "
+        "(id BIGINT, status STRING DEFAULT 'new') USING parquet"
+    )
+    spark.sql("INSERT INTO dus_scratch.evolution (id) VALUES (1), (2)")
+    spark.sql("ALTER TABLE dus_scratch.evolution ADD COLUMN score BIGINT")
+    spark.sql("INSERT INTO dus_scratch.evolution VALUES (3, 'done', 10)")
+    spark.sql("INSERT INTO dus_scratch.evolution (id, score) VALUES (4, 20)")
+    return spark.table("dus_scratch.evolution")
