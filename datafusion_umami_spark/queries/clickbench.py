@@ -177,3 +177,57 @@ register_sql(
     """,
     tags=("clickbench", "topk", "two-key"),
 )
+
+# CB q30-ish: wide multi-aggregate scan (many SUMs in one pass)
+register_sql(
+    "cb_wide_sums",
+    """
+    SELECT user_id % 25 AS ub,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c1,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) * 2) AS BIGINT) AS c2,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) % 97) AS BIGINT) AS c3,
+           CAST(SUM(length(event_type)) AS BIGINT) AS c4,
+           CAST(SUM(length(props)) AS BIGINT) AS c5,
+           CAST(SUM(event_id % 11) AS BIGINT) AS c6
+    FROM events
+    GROUP BY user_id % 25
+    """,
+    tags=("clickbench", "wide-agg"),
+)
+
+# CB q37-ish: string sort with LIMIT over a filtered scan
+register_sql(
+    "cb_string_sort_topk",
+    """
+    SELECT props, event_id
+    FROM events
+    WHERE event_type = 'purchase' AND value > 100.0
+    ORDER BY props DESC, event_id
+    LIMIT 25
+    """,
+    tags=("clickbench", "string-sort", "topk"),
+)
+
+# CB q34-ish: minute-grain time bucketing + ranked buckets
+register_sql(
+    "cb_minute_buckets",
+    """
+    SELECT date_trunc('minute', ts) AS minute,
+           COUNT(*) AS hits
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY date_trunc('minute', ts)
+    ORDER BY hits DESC, minute
+    LIMIT 20
+    """,
+    oracle="""
+    SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+           COUNT(*) AS hits
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY 1
+    ORDER BY hits DESC, minute
+    LIMIT 20
+    """,
+    tags=("clickbench", "time-bucket", "topk"),
+)

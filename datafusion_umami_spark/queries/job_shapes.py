@@ -83,3 +83,60 @@ register_sql(
     """,
     tags=("job", "join-order", "in-list"),
 )
+
+# OR-heavy predicate fences (JOB's disjunctive note-filters): the
+# optimizer must keep the equi-join keys clean while the ORs stay as
+# post-scan filters
+register_sql(
+    "job_or_fences",
+    """
+    SELECT MIN(o_orderdate) AS first_order,
+           MIN(c_name) AS first_customer,
+           COUNT(*) AS matches
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND (c_mktsegment = 'AUTOMOBILE' OR c_mktsegment = 'HOUSEHOLD')
+      AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+      AND (l_returnflag = 'A' OR l_linestatus = 'O')
+      AND (l_quantity < 5 OR l_quantity > 45)
+    """,
+    tags=("job", "or-predicates", "join-order"),
+)
+
+# anti-join fence: NOT EXISTS against a filtered dimension
+register_sql(
+    "job_antijoin_fence",
+    """
+    SELECT MIN(s_name) AS first_supplier,
+           COUNT(*) AS matches
+    FROM supplier s, lineitem l
+    WHERE s.s_suppkey = l.l_suppkey
+      AND l.l_discount > 0.09
+      AND NOT EXISTS (
+        SELECT 1 FROM nation n
+        WHERE n.n_nationkey = s.s_nationkey AND n.n_name LIKE '%UNITED%')
+    """,
+    tags=("job", "anti-join", "not-exists"),
+)
+
+# star with two filtered dimension arms on one fact table
+register_sql(
+    "job_star_two_arms",
+    """
+    SELECT MIN(c_name) AS first_customer,
+           MIN(s_name) AS first_supplier,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS matches
+    FROM lineitem, orders, customer, supplier, nation cn, nation sn
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = cn.n_nationkey
+      AND s_nationkey = sn.n_nationkey
+      AND cn.n_name = 'CHINA'
+      AND sn.n_name IN ('JAPAN', 'INDIA')
+      AND l_shipdate >= DATE '1995-06-01'
+    """,
+    tags=("job", "star", "two-arms"),
+)
