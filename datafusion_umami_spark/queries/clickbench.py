@@ -2,7 +2,7 @@
 benchmark suite (reference benchmarks/src/clickbench.rs:36-76,
 benchmarks/queries/clickbench/): web-analytics scan-heavy aggregations.
 
-Ten canonical shapes over the events table: top-K entities by distinct
+Thirteen canonical shapes over the events table: top-K entities by distinct
 users (CB q13-ish), quantile-grade numeric scan (q26-ish, exact here
 for the oracle), substring search + grouped count (q20-ish), global and
 grouped multi-COUNT(DISTINCT) (extended q0/q3), regex-extract + agg
