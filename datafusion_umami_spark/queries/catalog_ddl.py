@@ -346,3 +346,14 @@ def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("INSERT INTO dus_scratch.evolution VALUES (3, 'done', 10)")
     spark.sql("INSERT INTO dus_scratch.evolution (id, score) VALUES (4, 20)")
     return spark.table("dus_scratch.evolution")
+
+
+@register("ddl_show_functions", oracle=None, tags=("ddl", "catalog", "functions"))
+def ddl_show_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW FUNCTIONS — the function-registry listing (the reference
+    exposes its registry through information_schema.routines,
+    catalog/src/information_schema.rs); filtered to a stable sample of
+    names every build ships."""
+    return spark.sql("SHOW FUNCTIONS").filter(
+        F.col("function").isin("sum", "avg", "concat", "array_sort", "percentile")
+    )

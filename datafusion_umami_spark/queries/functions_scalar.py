@@ -457,3 +457,24 @@ def fn_math_gcd_lcm(spark, sf_dir):
         gcd_col(F.col("p_partkey") + 4, F.col("p_size").cast("bigint") * 3).alias("g"),
         lcm_col(F.col("p_size"), (F.col("p_partkey") % 7) + 1).alias("l"),
     )
+
+
+# --- LIKE ANY / LIKE ALL quantified pattern matching ------------------------
+register_sql(
+    "fn_like_any_all",
+    """
+    SELECT c_custkey, c_name,
+           c_mktsegment LIKE ANY ('%ING%', '%HOLD%') AS seg_any,
+           c_name LIKE ALL ('Customer%', '%0%') AS name_all
+    FROM customer
+    WHERE c_custkey < 200
+    """,
+    oracle="""
+    SELECT c_custkey, c_name,
+           (c_mktsegment LIKE '%ING%' OR c_mktsegment LIKE '%HOLD%') AS seg_any,
+           (c_name LIKE 'Customer%' AND c_name LIKE '%0%') AS name_all
+    FROM customer
+    WHERE c_custkey < 200
+    """,
+    tags=("scalar", "like-any-all", "pattern"),
+)

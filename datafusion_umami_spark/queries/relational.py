@@ -291,3 +291,18 @@ register_sql(
     tags=("sort", "multi-column", "topk-large"),
     bench=True,
 )
+
+
+# --- lateral column alias: later select-items reference earlier aliases ----
+register_sql(
+    "proj_lateral_column_alias",
+    """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           cents * 2 AS cents_x2,
+           cents_x2 + o_orderkey AS keyed
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    tags=("projection", "lateral-alias"),
+)
