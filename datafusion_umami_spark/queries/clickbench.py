@@ -8,9 +8,10 @@ for the oracle), substring search + grouped count (q20-ish), global and
 grouped multi-COUNT(DISTINCT) (extended q0/q3), regex-extract + agg
 over wide strings (q28), IN-heavy filter stacks with OFFSET pagination
 (q40), primary-key point lookup (q19), stats + HAVING ranked by spread
-(extended q4), and two-key top-k by count (q16/q33).  All scan→agg→topk:
-zero joins, map-side partial aggs, TakeOrderedAndProject — the plans
-that must stay scan-bound at 100 TB.
+(extended q4), two-key top-k by count (q16/q33), wide multi-SUM scan
+(q30), filtered string sort (q37), and minute-grain time buckets (q34).
+All scan→agg→topk: zero joins, map-side partial aggs,
+TakeOrderedAndProject — the plans that must stay scan-bound at 100 TB.
 """
 
 from __future__ import annotations
@@ -212,7 +213,7 @@ register_sql(
 register_sql(
     "cb_minute_buckets",
     """
-    SELECT date_trunc('minute', ts) AS minute,
+    SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP_NTZ) AS minute,
            COUNT(*) AS hits
     FROM events
     WHERE event_type IN ('click', 'view')

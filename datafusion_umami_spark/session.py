@@ -27,6 +27,10 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # pinned, not inherited: overflow/try_* semantics across the whole
+    # suite depend on ANSI mode (the reference's kernels are checked),
+    # so an environment override must not silently flip it
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
