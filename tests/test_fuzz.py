@@ -24,7 +24,7 @@ import pytest
 from datafusion_umami_spark.oracle import canonical_rows
 from datafusion_umami_spark.tables import register_views
 
-N_CASES = 24
+N_CASES = 32
 
 _TABLES = {
     "lineitem": {
@@ -71,12 +71,69 @@ _TABLES = {
 }
 
 
+# equi-join shapes: (left, right, condition, group keys, exact aggs,
+# predicate pool drawn from both sides)
+_JOINS = [
+    (
+        "customer",
+        "orders",
+        "c_custkey = o_custkey",
+        ["c_mktsegment", "o_orderstatus", "c_nationkey"],
+        [
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents",
+            "COUNT(DISTINCT o_orderpriority) AS n_prio",
+            "MIN(o_orderdate) AS first_date",
+        ],
+        ["c_acctbal > 0", "o_totalprice > 50000.0", "o_orderstatus IN ('O', 'F')"],
+    ),
+    (
+        "orders",
+        "lineitem",
+        "o_orderkey = l_orderkey",
+        ["o_orderstatus", "l_returnflag", "l_linestatus"],
+        [
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents",
+            "COUNT(DISTINCT l_suppkey) AS n_supps",
+            "MAX(l_shipdate) AS last_ship",
+        ],
+        [
+            "o_totalprice > 80000.0",
+            "l_quantity > 10",
+            "l_shipdate >= DATE '1995-01-01'",
+        ],
+    ),
+]
+
+
 def _gen_case(rng: random.Random) -> str:
+    roll = rng.random()
+    if roll < 0.15:  # equi-join + aggregate
+        left, right, cond, keys, aggs, preds = rng.choice(_JOINS)
+        where = " AND ".join([cond] + rng.sample(preds, k=rng.randint(1, 2)))
+        ks = rng.sample(keys, k=rng.randint(1, 2))
+        ags = rng.sample(aggs, k=rng.randint(1, 2))
+        key_aliases = [f"{k} AS k{i}" for i, k in enumerate(ks)]
+        return (
+            f"SELECT {', '.join(key_aliases)}, COUNT(*) AS cnt, {', '.join(ags)} "
+            f"FROM {left}, {right} WHERE {where} GROUP BY {', '.join(ks)}"
+        )
+    if roll < 0.3:  # ranked window per group (unique tie-break, capped)
+        part = rng.choice(["o_custkey % 13", "o_orderstatus"])
+        k = rng.choice([2, 3])
+        pred = rng.choice(_TABLES["orders"]["preds"])
+        return (
+            f"SELECT o_orderkey, o_custkey, rn FROM ("
+            f"  SELECT o_orderkey, o_custkey,"
+            f"         ROW_NUMBER() OVER (PARTITION BY {part}"
+            f"           ORDER BY o_totalprice DESC, o_orderkey) AS rn"
+            f"  FROM orders WHERE {pred}) t "
+            f"WHERE rn <= {k} ORDER BY o_orderkey LIMIT 300"
+        )
     tname = rng.choice(sorted(_TABLES))
     t = _TABLES[tname]
     preds = rng.sample(t["preds"], k=rng.randint(1, 3))
     where = " AND ".join(preds)
-    if rng.random() < 0.7:
+    if roll < 0.8:
         keys = rng.sample(t["keys"], k=rng.randint(1, 2))
         aggs = rng.sample(t["aggs"], k=rng.randint(1, 3))
         key_aliases = [f"{k} AS k{i}" for i, k in enumerate(keys)]
