@@ -30,6 +30,9 @@ def date_bin(ts: Column | str, stride_seconds: int, origin: str = "1970-01-01 00
     `make_timestamp(o + (epoch_us(ts) - o) // s * s)`.
     """
     c = F.col(ts) if isinstance(ts, str) else ts
+    # unix_micros requires TIMESTAMP (LTZ); events ts is TIMESTAMP_NTZ.
+    # Session TZ is pinned UTC, so the cast is wall-clock exact.
+    c = c.cast("timestamp")
     origin_dt = datetime.datetime.fromisoformat(origin)
     origin_us = int(origin_dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
     stride_us = stride_seconds * 1_000_000

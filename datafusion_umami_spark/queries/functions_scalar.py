@@ -230,7 +230,7 @@ register_sql(
            CAST(quarter(ts) AS BIGINT) AS q,
            CAST(weekofyear(ts) AS BIGINT) AS woy,
            CAST(to_date(ts) AS DATE) AS dt,
-           CAST(unix_micros(ts) AS BIGINT) AS us
+           CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
     FROM events WHERE event_id < 150
     """,
     oracle="""

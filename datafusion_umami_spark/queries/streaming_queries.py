@@ -200,7 +200,13 @@ def stream_stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
         for pdf in pdfs:
             count += len(pdf)
             if len(pdf):
-                last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+                # as_unit("ns"): Arrow may hand pandas a datetime64[us]
+                # series whose Timestamp.value is unit-relative — pin ns
+                # explicitly, then truncate to µs
+                last_us = max(
+                    last_us,
+                    int(pd.Timestamp(pdf["ts"].max()).as_unit("ns").value // 1000),
+                )
         state.update((count, last_us))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [count], "last_seen_us": [last_us]}

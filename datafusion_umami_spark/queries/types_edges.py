@@ -77,7 +77,8 @@ register_sql(
     "types_time_of_day_shim",
     """
     SELECT event_id,
-           unix_micros(ts) - unix_micros(date_trunc('DAY', ts)) AS time_of_day_us,
+           unix_micros(CAST(ts AS TIMESTAMP))
+             - unix_micros(CAST(date_trunc('DAY', ts) AS TIMESTAMP)) AS time_of_day_us,
            hour(ts) AS h, minute(ts) AS m, second(ts) AS s
     FROM events
     WHERE event_id < 500
@@ -120,7 +121,7 @@ register_sql(
     "types_timestamp_precision",
     """
     SELECT event_id, ts,
-           unix_micros(ts) AS us,
+           unix_micros(CAST(ts AS TIMESTAMP)) AS us,
            CAST(date_trunc('MILLISECOND', ts) AS TIMESTAMP) AS ts_ms,
            CAST(date_trunc('SECOND', ts) AS TIMESTAMP) AS ts_s
     FROM events

@@ -16,28 +16,41 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_EVENTS_SCHEMA = (
+_EVENTS_SCHEMA_NS = (
     "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+_EVENTS_SCHEMA_US = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
     "event_type string, value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`spark.readStream` over the events parquet (StreamingTableExec
-    parity).  ts is parquet timestamp[ns] surfaced as long via
+    parity).  ts encoding varies by generator version (see tables.py):
+    parquet timestamp[ns] is surfaced as long via
     `spark.sql.legacy.parquet.nanosAsLong` and truncated to µs exactly
-    (integer division), matching the batch loader in tables.py."""
+    (integer division); native timestamp[us] is taken as-is.  Both
+    normalize to TIMESTAMP (LTZ — `withWatermark` rejects NTZ event
+    time; session TZ is pinned UTC so wall-clock equals the batch
+    loader's NTZ).  A one-file batch probe picks the schema — imposing
+    the bigint schema on µs data would silently misread values 1000×
+    compressed."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ns_encoded = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"] == "bigint"
     # FileStreamSource wants a directory; events.parquet is a single file,
     # so stream the directory with a glob filter (on a real deployment the
     # path would be a growing directory of files).
     sdf = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(_EVENTS_SCHEMA_NS if ns_encoded else _EVENTS_SCHEMA_US)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ns_encoded:
+        return sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_to_memory(

@@ -41,13 +41,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is parquet timestamp[ns], surfaced as LongType via
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to µs exactly with
-        # integer division (double division would lose precision: epoch-ns
-        # ~1.7e18 > 2^53). Matches DuckDB's ns→µs truncation.
+        # ts encoding varies by generator version: parquet timestamp[ns]
+        # (surfaced as LongType via nanosAsLong — truncate to µs with
+        # integer division; double division would lose precision, epoch-ns
+        # ~1.7e18 > 2^53) or native timestamp[us]. Either way normalize to
+        # TIMESTAMP_NTZ so the Arrow schema matches DuckDB's naive
+        # timestamps (session TZ pinned UTC ⇒ identical wall-clock).
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 
