@@ -1,37 +1,188 @@
 """Operator-coverage query modules. Importing this package registers
 every query into `datafusion_umami_spark.registry.REGISTRY`.
 
-IMPORT ORDER IS LOAD-BEARING: the driver's correctness sweep walks the
-registry in registration (= import) order under a budget, so modules
-that were unverified in round 1 come first (TPC-H, joins, windows,
-subqueries), then the rest of SURVEY.md §2, then the LLM-pipeline and
-streaming modules whose queries are individually slower.
+REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness sweep walks
+the registry in insertion order under a ~50-query/round budget.  Rounds 1
+and 2 proved 100 distinct queries (r1 ∩ r2 = ∅); to stop the sweep from
+re-proving the same queries, `_reorder_for_sweep()` below rebuilds the
+REGISTRY dict after all modules import:
+
+  1. `SWEEP_PRIORITY` names first (explicit, highest-value unproven work:
+     the fixed round-1 canonicalizer FAILs, then set ops / relational /
+     scalar-function surfaces that have never had a driver row);
+  2. queries whose latest recorded driver row FAILED (need re-proof);
+  3. queries with no driver row in any `CORRECTNESS_r*.json`, in module
+     import order;
+  4. queries already proven green, last.
+
+This is self-maintaining: each round's driver artifact is read from the
+repo root, so round N+1 automatically pushes round N's greens to the back
+and pulls any new failures to the front — no manual rotation needed.
 """
 
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
 from datafusion_umami_spark.queries import (  # noqa: F401
-    tpch,
-    joins,
-    windows,
-    subqueries,
     aggregates,
     functions_nested,
-    dedup,
+    subqueries,
     relational,
     functions_scalar,
-    sources_sinks,
     json_funcs,
     types_edges,
+    sources_sinks,
     udfs,
     recursive,
+    dedup,
     h2o,
     clickbench,
+    tpcds_shapes,
     job_shapes,
     catalog_ddl,
     dataframe_ops,
-    bucketing,
-    asof,
     simsearch,
     textanalysis,
     multimodal,
     streaming_queries,
+    tpch,
+    joins,
+    windows,
+    bucketing,
+    asof,
 )
+
+# Explicit front of the sweep queue (only names not yet proven green are
+# pulled forward; proven ones are skipped by the classifier below).
+SWEEP_PRIORITY: tuple[str, ...] = (
+    # round-1 driver FAILs (canonicalizer crash on list output), fixed
+    # locally by stringifying — need a green driver row to close them out
+    "agg_array_agg_sorted",
+    "arr_literal_setops",
+    "map_struct_ops",
+    # never-swept aggregate surface
+    "agg_weighted_percentile",
+    "agg_filter_clause",
+    "agg_group_by_all",
+    # connected-components rewritten to min-label propagation this round
+    "dedup_connected_components",
+    # first-ever streaming driver evidence (§2.11)
+    "stream_stateful_user_sessions",
+    "stream_stream_interval_join",
+    # nested/map surface
+    "unnest_struct_inline",
+    "map_entries_values",
+    "map_higher_order",
+    "arr_append_prepend_insert",
+    # remaining subquery shapes
+    "subq_in_correlated_filter",
+    "subq_lateral_topn",
+    "subq_exists_correlated_agg",
+    # new TPC-DS-shaped corpus (≥1 driver row this round)
+    "tpcds_rollup_rank",
+    "tpcds_share_of_total",
+    # set operations (§2.7 — zero driver rows after two rounds)
+    "union_all",
+    "union_distinct",
+    "union_by_name",
+    "intersect_distinct",
+    "intersect_all",
+    "except_distinct",
+    "except_all",
+    # core relational operators
+    "proj_expressions",
+    "filter_predicates",
+    "filter_like_ilike",
+    "proj_lateral_column_alias",
+    "sort_limit_topk",
+    "limit_offset",
+    "sort_nulls_ordering",
+    "sort_multicol_large",
+    "distinct_pairs",
+    "distinct_on_first_line",
+    "values_literal",
+    "placeholder_one_row",
+    "empty_relation",
+    "range_series",
+    "date_series",
+    # scalar function library (§2.8 — zero driver rows after two rounds)
+    "fn_string_basic",
+    "fn_string_predicates",
+    "fn_unicode_pad_extract",
+    "fn_string_set_index",
+    "fn_like_any_all",
+    "fn_regex",
+    "fn_math_exact",
+    "fn_math_transcendental",
+    "fn_math_gcd_lcm",
+    "fn_conditional",
+    "fn_datetime_parts",
+    "fn_datetime_arith",
+    "fn_datetime_make_parse",
+    "fn_date_bin",
+    "fn_crypto_encoding",
+    "fn_uuid_shape",
+    # JSON surface
+    "json_extract_agg",
+    "json_from_json_struct",
+    "json_to_json_roundtrip",
+    "json_tuple_arrays",
+    "json_variant_ops",
+)
+
+
+def _driver_history() -> tuple[set[str], set[str]]:
+    """(green, failed) query names across all CORRECTNESS_r*.json artifacts.
+
+    green  = some round recorded a pass (hash match, or a rows-only check
+             that produced rows for an oracle-less spec);
+    failed = latest record for the name was not a pass.
+    """
+    root = Path(__file__).resolve().parents[2]
+    green: set[str] = set()
+    latest: dict[str, bool] = {}  # name -> last-seen row passed?
+    for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(artifact.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = bool(rec.get("hash_match")) or (
+                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            )
+            latest[name] = ok
+            if ok:
+                green.add(name)
+    failed = {name for name, ok in latest.items() if not ok and name not in green}
+    return green, failed
+
+
+def _reorder_for_sweep() -> None:
+    from datafusion_umami_spark.registry import REGISTRY
+
+    green, failed = _driver_history()
+    names = list(REGISTRY)
+    rank: dict[str, tuple[int, int]] = {}
+    prio = {n: i for i, n in enumerate(SWEEP_PRIORITY)}
+    for pos, name in enumerate(names):
+        if name in prio and name not in green:
+            rank[name] = (0, prio[name])
+        elif name in failed:
+            rank[name] = (1, pos)
+        elif name not in green:
+            rank[name] = (2, pos)
+        else:
+            rank[name] = (3, pos)
+    ordered = sorted(names, key=rank.__getitem__)
+    snapshot = {name: REGISTRY[name] for name in ordered}
+    REGISTRY.clear()
+    REGISTRY.update(snapshot)
+
+
+_reorder_for_sweep()

@@ -1,0 +1,174 @@
+"""TPC-DS-shaped planning queries adapted to the driver star schema.
+
+The reference plans all 99 TPC-DS queries as a planning-regression corpus
+(reference core/tests/tpcds_planning.rs); every individual operator they
+exercise is covered elsewhere in this repo, so these six shapes close the
+corpus-family gap with the *combinations* TPC-DS is known for:
+
+- q67: ROLLUP over a multi-join with in-group ranking
+- q36: windowed share-of-total (ratio to PARTITION BY sum)
+- q71: cross-channel UNION ALL feeding one aggregation
+- q34: frequent-buyer HAVING band joined back to the dimension
+- q88: many filter-band scalar-subquery counts in a single row
+- q75: year-over-year delta via LAG over a yearly rollup
+
+Determinism: money through integer cents (`round(x*100)` → BIGINT sum),
+ratios as exact-int divisions rounded to 6 places, EXTRACT(YEAR) cast to
+BIGINT on both sides (Spark's year() is int32, DuckDB's int64).
+All outputs carry a total-order ORDER BY.
+
+At 100 TB: every shape is join→partial-agg→final-agg or window-over-agg;
+dimension joins (nation/region/customer-band) broadcast, rollups add one
+extra exchange per grouping set column, windows partition on low-card
+keys AFTER aggregation so the window input is already tiny.
+"""
+
+from __future__ import annotations
+
+from datafusion_umami_spark.registry import register_sql
+
+# q67-ish: revenue rollup over a 4-way join, ranked within each nation.
+register_sql(
+    "tpcds_rollup_rank",
+    """
+    WITH sales AS (
+        SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+               CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY ROLLUP(n.n_name, o.o_orderpriority)
+    )
+    SELECT COALESCE(nation, 'ALL') AS nation,
+           COALESCE(priority, 'ALL') AS priority,
+           rev_cents,
+           RANK() OVER (PARTITION BY nation
+                        ORDER BY rev_cents DESC, priority) AS rnk
+    FROM sales
+    ORDER BY nation, priority
+    LIMIT 500
+    """,
+    tags=("tpcds", "rollup", "window", "multi-join"),
+)
+
+# q36-ish: nation revenue as a share of its region's total + in-region rank.
+register_sql(
+    "tpcds_share_of_total",
+    """
+    WITH nat AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, rev_cents,
+           ROUND(CAST(rev_cents AS DOUBLE)
+                 / SUM(rev_cents) OVER (PARTITION BY region), 6) AS share,
+           RANK() OVER (PARTITION BY region
+                        ORDER BY rev_cents DESC, nation) AS rnk
+    FROM nat
+    ORDER BY region, rnk, nation
+    """,
+    tags=("tpcds", "window", "share-of-total"),
+)
+
+# q71-ish: three event "channels" unioned, aggregated as one relation.
+register_sql(
+    "tpcds_cross_channel_union",
+    """
+    WITH channels AS (
+        SELECT 'web' AS channel, user_id % 100 AS cust_band,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT 'store' AS channel, user_id % 100 AS cust_band,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'catalog' AS channel, user_id % 100 AS cust_band,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT channel, cust_band,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents,
+           COUNT(*) AS n
+    FROM channels
+    GROUP BY channel, cust_band
+    ORDER BY channel, cust_band
+    LIMIT 500
+    """,
+    tags=("tpcds", "union", "cross-channel"),
+)
+
+# q34-ish: order-count band (HAVING BETWEEN) joined back to the dimension.
+register_sql(
+    "tpcds_frequent_buyers",
+    """
+    WITH cnt AS (
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) BETWEEN 8 AND 12
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, cnt.n_orders
+    FROM cnt
+    JOIN customer c ON cnt.o_custkey = c.c_custkey
+    ORDER BY cnt.n_orders DESC, c.c_custkey
+    LIMIT 100
+    """,
+    tags=("tpcds", "having-band", "join-back"),
+)
+
+# q88-ish: one output row of independent filter-band counts (each a
+# scalar subquery; Spark plans them as parallel aggs joined on nothing).
+register_sql(
+    "tpcds_band_counts",
+    """
+    SELECT
+        CAST((SELECT COUNT(*) FROM lineitem
+              WHERE l_quantity BETWEEN 1 AND 10) AS BIGINT) AS band_01_10,
+        CAST((SELECT COUNT(*) FROM lineitem
+              WHERE l_quantity BETWEEN 11 AND 20) AS BIGINT) AS band_11_20,
+        CAST((SELECT COUNT(*) FROM lineitem
+              WHERE l_quantity BETWEEN 21 AND 30) AS BIGINT) AS band_21_30,
+        CAST((SELECT COUNT(*) FROM lineitem
+              WHERE l_quantity BETWEEN 31 AND 40) AS BIGINT) AS band_31_40,
+        CAST((SELECT COUNT(*) FROM lineitem
+              WHERE l_quantity BETWEEN 41 AND 50) AS BIGINT) AS band_41_50,
+        CAST((SELECT COUNT(*) FROM orders
+              WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent_orders
+    """,
+    tags=("tpcds", "scalar-subquery", "band-counts"),
+)
+
+# q75-ish: year-over-year revenue ratio per priority via LAG.
+register_sql(
+    "tpcds_yoy_growth",
+    """
+    WITH yearly AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               o_orderpriority AS priority,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders
+        GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+                 o_orderpriority
+    )
+    SELECT yr, priority, rev_cents,
+           LAG(rev_cents) OVER (PARTITION BY priority ORDER BY yr)
+               AS prev_cents,
+           ROUND(CAST(rev_cents AS DOUBLE) /
+                 LAG(rev_cents) OVER (PARTITION BY priority ORDER BY yr),
+                 6) AS yoy_ratio
+    FROM yearly
+    ORDER BY priority, yr
+    LIMIT 500
+    """,
+    tags=("tpcds", "window", "yoy"),
+)
