@@ -397,53 +397,46 @@ register_sql(
       SELECT da, db FROM ({_DU_MINHASH_PAIRS}) q WHERE est_jaccard >= 0.5),
     edges AS (SELECT da, db FROM p UNION ALL SELECT db, da FROM p),
     nodes AS (SELECT DISTINCT da AS n FROM edges),
-    reach(n, m) AS (
+    prop(n, l) AS (
       SELECT n, n FROM nodes
       UNION
-      SELECT r.n, e.db FROM reach r JOIN edges e ON r.m = e.da)
-    SELECT CAST(n AS BIGINT) AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY n
+      SELECT e.db, pr.l FROM prop pr JOIN edges e ON pr.n = e.da
+      WHERE pr.l < e.db)
+    SELECT CAST(n AS BIGINT) AS doc_id, CAST(MIN(l) AS BIGINT) AS cluster_id
+    FROM prop GROUP BY n
     """,
     tags=("dedup", "clustering", "connected-components", "llm-pipeline"),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster assignment for near-dup groups: transitive closure over
-    the MinHash candidate pairs (est_jaccard >= 0.5), each document
-    labeled with the smallest doc_id reachable from it — the keeper-
-    selection step every dedup pipeline runs after pair generation
-    (keep cluster_id, drop the rest).  Closure via the same fixpoint
-    operator as WITH RECURSIVE (reference recursive_query.rs); the
-    DuckDB oracle is a native recursive CTE.
+    """Cluster assignment for near-dup groups: each document in the
+    MinHash candidate graph (est_jaccard >= 0.5) labeled with the
+    smallest doc_id in its connected component — the keeper-selection
+    step every dedup pipeline runs after pair generation (keep
+    cluster_id, drop the rest).
 
-    Scale: per iteration one equi-join of the frontier against the
-    (checkpointed) edge list — the frontier shrinks as the closure
-    saturates; cluster diameter bounds the iteration count.  For
-    web-scale graphs swap in large-star/small-star label propagation;
-    the per-iteration plan is the same shuffle-join shape."""
-    from datafusion_umami_spark.operators.recursive import recursive_cte
+    Spark side: alternating large-star/small-star label propagation
+    (operators/connected_components.py) — per-round work bounded by the
+    CURRENT edge count, O(log n) rounds; never materializes
+    (node, reachable-node) pairs, so 10⁵–10⁷-member boilerplate
+    clusters at 100 TB stay linear instead of quadratic.  Replaces the
+    reference's WITH RECURSIVE closure semantics (reference
+    physical-plan/src/recursive_query.rs:58) with an equivalent
+    fixpoint whose result is identical: min reachable id.
+
+    DuckDB oracle: min-label fixpoint as a recursive CTE — a label l
+    propagates along an edge only while l < target id, so the state
+    stays decreasing-labels-only (the min label always wins; every
+    intermediate node on a path from the component min has a larger
+    id, so propagation never stalls)."""
+    from datafusion_umami_spark.operators.connected_components import (
+        connected_components,
+    )
     from datafusion_umami_spark.tables import register_views
 
     register_views(spark, sf_dir)
     pairs = spark.sql(
         f"SELECT da, db FROM ({_SP_MINHASH_PAIRS}) p WHERE est_jaccard >= 0.5"
     )
-    # checkpoint: the edge list is re-joined every iteration; toDF gives
-    # the frame fresh attribute ids (joining the checkpointed frame
-    # against subtract() output under its original ids trips an
-    # optimizer attribute-resolution bug in Spark 4.1)
-    edges = (
-        pairs.union(pairs.selectExpr("db AS da", "da AS db"))
-        .localCheckpoint(eager=True)
-        .toDF("src", "dst")
-    )
-    seed = edges.selectExpr("src AS n", "src AS m").distinct()
-
-    def step(delta: DataFrame) -> DataFrame:
-        return delta.join(edges, delta["m"] == edges["src"]).select(
-            delta["n"], edges["dst"].alias("m")
-        )
-
-    closure = recursive_cte(seed, step, distinct=True)
-    return closure.groupBy("n").agg(F.min("m").alias("cluster_id")).select(
+    return connected_components(pairs).select(
         F.col("n").alias("doc_id"), "cluster_id"
     )

@@ -224,3 +224,37 @@ def test_ansi_overflow_errors_like_reference(spark, sf_dir):
         spark.sql(
             "SELECT CAST(9223372036854775807 AS BIGINT) + CAST(1 AS BIGINT)"
         ).collect()
+
+
+def test_connected_components_work_bounded_by_edges(spark):
+    """large-star/small-star stays O(|E|) per round (never the O(n²) a
+    transitive closure would materialize) and converges in O(log n)
+    rounds even on the worst case for plain min-propagation: a long
+    path, where closure would build ~n²/2 (node, reachable) pairs."""
+    from datafusion_umami_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    n = 256
+    path = [(i, i + 1) for i in range(n - 1)]  # one component, diameter n
+    ring = [(1000 + i, 1000 + (i + 1) % 40) for i in range(40)]
+    edges = spark.createDataFrame(path + ring, "a long, b long")
+    stats: dict = {}
+    got = {r["n"]: r["cluster_id"] for r in connected_components(edges, stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)} | {1000 + i: 1000 for i in range(40)}
+    n_edges = len(path) + len(ring)
+    assert stats["max_edges"] <= 2 * n_edges, stats  # linear in |E|, not n²
+    assert stats["iterations"] <= 16, stats  # ~log2(n), not diameter
+
+
+def test_connected_components_matches_duckdb_min_label(spark, duck, sf_dir):
+    """The Spark star-contraction fixpoint and the DuckDB min-label
+    recursive CTE agree on the real MinHash candidate graph."""
+    from datafusion_umami_spark.oracle import compare_frames
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    spec = REGISTRY["dedup_connected_components"]
+    got = spec.fn(spark, sf_dir).toPandas()
+    r = compare_frames(spec.name, got, duck.execute(spec.oracle).df())
+    assert r.ok, r.detail
