@@ -38,21 +38,27 @@ def main() -> None:
 
     specs = bench_queries()
     times: dict[str, float] = {}
+    iters: dict[str, list[float]] = {}
     for name, spec in sorted(specs.items()):
         spec.fn(spark, sf_dir).toPandas()  # warmup, untimed
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(N_ITERS):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).toPandas()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
-        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+            runs.append(round(time.perf_counter() - t0, 4))
+        times[name] = min(runs)
+        iters[name] = runs
+        spread = max(runs) - min(runs)
+        print(f"# {name}: {times[name]:.3f}s (spread {spread:.3f}s)", file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
+        # every measured iteration per query (best-of is `queries`) so a
+        # round-over-round delta can be attributed to noise vs plan change
+        "query_iters": iters,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -93,5 +93,7 @@ def asof_join(
     )
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"_asof.{c}").alias(c) for c in right_payload],
+        # getField: access by literal field name, so payload columns
+        # containing dots/backticks resolve correctly (no path parsing)
+        *[F.col("_asof").getField(c).alias(c) for c in right_payload],
     )

@@ -109,7 +109,7 @@ register_sql(
     "h2o_groupby_corr2",
     """
     SELECT user_id % 5 AS ug,
-           ROUND(POWER(CORR(value, CAST(event_id AS DOUBLE)), 2), 6) AS r2
+           ROUND(POWER(CORR(value, CAST(event_id AS DOUBLE)), 2), 4) AS r2
     FROM events
     GROUP BY user_id % 5
     """,

@@ -466,8 +466,10 @@ def csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(p)
     )
     # collect() forces every column to parse; a bare count() would prune
-    # all columns, skip type conversion, and never detect the bad row
-    n_drop = len(drop.collect())
+    # all columns, skip type conversion, and never detect the bad row.
+    # limit() bounds the driver transfer: the demo file is 4 rows, so a
+    # misconfigured path can't flood the driver
+    n_drop = len(drop.limit(1000).collect())
     return spark.createDataFrame(
         [("permissive", n_perm, n_corrupt), ("dropmalformed", n_drop, 0)],
         "mode string, n_rows long, n_corrupt long",

@@ -214,6 +214,10 @@ def read_avro(path: str) -> tuple[list[tuple[str, AvroType]], list[tuple]]:
     rows: list[tuple] = []
     while r.pos < len(r.data):
         count = r.read_long()
+        # spec-compliant writers may emit a negative count (abs value)
+        # followed by the byte size — mirror the metadata-map handling
+        if count < 0:
+            count = -count
         r.read_long()  # block byte length (unused: null codec)
         for _ in range(count):
             rows.append(tuple(r.read_value(typ) for _, typ in fields))

@@ -211,8 +211,8 @@ def test_avro_roundtrip_property(rows, tmp_path_factory):
 @given(
     pairs=st.lists(
         st.tuples(
-            st.integers(min_value=-(2**62), max_value=2**62),
-            st.integers(min_value=-(2**62), max_value=2**62),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
         ),
         min_size=1,
         max_size=40,
@@ -220,14 +220,49 @@ def test_avro_roundtrip_property(rows, tmp_path_factory):
 )
 def test_gcd_fold_matches_math_gcd(pairs, spark):
     """The Catalyst Euclid fold equals math.gcd across the full int64
-    range (the 92-iteration bound covers worst-case Fibonacci pairs)."""
+    range (the 92-iteration bound covers worst-case Fibonacci pairs;
+    LONG_MIN is pre-reduced before abs — only pairs whose gcd is 2^63
+    itself, which int64 cannot represent, are excluded here and raise)."""
     from datafusion_umami_spark.functions.math_extra import gcd_col
 
+    LONG_MIN = -(2**63)
+    pairs = [
+        (a, b)
+        for a, b in pairs
+        if not (a == LONG_MIN and b in (0, LONG_MIN))
+        and not (b == LONG_MIN and a == 0)
+    ]
+    if not pairs:
+        return
     df = spark.createDataFrame(pairs, "a long, b long").select(
         "a", "b", gcd_col("a", "b").alias("g")
     )
     for row in df.collect():
         assert row.g == math.gcd(row.a, row.b), (row.a, row.b, row.g)
+
+
+def test_gcd_long_min_edges(spark):
+    """Deterministic LONG_MIN coverage: representable gcds are exact;
+    the two unrepresentable pairs raise under ANSI instead of silently
+    wrapping (checked-kernel parity)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import ArithmeticException
+
+    from datafusion_umami_spark.functions.math_extra import gcd_col
+
+    LONG_MIN = -(2**63)
+    ok_pairs = [(LONG_MIN, 5), (7, LONG_MIN), (LONG_MIN, 2**62), (LONG_MIN, -3)]
+    df = spark.createDataFrame(ok_pairs, "a long, b long").select(
+        "a", "b", gcd_col("a", "b").alias("g")
+    )
+    for row in df.collect():
+        assert row.g == math.gcd(row.a, row.b), (row.a, row.b, row.g)
+    for bad in [(LONG_MIN, 0), (LONG_MIN, LONG_MIN)]:
+        with _pytest.raises((ArithmeticException, Py4JJavaError)):
+            spark.createDataFrame([bad], "a long, b long").select(
+                gcd_col("a", "b").alias("g")
+            ).collect()
 
 
 @settings(max_examples=30, deadline=None)
