@@ -232,3 +232,245 @@ register_sql(
     """,
     tags=("clickbench", "time-bucket", "topk"),
 )
+
+# ---------------------------------------------------------------------------
+# Round-3 breadth: the remaining canonical ClickBench plan shapes
+# (reference benchmarks/queries/clickbench/queries/q8,q13-q42). The hits
+# table's URL/Referer strings are synthesized from documents/events
+# columns — the PLAN shape (string-heavy agg, LIKE fences, OFFSET
+# pagination, shifted group keys, wide sum batteries) is what matters.
+# ---------------------------------------------------------------------------
+
+# q8/q13-ish: grouped COUNT(DISTINCT) behind a non-empty-string fence
+register_sql(
+    "cb_nonempty_distinct_topk",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS u
+    FROM events
+    WHERE props <> ''
+    GROUP BY event_type
+    ORDER BY u DESC, event_type
+    LIMIT 10
+    """,
+    tags=("clickbench", "distinct-agg", "topk"),
+)
+
+# q21/q22-ish: LIKE + NOT LIKE fences, MIN over strings + distinct users
+register_sql(
+    "cb_like_notlike_minurl",
+    """
+    WITH h AS (
+        SELECT concat('https://www.', source, '.example.com/', lang, '/',
+                      CAST(doc_id AS STRING)) AS url,
+               substr(text, 1, 30) AS title,
+               doc_id % 97 AS user_id, lang
+        FROM documents
+    )
+    SELECT lang, MIN(url) AS min_url, MIN(title) AS min_title,
+           COUNT(*) AS c, COUNT(DISTINCT user_id) AS u
+    FROM h
+    WHERE url LIKE '%example%' AND url NOT LIKE '%.src1.%'
+    GROUP BY lang
+    ORDER BY c DESC, lang
+    LIMIT 10
+    """,
+    oracle="""
+    WITH h AS (
+        SELECT concat('https://www.', source, '.example.com/', lang, '/',
+                      CAST(doc_id AS VARCHAR)) AS url,
+               substr(text, 1, 30) AS title,
+               doc_id % 97 AS user_id, lang
+        FROM documents
+    )
+    SELECT lang, MIN(url) AS min_url, MIN(title) AS min_title,
+           COUNT(*) AS c, COUNT(DISTINCT user_id) AS u
+    FROM h
+    WHERE url LIKE '%example%' AND url NOT LIKE '%.src1.%'
+    GROUP BY lang
+    ORDER BY c DESC, lang
+    LIMIT 10
+    """,
+    tags=("clickbench", "like", "string-agg"),
+)
+
+# q23-ish: SELECT * row fetch behind a LIKE fence, time-ordered
+register_sql(
+    "cb_select_star_like_ordered",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP_NTZ) AS ts, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents, props
+    FROM events
+    WHERE props LIKE '%"k"%' AND event_type LIKE '%e%'
+    ORDER BY ts, event_id
+    LIMIT 10
+    """,
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents, props
+    FROM events
+    WHERE props LIKE '%"k"%' AND event_type LIKE '%e%'
+    ORDER BY ts, event_id
+    LIMIT 10
+    """,
+    tags=("clickbench", "select-star", "like", "topk"),
+)
+
+# q24/q26-ish: time-ordered scan returning just the string column
+register_sql(
+    "cb_ts_ordered_phrases",
+    """
+    SELECT props, event_id
+    FROM events
+    WHERE props <> ''
+    ORDER BY CAST(ts AS TIMESTAMP_NTZ), props, event_id
+    LIMIT 10
+    """,
+    oracle="""
+    SELECT props, event_id
+    FROM events
+    WHERE props <> ''
+    ORDER BY CAST(ts AS TIMESTAMP), props, event_id
+    LIMIT 10
+    """,
+    tags=("clickbench", "ordered-scan", "topk"),
+)
+
+# q27-ish: AVG(length(url)) per group, HAVING count fence
+register_sql(
+    "cb_url_length_having",
+    """
+    SELECT source,
+           ROUND(AVG(length(text)), 6) AS avg_len,
+           COUNT(*) AS c
+    FROM documents
+    WHERE text <> ''
+    GROUP BY source
+    HAVING COUNT(*) > 5
+    ORDER BY avg_len DESC, source
+    LIMIT 25
+    """,
+    tags=("clickbench", "string-length", "having"),
+)
+
+# q28-ish: domain extraction via REGEXP_REPLACE + string agg battery
+register_sql(
+    "cb_referer_domain_agg",
+    r"""
+    WITH h AS (
+        SELECT concat('https://www.', source, '.example.com/', lang, '/',
+                      CAST(doc_id AS STRING)) AS referer
+        FROM documents
+    )
+    SELECT regexp_replace(referer, 'https://(www\\.)?([^/]+)/.*', '$2') AS domain,
+           ROUND(AVG(length(referer)), 6) AS avg_len,
+           COUNT(*) AS c,
+           MIN(referer) AS min_ref
+    FROM h
+    WHERE referer <> ''
+    GROUP BY regexp_replace(referer, 'https://(www\\.)?([^/]+)/.*', '$2')
+    HAVING COUNT(*) > 3
+    ORDER BY avg_len DESC, domain
+    LIMIT 25
+    """,
+    oracle=r"""
+    WITH h AS (
+        SELECT concat('https://www.', source, '.example.com/', lang, '/',
+                      CAST(doc_id AS VARCHAR)) AS referer
+        FROM documents
+    )
+    SELECT regexp_replace(referer, 'https://(www\.)?([^/]+)/.*', '\2') AS domain,
+           ROUND(AVG(length(referer)), 6) AS avg_len,
+           COUNT(*) AS c,
+           MIN(referer) AS min_ref
+    FROM h
+    WHERE referer <> ''
+    GROUP BY regexp_replace(referer, 'https://(www\.)?([^/]+)/.*', '\2')
+    HAVING COUNT(*) > 3
+    ORDER BY avg_len DESC, domain
+    LIMIT 25
+    """,
+    tags=("clickbench", "regex", "domain"),
+)
+
+# q31/q32-ish: two bigint keys, mixed COUNT/SUM/AVG battery
+register_sql(
+    "cb_watch_client_mixed_agg",
+    """
+    SELECT event_id % 1000 AS watch_id, user_id,
+           COUNT(*) AS c,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS refreshes,
+           ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * COUNT(*)), 6) AS avg_v
+    FROM events
+    WHERE props <> ''
+    GROUP BY event_id % 1000, user_id
+    ORDER BY c DESC, watch_id, user_id
+    LIMIT 10
+    """,
+    tags=("clickbench", "two-key", "mixed-agg"),
+)
+
+# q35-ish: group by an arithmetic family of shifted keys
+register_sql(
+    "cb_shifted_key_groupby",
+    """
+    SELECT user_id, user_id - 1 AS k1, user_id - 2 AS k2, user_id - 3 AS k3,
+           COUNT(*) AS c
+    FROM events
+    GROUP BY user_id, user_id - 1, user_id - 2, user_id - 3
+    ORDER BY c DESC, user_id
+    LIMIT 10
+    """,
+    tags=("clickbench", "shifted-keys"),
+    bench=True,
+)
+
+# q36/q38-ish: date-fenced flag stack + ranked pagination (deep OFFSET)
+register_sql(
+    "cb_fenced_pageviews_offset",
+    """
+    SELECT props AS url, COUNT(*) AS pageviews
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+      AND CAST(ts AS DATE) <= DATE '2024-12-31'
+      AND event_type IN ('click', 'view')
+      AND user_id % 2 = 0
+      AND props <> ''
+    GROUP BY props
+    ORDER BY pageviews DESC, url
+    LIMIT 10 OFFSET 100
+    """,
+    tags=("clickbench", "date-fence", "offset"),
+)
+
+# q29-ish: 20 SUM(expr + k) terms in one no-grouping pass — the
+# common-subexpression-elimination stress battery (reference q29 uses 90)
+register_sql(
+    "cb_sum_series",
+    """
+    SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT) + 0) AS BIGINT) AS s0,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 1) AS BIGINT) AS s1,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 2) AS BIGINT) AS s2,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 3) AS BIGINT) AS s3,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 4) AS BIGINT) AS s4,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 5) AS BIGINT) AS s5,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 6) AS BIGINT) AS s6,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 7) AS BIGINT) AS s7,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 8) AS BIGINT) AS s8,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 9) AS BIGINT) AS s9,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 10) AS BIGINT) AS s10,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 11) AS BIGINT) AS s11,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 12) AS BIGINT) AS s12,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 13) AS BIGINT) AS s13,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 14) AS BIGINT) AS s14,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 15) AS BIGINT) AS s15,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 16) AS BIGINT) AS s16,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 17) AS BIGINT) AS s17,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 18) AS BIGINT) AS s18,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) + 19) AS BIGINT) AS s19
+    FROM events
+    """,
+    tags=("clickbench", "wide-agg", "cse"),
+    bench=True,
+)

@@ -33,7 +33,7 @@ register_sql(
       AND l_suppkey = s_suppkey
       AND s_nationkey = n_nationkey
       AND c_mktsegment = 'BUILDING'
-      AND n_name LIKE 'A%'
+      AND n_name LIKE 'NATION_1%'
       AND o_orderpriority NOT LIKE '%LOW%'
       AND l_quantity < 10
     """,
@@ -76,7 +76,7 @@ register_sql(
     WHERE n_nationkey = c_nationkey
       AND c_custkey = o_custkey
       AND o_orderkey = l_orderkey
-      AND n_name IN ('FRANCE', 'GERMANY', 'ROMANIA')
+      AND n_name IN ('NATION_3', 'NATION_7', 'NATION_12')
       AND c_acctbal > 0
       AND o_totalprice > 100000
       AND l_discount BETWEEN 0.02 AND 0.08
@@ -115,7 +115,7 @@ register_sql(
       AND l.l_discount > 0.09
       AND NOT EXISTS (
         SELECT 1 FROM nation n
-        WHERE n.n_nationkey = s.s_nationkey AND n.n_name LIKE '%UNITED%')
+        WHERE n.n_nationkey = s.s_nationkey AND n.n_name LIKE '%_1%')
     """,
     tags=("job", "anti-join", "not-exists"),
 )
@@ -134,9 +134,126 @@ register_sql(
       AND l_suppkey = s_suppkey
       AND c_nationkey = cn.n_nationkey
       AND s_nationkey = sn.n_nationkey
-      AND cn.n_name = 'CHINA'
-      AND sn.n_name IN ('JAPAN', 'INDIA')
+      AND cn.n_name = 'NATION_5'
+      AND sn.n_name IN ('NATION_8', 'NATION_14')
       AND l_shipdate >= DATE '1995-06-01'
     """,
     tags=("job", "star", "two-arms"),
+)
+
+# ---------------------------------------------------------------------------
+# Round-3 breadth: six more characteristic JOB optimizer stresses
+# (reference benchmarks/queries/imdb/ 2a/6f/13d/16b/22c/33c families).
+# ---------------------------------------------------------------------------
+
+# 2a-ish: single ultra-selective equality on a mid dim drives the order
+register_sql(
+    "job_point_dim_probe",
+    """
+    SELECT MIN(o_orderdate) AS first_order,
+           MIN(l_shipdate) AS first_ship,
+           COUNT(*) AS matches
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND c_name = 'Customer#000000042'
+    """,
+    tags=("job", "point-probe", "join-order"),
+)
+
+# 6f-ish: no selective filter at all — pure join-order on sizes
+register_sql(
+    "job_unselective_4way",
+    """
+    SELECT MIN(n_name) AS first_nation,
+           MIN(s_name) AS first_supplier,
+           COUNT(*) AS matches
+    FROM nation, supplier, lineitem, part
+    WHERE n_nationkey = s_nationkey
+      AND s_suppkey = l_suppkey
+      AND l_partkey = p_partkey
+      AND p_size > 1
+    """,
+    tags=("job", "unselective", "join-order"),
+)
+
+# 13d-ish: range fences on BOTH fact arms + a BETWEEN on the bridge
+register_sql(
+    "job_double_range_fence",
+    """
+    SELECT MIN(p_name) AS first_part,
+           MIN(s_name) AS first_supplier,
+           COUNT(*) AS matches
+    FROM part, lineitem, supplier, orders
+    WHERE p_partkey = l_partkey
+      AND s_suppkey = l_suppkey
+      AND o_orderkey = l_orderkey
+      AND p_retailprice BETWEEN 920 AND 950
+      AND o_totalprice BETWEEN 100000 AND 250000
+      AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1998-12-31'
+    """,
+    tags=("job", "range-fences", "join-order"),
+)
+
+# 16b-ish: IN-list on two dims + LIKE on the bridge string
+register_sql(
+    "job_two_inlists_like",
+    """
+    SELECT MIN(c_name) AS first_customer,
+           MIN(p_name) AS first_part,
+           COUNT(*) AS matches
+    FROM customer, orders, lineitem, part
+    WHERE c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_partkey = p_partkey
+      AND c_mktsegment IN ('MACHINERY', 'FURNITURE')
+      AND p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      AND p_type LIKE '%O%'
+    """,
+    tags=("job", "in-list", "like", "join-order"),
+)
+
+# 22c-ish: the same dimension joined twice under DIFFERENT filters
+# (alias disambiguation + per-arm selectivity estimation)
+register_sql(
+    "job_self_dim_two_filters",
+    """
+    SELECT MIN(cn.n_name) AS cust_nation,
+           MIN(sn.n_name) AS supp_nation,
+           COUNT(*) AS matches
+    FROM lineitem, orders, customer, supplier, nation cn, nation sn
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = cn.n_nationkey
+      AND s_nationkey = sn.n_nationkey
+      AND cn.n_name LIKE 'NATION_1%'
+      AND sn.n_name LIKE '%2'
+      AND l_quantity < 15
+    """,
+    tags=("job", "self-dim", "join-order"),
+)
+
+# 33c-ish: deep 7-way chain region→nation→customer→orders→lineitem→
+# part+supplier with mixed fences — the longest chain in the corpus
+register_sql(
+    "job_deep_7way_chain",
+    """
+    SELECT MIN(r_name) AS first_region,
+           MIN(p_name) AS first_part,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS matches
+    FROM region, nation, customer, orders, lineitem, part, supplier
+    WHERE r_regionkey = n_regionkey
+      AND n_nationkey = c_nationkey
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_partkey = p_partkey
+      AND l_suppkey = s_suppkey
+      AND r_name IN ('ASIA', 'EUROPE')
+      AND p_size BETWEEN 10 AND 30
+      AND s_acctbal > 0
+      AND o_orderstatus = 'F'
+    """,
+    tags=("job", "deep-chain", "join-order"),
 )

@@ -179,3 +179,21 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     join_part = plan.split("SortMergeJoin")[-1]  # subtree below the join
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in join_part, plan
+
+
+def test_sum_series_single_scan_partial_agg(spark, sf_dir):
+    """cb_sum_series (20-term SUM battery) must stay ONE scan of events
+    with a partial/final HashAggregate split — no plan should re-read
+    the table per term, and map-side combine keeps the shuffle tiny."""
+    plan = plan_str(q("cb_sum_series", spark, sf_dir), "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_shifted_key_groupby_partial_agg(spark, sf_dir):
+    """cb_shifted_key_groupby groups on an arithmetic key family; the
+    derived keys must not block the partial-aggregation split (at scale
+    the map-side combine is what bounds the shuffle on high-card keys)."""
+    plan = plan_str(q("cb_shifted_key_groupby", spark, sf_dir), "simple")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
