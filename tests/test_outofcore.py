@@ -38,6 +38,13 @@ HEAVY = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "stream_stream_interval_join",
+    # round-3 additions: iterative star-contraction must be partition-
+    # order independent; rollup+rank over a 4-way join and the deepest
+    # JOB chain are the largest multi-join states in the corpus
+    "dedup_connected_components",
+    "tpcds_rollup_rank",
+    "job_deep_7way_chain",
+    "cb_shifted_key_groupby",
 ]
 
 HOSTILE_CONF = {
