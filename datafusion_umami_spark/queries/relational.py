@@ -286,7 +286,7 @@ register_sql(
            CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
     FROM lineitem
     ORDER BY l_shipdate, l_orderkey, l_linenumber
-    LIMIT 5000
+    LIMIT 2000
     """,
     tags=("sort", "multi-column", "topk-large"),
     bench=True,

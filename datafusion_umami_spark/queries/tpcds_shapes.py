@@ -2,8 +2,8 @@
 
 The reference plans all 99 TPC-DS queries as a planning-regression corpus
 (reference core/tests/tpcds_planning.rs); every individual operator they
-exercise is covered elsewhere in this repo, so these six shapes close the
-corpus-family gap with the *combinations* TPC-DS is known for:
+exercise is covered elsewhere in this repo, so these eight shapes close
+the corpus-family gap with the *combinations* TPC-DS is known for:
 
 - q67: ROLLUP over a multi-join with in-group ranking
 - q36: windowed share-of-total (ratio to PARTITION BY sum)
@@ -11,6 +11,8 @@ corpus-family gap with the *combinations* TPC-DS is known for:
 - q34: frequent-buyer HAVING band joined back to the dimension
 - q88: many filter-band scalar-subquery counts in a single row
 - q75: year-over-year delta via LAG over a yearly rollup
+- q93: returns-adjusted revenue (fact LEFT JOIN its own slice)
+- q59: period-over-period via equi self-join of one aggregate
 
 Determinism: money through integer cents (`round(x*100)` → BIGINT sum),
 ratios as exact-int divisions rounded to 6 places, EXTRACT(YEAR) cast to
@@ -171,4 +173,56 @@ register_sql(
     LIMIT 500
     """,
     tags=("tpcds", "window", "yoy"),
+)
+
+# q93-ish: returns-adjusted revenue — the fact table left-joined against
+# its own "returned" slice, COALESCE-corrected, then ranked.
+register_sql(
+    "tpcds_returns_adjusted",
+    """
+    WITH returned AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   AS ret_cents
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+    )
+    SELECT o.o_custkey,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)
+                    - COALESCE(r.ret_cents, 0)) AS BIGINT) AS net_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN returned r
+      ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber
+    GROUP BY o.o_custkey
+    ORDER BY net_cents DESC, o.o_custkey
+    LIMIT 100
+    """,
+    tags=("tpcds", "left-join", "returns"),
+)
+
+# q59-ish: period-over-period via equi self-join of the SAME aggregate
+# at two period offsets (the join-based sibling of the LAG variant).
+register_sql(
+    "tpcds_period_self_join",
+    """
+    WITH monthly AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders
+        GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+                 CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+    )
+    SELECT cur.yr, cur.mo, cur.rev_cents,
+           prev.rev_cents AS prev_year_cents,
+           ROUND(CAST(cur.rev_cents AS DOUBLE) / prev.rev_cents, 6) AS yoy
+    FROM monthly cur
+    JOIN monthly prev ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+    ORDER BY cur.yr, cur.mo
+    LIMIT 500
+    """,
+    tags=("tpcds", "self-join", "period-over-period"),
 )
