@@ -129,6 +129,21 @@ def _gen_case(rng: random.Random) -> str:
             f"  FROM orders WHERE {pred}) t "
             f"WHERE rn <= {k} ORDER BY o_orderkey LIMIT 300"
         )
+    if roll < 0.45:  # set operation between two slices of one table
+        tname = rng.choice(sorted(_TABLES))
+        t = _TABLES[tname]
+        op = rng.choice(
+            ["UNION ALL", "UNION", "INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"]
+        )
+        cols = ", ".join(t["cols"][:3])
+        p1, p2 = rng.sample(t["preds"], k=2)
+        uniq = ", ".join(t["cols"][:3])
+        return (
+            f"SELECT {cols} FROM {tname} WHERE {p1} "
+            f"{op} "
+            f"SELECT {cols} FROM {tname} WHERE {p2} "
+            f"ORDER BY {uniq} LIMIT 500"
+        )
     tname = rng.choice(sorted(_TABLES))
     t = _TABLES[tname]
     preds = rng.sample(t["preds"], k=rng.randint(1, 3))
