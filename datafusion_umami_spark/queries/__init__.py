@@ -130,6 +130,65 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "json_to_json_roundtrip",
     "json_tuple_arrays",
     "json_variant_ops",
+    # ---- round-4/5 tier (auto-advances as earlier names go green) ----
+    # type-system edges
+    "types_decimal_arith",
+    "types_interval_arith",
+    "types_try_cast",
+    "types_time_of_day_shim",
+    "types_unsigned_widening",
+    "types_timestamp_precision",
+    "types_try_arithmetic",
+    # sources / sinks
+    "csv_scan_roundtrip",
+    "csv_scan_inferred",
+    "json_scan_roundtrip",
+    "arrow_ipc_scan",
+    "avro_scan_roundtrip",
+    "parquet_sink_roundtrip",
+    "partitioned_write_pruned_scan",
+    "insert_into_table",
+    "ctas_temp_view",
+    "dynamic_partition_overwrite",
+    "csv_malformed_modes",
+    # UDF surface (all Arrow-based)
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udf_pandas_window_agg",
+    "udf_sql_registered",
+    "udf_grouped_map_topn",
+    "udf_map_in_arrow",
+    "udf_cogroup_merge",
+    # recursive CTEs
+    "recursive_fibonacci",
+    "recursive_hierarchy_depth",
+    "recursive_cyclic_reachability",
+    # LLM-pipeline: similarity search
+    "ann_bruteforce_topk",
+    "ann_bruteforce_vectorized",
+    "ann_lsh_buckets",
+    "ann_lsh_probe",
+    "ann_ivf_grid",
+    "embedding_centroid_per_label",
+    # LLM-pipeline: text analysis
+    "text_token_stats",
+    "text_langid_ngram",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_winnowing_fingerprint",
+    "text_pii_redact",
+    "text_paragraph_dedup",
+    # LLM-pipeline: multimodal plumbing
+    "mm_binary_plumbing",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_audio_window_rms",
+    "mm_image_resize_pool",
+    # remaining streaming
+    "stream_tumbling_counts",
+    "stream_sliding_window",
+    "stream_static_join",
+    "session_window_agg",
 )
 
 
