@@ -19,6 +19,12 @@ WITH_ORACLE = [n for n in ALL if REGISTRY[n].oracle is not None]
 ROWS_ONLY = [n for n in ALL if REGISTRY[n].oracle is None]
 
 
+# Driver-sweep cost guard (CLAUDE.md): outputs stay small via a
+# total-order ORDER BY + LIMIT on both sides.  sf0.001 here → the cap
+# scales ~10× at the driver's sf0.01, still cheap to canonicalize.
+MAX_OUTPUT_ROWS = 5000
+
+
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_match(name, spark, duck, sf_dir):
     spec = REGISTRY[name]
@@ -26,6 +32,10 @@ def test_oracle_match(name, spark, duck, sf_dir):
     duck_pdf = duck.execute(spec.oracle).df()
     res = compare_frames(name, spark_pdf, duck_pdf)
     assert res.ok, res.detail
+    assert len(spark_pdf) <= MAX_OUTPUT_ROWS, (
+        f"{name} returns {len(spark_pdf)} rows at sf0.001 — cap it with a "
+        "total-order ORDER BY + LIMIT on both sides (driver-cost rule)"
+    )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
