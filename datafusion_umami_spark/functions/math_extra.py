@@ -29,8 +29,12 @@ _LONG_MIN = -(2**63)
 
 def _abs_safe(x: Column, other: Column) -> Column:
     """abs() that survives LONG_MIN via one Euclid pre-step (see module
-    docstring); stays raising for the two unrepresentable-gcd pairs."""
-    reducible = (x == _LONG_MIN) & other.isNotNull() & (other != 0) & (other != _LONG_MIN)
+    docstring); stays raising for the two unrepresentable-gcd pairs.
+    NULL `other` takes the reducible branch (x % NULL = NULL) so NULL
+    propagates instead of abs(LONG_MIN) raising."""
+    reducible = (
+        (x == _LONG_MIN) & ~other.eqNullSafe(0) & ~other.eqNullSafe(_LONG_MIN)
+    )
     return F.abs(F.when(reducible, x % other).otherwise(x))
 
 

@@ -56,7 +56,8 @@ def connected_components(
         .localCheckpoint(eager=True)
         .toDF("n")
     )
-    max_edges = e.count()
+    e_count = e.count()
+    max_edges = e_count
     iterations = 0
 
     for _ in range(max_iterations):
@@ -90,9 +91,12 @@ def connected_components(
             .localCheckpoint(eager=True)
             .toDF("a", "b")
         )
-        max_edges = max(max_edges, ss.count())
-        converged = ss.subtract(e).isEmpty() and e.subtract(ss).isEmpty()
-        e = ss
+        ss_count = ss.count()
+        max_edges = max(max_edges, ss_count)
+        # set equality with ONE subtract: both sides are distinct, so
+        # equal cardinality + empty one-way difference ⇒ equal sets
+        converged = ss_count == e_count and ss.subtract(e).isEmpty()
+        e, e_count = ss, ss_count
         if converged:
             break
     else:

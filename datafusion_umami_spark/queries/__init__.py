@@ -195,13 +195,15 @@ SWEEP_PRIORITY: tuple[str, ...] = (
 def _driver_history() -> tuple[set[str], set[str]]:
     """(green, failed) query names across all CORRECTNESS_r*.json artifacts.
 
-    green  = some round recorded a pass (hash match, or a rows-only check
+    Classification uses the LATEST record per name (artifacts sort by
+    round — zero-padded filenames), so a regression after an earlier
+    pass re-enters the front of the sweep queue:
+    green  = latest record is a pass (hash match, or a rows-only check
              that produced rows for an oracle-less spec);
-    failed = latest record for the name was not a pass.
+    failed = latest record is not a pass.
     """
     root = Path(__file__).resolve().parents[2]
-    green: set[str] = set()
-    latest: dict[str, bool] = {}  # name -> last-seen row passed?
+    latest: dict[str, bool] = {}  # name -> latest-round row passed?
     for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(artifact.read_text())
@@ -212,13 +214,11 @@ def _driver_history() -> tuple[set[str], set[str]]:
         for name, rec in rows.items():
             if not isinstance(rec, dict):
                 continue
-            ok = bool(rec.get("hash_match")) or (
+            latest[name] = bool(rec.get("hash_match")) or (
                 rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
             )
-            latest[name] = ok
-            if ok:
-                green.add(name)
-    failed = {name for name, ok in latest.items() if not ok and name not in green}
+    green = {name for name, ok in latest.items() if ok}
+    failed = {name for name, ok in latest.items() if not ok}
     return green, failed
 
 

@@ -115,7 +115,8 @@ register_sql(
       AND l.l_discount > 0.09
       AND NOT EXISTS (
         SELECT 1 FROM nation n
-        WHERE n.n_nationkey = s.s_nationkey AND n.n_name LIKE '%_1%')
+        WHERE n.n_nationkey = s.s_nationkey
+          AND n.n_name LIKE 'NATION!_1%' ESCAPE '!')
     """,
     tags=("job", "anti-join", "not-exists"),
 )

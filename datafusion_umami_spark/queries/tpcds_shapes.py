@@ -47,7 +47,8 @@ register_sql(
            COALESCE(priority, 'ALL') AS priority,
            rev_cents,
            RANK() OVER (PARTITION BY nation
-                        ORDER BY rev_cents DESC, priority) AS rnk
+                        ORDER BY rev_cents DESC,
+                                 COALESCE(priority, 'ALL')) AS rnk
     FROM sales
     ORDER BY nation, priority
     LIMIT 500

@@ -214,10 +214,12 @@ def read_avro(path: str) -> tuple[list[tuple[str, AvroType]], list[tuple]]:
     rows: list[tuple] = []
     while r.pos < len(r.data):
         count = r.read_long()
-        # spec-compliant writers may emit a negative count (abs value)
-        # followed by the byte size — mirror the metadata-map handling
+        # Object Container File data blocks always carry a non-negative
+        # count (negative counts exist only in array/map block encodings);
+        # a negative value here means corruption — fail loudly rather
+        # than deserializing |count| records from arbitrary bytes
         if count < 0:
-            count = -count
+            raise ValueError(f"corrupt avro data block: negative count {count}")
         r.read_long()  # block byte length (unused: null codec)
         for _ in range(count):
             rows.append(tuple(r.read_value(typ) for _, typ in fields))

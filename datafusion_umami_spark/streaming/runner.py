@@ -14,7 +14,6 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 _EVENTS_SCHEMA_NS = (
     "event_id bigint, ts bigint, user_id bigint, "
@@ -28,17 +27,15 @@ _EVENTS_SCHEMA_US = (
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`spark.readStream` over the events parquet (StreamingTableExec
-    parity).  ts encoding varies by generator version (see tables.py):
-    parquet timestamp[ns] is surfaced as long via
-    `spark.sql.legacy.parquet.nanosAsLong` and truncated to µs exactly
-    (integer division); native timestamp[us] is taken as-is.  Both
-    normalize to TIMESTAMP (LTZ — `withWatermark` rejects NTZ event
-    time; session TZ is pinned UTC so wall-clock equals the batch
-    loader's NTZ).  A one-file batch probe picks the schema — imposing
-    the bigint schema on µs data would silently misread values 1000×
-    compressed."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ns_encoded = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"] == "bigint"
+    parity).  ts encoding + normalization are shared with the batch
+    loader (tables.events_ts_is_ns / normalize_events_ts): a one-file
+    batch probe picks the imposed schema — imposing the bigint schema on
+    µs data would silently misread values 1000× compressed.  Target type
+    is TIMESTAMP (LTZ): `withWatermark` rejects NTZ event time; session
+    TZ is pinned UTC so wall-clock equals the batch loader's NTZ."""
+    from datafusion_umami_spark.tables import events_ts_is_ns, normalize_events_ts
+
+    ns_encoded = events_ts_is_ns(spark, sf_dir)
     # FileStreamSource wants a directory; events.parquet is a single file,
     # so stream the directory with a glob filter (on a real deployment the
     # path would be a growing directory of files).
@@ -48,9 +45,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if ns_encoded:
-        return sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_events_ts(sdf, "timestamp")
 
 
 def stream_to_memory(

@@ -31,6 +31,32 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+def normalize_events_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFrame:
+    """Normalize the events ts column to `target` regardless of its
+    on-disk encoding, which varies by generator version: parquet
+    timestamp[ns] (surfaced as LongType via nanosAsLong — truncate to µs
+    with integer division; double division would lose precision,
+    epoch-ns ~1.7e18 > 2^53) or native timestamp[us].  Batch uses
+    TIMESTAMP_NTZ (matches DuckDB's naive timestamps; session TZ pinned
+    UTC ⇒ identical wall-clock); streaming uses TIMESTAMP because
+    withWatermark rejects NTZ event time."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes)["ts"] == "bigint":
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)").cast(target)
+        )
+    return df.withColumn("ts", F.col("ts").cast(target))
+
+
+def events_ts_is_ns(spark: SparkSession, sf_dir: str) -> bool:
+    """True when events.parquet stores ts as timestamp[ns] (read back as
+    LongType under nanosAsLong) rather than native timestamp[us]."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dict(df.dtypes)["ts"] == "bigint"
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table as a lazy DataFrame scan."""
     if name not in TABLE_NAMES:
@@ -41,20 +67,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts encoding varies by generator version: parquet timestamp[ns]
-        # (surfaced as LongType via nanosAsLong — truncate to µs with
-        # integer division; double division would lose precision, epoch-ns
-        # ~1.7e18 > 2^53) or native timestamp[us]. Either way normalize to
-        # TIMESTAMP_NTZ so the Arrow schema matches DuckDB's naive
-        # timestamps (session TZ pinned UTC ⇒ identical wall-clock).
-        from pyspark.sql import functions as F
-
-        if dict(df.dtypes)["ts"] == "bigint":
-            df = df.withColumn(
-                "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
-            )
-        else:
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        df = normalize_events_ts(df, "timestamp_ntz")
     return df
 
 

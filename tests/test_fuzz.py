@@ -137,12 +137,11 @@ def _gen_case(rng: random.Random) -> str:
         )
         cols = ", ".join(t["cols"][:3])
         p1, p2 = rng.sample(t["preds"], k=2)
-        uniq = ", ".join(t["cols"][:3])
         return (
             f"SELECT {cols} FROM {tname} WHERE {p1} "
             f"{op} "
             f"SELECT {cols} FROM {tname} WHERE {p2} "
-            f"ORDER BY {uniq} LIMIT 500"
+            f"ORDER BY {cols} LIMIT 500"
         )
     tname = rng.choice(sorted(_TABLES))
     t = _TABLES[tname]
@@ -273,6 +272,12 @@ def test_gcd_long_min_edges(spark):
     )
     for row in df.collect():
         assert row.g == math.gcd(row.a, row.b), (row.a, row.b, row.g)
+    null_row = (
+        spark.createDataFrame([(LONG_MIN, None)], "a long, b long")
+        .select(gcd_col("a", "b").alias("g"))
+        .collect()[0]
+    )
+    assert null_row.g is None  # NULL propagates, no ANSI abs overflow
     for bad in [(LONG_MIN, 0), (LONG_MIN, LONG_MIN)]:
         with _pytest.raises((ArithmeticException, Py4JJavaError)):
             spark.createDataFrame([bad], "a long, b long").select(
