@@ -478,3 +478,66 @@ register_sql(
     """,
     tags=("scalar", "like-any-all", "pattern"),
 )
+
+# --- bitwise expression family (reference arrow bitwise kernels;
+# Spark operators &, |, ^, shiftleft/shiftright, bit_count) ------------------
+register_sql(
+    "fn_bitwise_ops",
+    """
+    SELECT l_orderkey,
+           CAST(l_orderkey & 255 AS BIGINT) AS band,
+           CAST(l_orderkey | 4096 AS BIGINT) AS bor,
+           CAST(l_orderkey ^ l_partkey AS BIGINT) AS bxor,
+           CAST(shiftleft(l_linenumber, 4) AS BIGINT) AS shl,
+           CAST(shiftright(l_orderkey, 3) AS BIGINT) AS shr,
+           CAST(bit_count(l_orderkey) AS BIGINT) AS popcnt
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_partkey, l_linenumber
+    LIMIT 400
+    """,
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_orderkey & 255 AS BIGINT) AS band,
+           CAST(l_orderkey | 4096 AS BIGINT) AS bor,
+           CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS bxor,
+           CAST(l_linenumber << 4 AS BIGINT) AS shl,
+           CAST(l_orderkey >> 3 AS BIGINT) AS shr,
+           CAST(bit_count(l_orderkey) AS BIGINT) AS popcnt
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_partkey, l_linenumber
+    LIMIT 400
+    """,
+    tags=("scalar", "bitwise"),
+)
+
+# --- string transform extras: translate / repeat / left / right / ascii ------
+register_sql(
+    "fn_string_transform_extra",
+    """
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', '01234') AS tr,
+           repeat(p_brand, 2) AS rep,
+           left(p_name, 4) AS l4,
+           right(p_name, 3) AS r3,
+           CAST(ascii(p_name) AS BIGINT) AS first_code,
+           chr(65 + CAST(p_partkey % 26 AS INT)) AS cyc
+    FROM part
+    WHERE p_partkey < 300
+    ORDER BY p_partkey
+    """,
+    oracle="""
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', '01234') AS tr,
+           repeat(p_brand, 2) AS rep,
+           left(p_name, 4) AS l4,
+           right(p_name, 3) AS r3,
+           CAST(ascii(p_name) AS BIGINT) AS first_code,
+           chr(65 + CAST(p_partkey % 26 AS INT)) AS cyc
+    FROM part
+    WHERE p_partkey < 300
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "string", "transform"),
+)
