@@ -340,3 +340,49 @@ register_sql(
     """,
     tags=("array", "append", "nested"),
 )
+
+
+# --- zip/position/slice/flatten/sequence family (reference array.slt) -------
+register_sql(
+    "arr_zip_position_slice",
+    """
+    WITH t AS (
+        SELECT vec_id,
+               transform(slice(embedding, 1, 4),
+                         x -> CAST(round(x * 1000) AS BIGINT)) AS a,
+               transform(slice(embedding, 5, 4),
+                         x -> CAST(round(x * 1000) AS BIGINT)) AS b
+        FROM embeddings WHERE vec_id < 200
+    )
+    SELECT vec_id,
+           array_join(zip_with(a, b, (x, y) -> CAST(x + y AS STRING)), '|') AS zsum,
+           CAST(array_position(a, element_at(a, 1)) AS BIGINT) AS pos_first,
+           array_join(transform(flatten(array(a, b)),
+                                v -> CAST(v AS STRING)), '|') AS flat,
+           array_join(transform(sequence(1, CAST(size(a) AS INT)),
+                                v -> CAST(v AS STRING)), '|') AS seq,
+           array_join(transform(slice(a, 2, 2), v -> CAST(v AS STRING)), '|') AS sl
+    FROM t ORDER BY vec_id
+    """,
+    oracle="""
+    WITH t AS (
+        SELECT vec_id,
+               list_transform(embedding[1:4],
+                              x -> CAST(round(x * 1000) AS BIGINT)) AS a,
+               list_transform(embedding[5:8],
+                              x -> CAST(round(x * 1000) AS BIGINT)) AS b
+        FROM embeddings WHERE vec_id < 200
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(range(1, len(a) + 1),
+                           i -> CAST(a[i] + b[i] AS VARCHAR)), '|') AS zsum,
+           CAST(list_position(a, a[1]) AS BIGINT) AS pos_first,
+           array_to_string(list_transform(flatten([a, b]),
+                           v -> CAST(v AS VARCHAR)), '|') AS flat,
+           array_to_string(list_transform(range(1, len(a) + 1),
+                           v -> CAST(v AS VARCHAR)), '|') AS seq,
+           array_to_string(list_transform(a[2:3], v -> CAST(v AS VARCHAR)), '|') AS sl
+    FROM t ORDER BY vec_id
+    """,
+    tags=("nested", "zip", "slice", "sequence"),
+)
