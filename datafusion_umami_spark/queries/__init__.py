@@ -131,6 +131,10 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "json_tuple_arrays",
     "json_variant_ops",
     # ---- round-4/5 tier (auto-advances as earlier names go green) ----
+    # late-round-3 additions
+    "fn_bitwise_ops",
+    "fn_string_transform_extra",
+    "arr_zip_position_slice",
     # type-system edges
     "types_decimal_arith",
     "types_interval_arith",
