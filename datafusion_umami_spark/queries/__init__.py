@@ -47,6 +47,7 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     textanalysis,
     multimodal,
     streaming_queries,
+    timeseries,
     tpch,
     joins,
     windows,
@@ -132,6 +133,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "json_variant_ops",
     # ---- round-4/5 tier (auto-advances as earlier names go green) ----
     # late-round-3 additions
+    "ts_multires_rollup",
+    "ts_gap_fill_daily",
     "fn_bitwise_ops",
     "fn_string_transform_extra",
     "arr_zip_position_slice",

@@ -1,0 +1,128 @@
+"""Time-series rollup patterns (the "hypertable rollup" class).
+
+The reference's only time-bucketing primitive is the `date_bin` scalar
+(reference datafusion/functions/src/datetime/date_bin.rs); production
+time-series stores layer two patterns on top of it that a 100 TB events
+pipeline needs:
+
+- multi-resolution rollup: aggregate ONCE at the finest grain, then
+  derive every coarser resolution from the already-aggregated frame —
+  the cascade touches minute-rows (≪ raw rows), never rescans the fact
+  table for hour/day.  Integer-cents sums re-aggregate exactly.
+- gap filling: a generated calendar spine LEFT JOINed to the aggregate
+  with COALESCE(0) — empty buckets appear as zeros, which window/lag
+  consumers downstream require.
+
+Both are pure DataFrame/SQL (no UDFs); the spine generator is
+`sequence()`/`range()` — constant-size output, never a fact-table scan.
+"""
+
+from __future__ import annotations
+
+from datafusion_umami_spark.registry import register_sql
+
+# Cascade: minute → hour → day, each level re-aggregating the previous.
+register_sql(
+    "ts_multires_rollup",
+    """
+    WITH minute AS (
+        SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP_NTZ) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY date_trunc('minute', ts)
+    ),
+    hour AS (
+        SELECT CAST(date_trunc('hour', bucket) AS TIMESTAMP_NTZ) AS bucket,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM minute
+        GROUP BY date_trunc('hour', bucket)
+    ),
+    day AS (
+        SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP_NTZ) AS bucket,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM hour
+        GROUP BY date_trunc('day', bucket)
+    )
+    SELECT 'hour' AS resolution, bucket, n, cents FROM hour
+    UNION ALL
+    SELECT 'day' AS resolution, bucket, n, cents FROM day
+    ORDER BY resolution, bucket
+    LIMIT 2000
+    """,
+    oracle="""
+    WITH minute AS (
+        SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY 1
+    ),
+    hour AS (
+        SELECT CAST(date_trunc('hour', bucket) AS TIMESTAMP) AS bucket,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM minute
+        GROUP BY 1
+    ),
+    day AS (
+        SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP) AS bucket,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM hour
+        GROUP BY 1
+    )
+    SELECT 'hour' AS resolution, bucket, n, cents FROM hour
+    UNION ALL
+    SELECT 'day' AS resolution, bucket, n, cents FROM day
+    ORDER BY resolution, bucket
+    LIMIT 2000
+    """,
+    tags=("timeseries", "rollup", "multi-resolution"),
+)
+
+# Calendar spine LEFT JOIN + COALESCE(0): empty days become zero rows.
+register_sql(
+    "ts_gap_fill_daily",
+    """
+    WITH spine AS (
+        SELECT explode(sequence(DATE '2024-01-01', DATE '2024-03-31',
+                                INTERVAL 1 DAY)) AS d
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY date_trunc('day', ts)
+    )
+    SELECT CAST(s.d AS DATE) AS d,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(daily.cents, 0) AS BIGINT) AS cents
+    FROM spine s LEFT JOIN daily ON CAST(s.d AS DATE) = daily.d
+    ORDER BY d
+    """,
+    oracle="""
+    WITH spine AS (
+        SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31',
+                                      INTERVAL 1 DAY)) AS d
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT CAST(s.d AS DATE) AS d,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(daily.cents, 0) AS BIGINT) AS cents
+    FROM spine s LEFT JOIN daily ON CAST(s.d AS DATE) = daily.d
+    ORDER BY d
+    """,
+    tags=("timeseries", "gap-fill", "calendar-spine"),
+)
