@@ -43,6 +43,7 @@ register_sql(
     FROM documents
     """,
     tags=("text", "tokenize", "llm-pipeline"),
+    bench=True,
 )
 
 # Language-ID: n-gram/marker-word scoring. Deterministic heuristic —

@@ -81,6 +81,7 @@ register_sql(
     LIMIT 2000
     """,
     tags=("timeseries", "rollup", "multi-resolution"),
+    bench=True,
 )
 
 # Calendar spine LEFT JOIN + COALESCE(0): empty days become zero rows.
