@@ -45,6 +45,8 @@ HEAVY = [
     "tpcds_rollup_rank",
     "job_deep_7way_chain",
     "cb_shifted_key_groupby",
+    # multi-level aggregate cascade: partial/final splits at three grains
+    "ts_multires_rollup",
 ]
 
 HOSTILE_CONF = {
