@@ -429,11 +429,13 @@ register_sql(
 # q36/q38-ish: date-fenced flag stack + ranked pagination (deep OFFSET)
 register_sql(
     "cb_fenced_pageviews_offset",
+    # half-open timestamp fence (NOT CAST(ts AS DATE)): comparisons on
+    # the raw column push down to the parquet scan as min/max filters
     """
     SELECT props AS url, COUNT(*) AS pageviews
     FROM events
-    WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
-      AND CAST(ts AS DATE) <= DATE '2024-12-31'
+    WHERE ts >= TIMESTAMP_NTZ '2024-01-01 00:00:00'
+      AND ts < TIMESTAMP_NTZ '2025-01-01 00:00:00'
       AND event_type IN ('click', 'view')
       AND user_id % 2 = 0
       AND props <> ''
@@ -441,7 +443,19 @@ register_sql(
     ORDER BY pageviews DESC, url
     LIMIT 10 OFFSET 100
     """,
-    tags=("clickbench", "date-fence", "offset"),
+    oracle="""
+    SELECT props AS url, COUNT(*) AS pageviews
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts < TIMESTAMP '2025-01-01 00:00:00'
+      AND event_type IN ('click', 'view')
+      AND user_id % 2 = 0
+      AND props <> ''
+    GROUP BY props
+    ORDER BY pageviews DESC, url
+    LIMIT 10 OFFSET 100
+    """,
+    tags=("clickbench", "date-fence", "offset", "pushdown"),
 )
 
 # q29-ish: 20 SUM(expr + k) terms in one no-grouping pass — the
