@@ -143,6 +143,18 @@ def _gen_case(rng: random.Random) -> str:
             f"SELECT {cols} FROM {tname} WHERE {p2} "
             f"ORDER BY {cols} LIMIT 500"
         )
+    if roll < 0.55:  # ROLLUP over two keys, COALESCE'd for stable output
+        tname = rng.choice(sorted(_TABLES))
+        t = _TABLES[tname]
+        k1, k2 = rng.sample(t["keys"], k=2)
+        agg = rng.choice(t["aggs"])
+        pred = rng.choice(t["preds"])
+        return (
+            f"SELECT COALESCE(CAST({k1} AS STRING), 'ALL') AS g1, "
+            f"       COALESCE(CAST({k2} AS STRING), 'ALL') AS g2, "
+            f"       COUNT(*) AS cnt, {agg} "
+            f"FROM {tname} WHERE {pred} GROUP BY ROLLUP({k1}, {k2})"
+        )
     tname = rng.choice(sorted(_TABLES))
     t = _TABLES[tname]
     preds = rng.sample(t["preds"], k=rng.randint(1, 3))
