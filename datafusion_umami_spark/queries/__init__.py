@@ -209,7 +209,10 @@ def _driver_history() -> tuple[set[str], set[str]]:
              that produced rows for an oracle-less spec);
     failed = latest record is not a pass.
     """
-    root = Path(__file__).resolve().parents[2]
+    return _driver_history_from(Path(__file__).resolve().parents[2])
+
+
+def _driver_history_from(root: Path) -> tuple[set[str], set[str]]:
     latest: dict[str, bool] = {}  # name -> latest-round row passed?
     for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
         try:

@@ -38,3 +38,28 @@ def test_front_of_queue_is_the_priority_backlog():
     want = [n for n in SWEEP_PRIORITY if n not in green]
     got = list(REGISTRY)[: len(want)]
     assert got == want, f"front of sweep queue diverged: {got[:5]} != {want[:5]}"
+
+
+def test_latest_record_wins(tmp_path):
+    """A regression after an earlier pass must re-enter the failed set
+    (and a later fix must clear it)."""
+    import json
+
+    from datafusion_umami_spark.queries import _driver_history_from
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 5, "oracle_rows": 5, "err": None}
+    boom = {"rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": "TypeError"}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 3, "oracle_rows": None, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_regressed": ok, "q_fixed": boom, "q_stable": ok,
+                    "q_rowsonly": rows_only})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_regressed": boom, "q_fixed": ok})
+    )
+    green, failed = _driver_history_from(tmp_path)
+    assert green == {"q_fixed", "q_stable", "q_rowsonly"}
+    assert failed == {"q_regressed"}
