@@ -185,6 +185,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "text_winnowing_fingerprint",
     "text_pii_redact",
     "text_paragraph_dedup",
+    "pipeline_c4_style_filter",
     # LLM-pipeline: multimodal plumbing
     "mm_binary_plumbing",
     "mm_decode_features",

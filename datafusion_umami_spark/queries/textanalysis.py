@@ -370,3 +370,84 @@ register_sql(
     """,
     tags=("text", "dedup", "paragraph", "llm-pipeline"),
 )
+
+
+# --- composed C4-style cleaning pipeline ------------------------------------
+register_sql(
+    "pipeline_c4_style_filter",
+    # The end-to-end shape an LLM data pipeline actually runs over a raw
+    # corpus: language gate → quality-feature gates (length band, mean
+    # token length, punctuation ratio) → exact-dup removal keeping the
+    # smallest doc_id per content hash.  One linear scan + one groupBy
+    # on the content hash; every stage before the dedup shuffle is a
+    # pure map, so at 100 TB the only exchange carries (hash, doc_id).
+    rf"""
+    WITH gated AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(size(split(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+             CAST(regexp_count(text, '[^a-z0-9 ]') AS DOUBLE) AS n_punct,
+             {SPARK_H64.format(s='text')} AS content_h
+      FROM documents
+      WHERE lang IN ('en', 'de', 'fr')
+        AND n_chars BETWEEN 64 AND 4096
+    ),
+    scored AS (
+      SELECT *,
+             n_chars / greatest(n_tokens, 1.0) AS mean_tok_len,
+             n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0) AS punct_ratio
+      FROM gated
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 10
+        AND mean_tok_len BETWEEN 2.0 AND 12.0
+        AND punct_ratio < 0.3
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, content_h, COUNT(*) AS n_copies
+      FROM kept GROUP BY content_h
+    )
+    SELECT d.doc_id, k.lang,
+           CAST(k.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(k.punct_ratio, 6) AS punct_ratio,
+           CAST(d.n_copies AS BIGINT) AS n_copies
+    FROM deduped d JOIN kept k ON d.doc_id = k.doc_id
+    ORDER BY d.doc_id
+    LIMIT 2000
+    """,
+    oracle=rf"""
+    WITH gated AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) AS n_punct,
+             {DUCK_H64.format(s='text')} AS content_h
+      FROM documents
+      WHERE lang IN ('en', 'de', 'fr')
+        AND n_chars BETWEEN 64 AND 4096
+    ),
+    scored AS (
+      SELECT *,
+             n_chars / greatest(n_tokens, 1.0) AS mean_tok_len,
+             n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0) AS punct_ratio
+      FROM gated
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 10
+        AND mean_tok_len BETWEEN 2.0 AND 12.0
+        AND punct_ratio < 0.3
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, content_h, COUNT(*) AS n_copies
+      FROM kept GROUP BY content_h
+    )
+    SELECT d.doc_id, k.lang,
+           CAST(k.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(k.punct_ratio, 6) AS punct_ratio,
+           CAST(d.n_copies AS BIGINT) AS n_copies
+    FROM deduped d JOIN kept k ON d.doc_id = k.doc_id
+    ORDER BY d.doc_id
+    LIMIT 2000
+    """,
+    tags=("text", "pipeline", "c4-style", "llm-pipeline"),
+)
