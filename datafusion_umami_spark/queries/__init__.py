@@ -135,6 +135,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # late-round-3 additions
     "ts_multires_rollup",
     "ts_gap_fill_daily",
+    "tpcds_above_group_avg",
+    "tpcds_deviation_from_avg",
     "fn_bitwise_ops",
     "fn_string_transform_extra",
     "arr_zip_position_slice",

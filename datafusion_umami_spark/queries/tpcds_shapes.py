@@ -2,7 +2,7 @@
 
 The reference plans all 99 TPC-DS queries as a planning-regression corpus
 (reference core/tests/tpcds_planning.rs); every individual operator they
-exercise is covered elsewhere in this repo, so these eight shapes close
+exercise is covered elsewhere in this repo, so these ten shapes close
 the corpus-family gap with the *combinations* TPC-DS is known for:
 
 - q67: ROLLUP over a multi-join with in-group ranking
@@ -13,6 +13,8 @@ the corpus-family gap with the *combinations* TPC-DS is known for:
 - q75: year-over-year delta via LAG over a yearly rollup
 - q93: returns-adjusted revenue (fact LEFT JOIN its own slice)
 - q59: period-over-period via equi self-join of one aggregate
+- q1/q30: entities above 1.2x their group average (agg joined back)
+- q89: deviation from the partition average via exact window sums
 
 Determinism: money through integer cents (`round(x*100)` → BIGINT sum),
 ratios as exact-int divisions rounded to 6 places, EXTRACT(YEAR) cast to
@@ -226,4 +228,68 @@ register_sql(
     LIMIT 500
     """,
     tags=("tpcds", "self-join", "period-over-period"),
+)
+
+# q1/q30-ish: entities exceeding 1.2× their group's average — two-level
+# aggregate, the group average broadcast-joined back onto the detail.
+register_sql(
+    "tpcds_above_group_avg",
+    """
+    WITH per_cust AS (
+        SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS spend_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    per_nation AS (
+        SELECT nationkey,
+               CAST(SUM(spend_cents) AS BIGINT) AS total_cents,
+               COUNT(*) AS n_cust
+        FROM per_cust
+        GROUP BY nationkey
+    )
+    SELECT p.nationkey, p.custkey, p.spend_cents
+    FROM per_cust p
+    JOIN per_nation n ON p.nationkey = n.nationkey
+    WHERE CAST(p.spend_cents AS DOUBLE)
+          > 1.2 * (CAST(n.total_cents AS DOUBLE) / n.n_cust)
+    ORDER BY p.nationkey, p.spend_cents DESC, p.custkey
+    LIMIT 500
+    """,
+    tags=("tpcds", "above-average", "two-level-agg"),
+)
+
+# q89-ish: monthly revenue per priority vs the priority's overall monthly
+# average — windowed deviation, keep the biggest deviations.
+register_sql(
+    "tpcds_deviation_from_avg",
+    """
+    WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders
+        GROUP BY o_orderpriority,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+                 CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+    ),
+    dev AS (
+        SELECT priority, yr, mo, rev_cents,
+               ROUND(CAST(rev_cents AS DOUBLE)
+                     - CAST(SUM(rev_cents) OVER (PARTITION BY priority)
+                            AS DOUBLE)
+                       / COUNT(*) OVER (PARTITION BY priority),
+                     4) AS dev_cents
+        FROM monthly
+    )
+    SELECT priority, yr, mo, rev_cents, dev_cents
+    FROM dev
+    ORDER BY abs(dev_cents) DESC, priority, yr, mo
+    LIMIT 100
+    """,
+    tags=("tpcds", "window", "deviation"),
 )
