@@ -58,6 +58,16 @@ from datafusion_umami_spark.queries import (  # noqa: F401
 # Explicit front of the sweep queue (only names not yet proven green are
 # pulled forward; proven ones are skipped by the classifier below).
 SWEEP_PRIORITY: tuple[str, ...] = (
+    # THE one red driver row on record (r1 canonicalizer crash; query since
+    # rewritten to scalar columns + rows-only and tolerance-tested locally,
+    # tests/test_stress.py) — must be first so a ~50-row budget can't miss it
+    "agg_approx_percentile",
+    # remaining §2.11 streaming family (first two went green in r3) —
+    # ahead of text/multimodal per round-3 verdict so the family closes
+    "stream_tumbling_counts",
+    "stream_sliding_window",
+    "stream_static_join",
+    "session_window_agg",
     # round-1 driver FAILs (canonicalizer crash on list output), fixed
     # locally by stringifying — need a green driver row to close them out
     "agg_array_agg_sorted",
@@ -132,14 +142,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "json_tuple_arrays",
     "json_variant_ops",
     # ---- round-4/5 tier (auto-advances as earlier names go green) ----
-    # late-round-3 additions
-    "ts_multires_rollup",
-    "ts_gap_fill_daily",
-    "tpcds_above_group_avg",
-    "tpcds_deviation_from_avg",
-    "fn_bitwise_ops",
-    "fn_string_transform_extra",
-    "arr_zip_position_slice",
     # type-system edges
     "types_decimal_arith",
     "types_interval_arith",
@@ -179,6 +181,16 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "ann_lsh_probe",
     "ann_ivf_grid",
     "embedding_centroid_per_label",
+    # late-round-3 additions (demoted below ANN so round 4's ~50-row budget
+    # lands on exactly red+streaming+datetime/crypto/JSON/types/sources/
+    # UDFs/recursive/ANN; these lead round 5)
+    "ts_multires_rollup",
+    "ts_gap_fill_daily",
+    "tpcds_above_group_avg",
+    "tpcds_deviation_from_avg",
+    "fn_bitwise_ops",
+    "fn_string_transform_extra",
+    "arr_zip_position_slice",
     # LLM-pipeline: text analysis
     "text_token_stats",
     "text_langid_ngram",
@@ -194,11 +206,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_audio_window_rms",
     "mm_image_resize_pool",
-    # remaining streaming
-    "stream_tumbling_counts",
-    "stream_sliding_window",
-    "stream_static_join",
-    "session_window_agg",
 )
 
 

@@ -33,6 +33,33 @@ def test_no_proven_green_query_ahead_of_unproven():
     )
 
 
+def test_unproven_set_occupies_a_contiguous_prefix():
+    """Rounds 4-6 cover the whole backlog only if every unproven name
+    sits within the first len(unproven) positions — i.e. no unproven
+    query hides past a green one where a 50-row/round budget based at
+    position 0 could never reach it."""
+    green, _failed = _driver_history()
+    names = list(REGISTRY)
+    unproven = {n for n in names if n not in green}
+    prefix = set(names[: len(unproven)])
+    assert prefix == unproven, (
+        f"unproven names past position {len(unproven)}: "
+        f"{sorted(unproven - prefix)[:5]}"
+    )
+
+
+def test_red_row_and_streaming_lead_the_queue():
+    """Round-3 verdict directives 1 and 6: the single red driver row and
+    the four unproven streaming queries must fit any plausible budget."""
+    green, _failed = _driver_history()
+    front = list(REGISTRY)[:5]
+    want = [n for n in (
+        "agg_approx_percentile", "stream_tumbling_counts",
+        "stream_sliding_window", "stream_static_join", "session_window_agg",
+    ) if n not in green]
+    assert front[: len(want)] == want, f"queue front diverged: {front}"
+
+
 def test_front_of_queue_is_the_priority_backlog():
     green, _failed = _driver_history()
     want = [n for n in SWEEP_PRIORITY if n not in green]
