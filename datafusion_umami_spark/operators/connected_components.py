@@ -20,12 +20,33 @@ Each round's edge set is eagerly localCheckpoint()ed: the next round and
 the convergence subtract() read stored blocks, and `.toDF()` re-keys the
 attribute ids (Spark 4.1 optimizer bug: re-joining a checkpointed frame
 against subtract() output under original ids → "key not found").
+
+Superseded rounds' checkpoints are unpersisted as soon as the next
+round's checkpoint materializes — otherwise block-manager storage grows
+with iteration count for the life of the session (on a long-lived
+cluster driver that is a leak, not a nuisance).  The final label frame
+is itself checkpointed so every intermediate block can be freed before
+returning; the caller holds exactly one pinned O(|V|) frame.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _free_checkpoint(ck: DataFrame) -> None:
+    """Drop the stored blocks behind a frame returned by localCheckpoint.
+
+    The frame's analyzed plan is a LogicalRDD wrapping the checkpointed
+    RDD; unpersisting that RDD releases its block-manager storage.
+    Best-effort: on any JVM-interface surprise the blocks simply live
+    until session end, which was the old behavior.
+    """
+    try:
+        ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def connected_components(
@@ -41,21 +62,21 @@ def connected_components(
     `stats` (optional dict) receives {"iterations": int,
     "max_edges": int} — test hook proving per-round work stays O(|E|).
     """
-    e = (
+    e_ck = (
         edges.toDF("a", "b")
         .where("a <> b")
         .selectExpr("least(a, b) AS a", "greatest(a, b) AS b")
         .distinct()
         .localCheckpoint(eager=True)
-        .toDF("a", "b")
     )
-    nodes = (
+    e = e_ck.toDF("a", "b")
+    nodes_ck = (
         e.selectExpr("a AS n")
         .union(e.selectExpr("b AS n"))
         .distinct()
         .localCheckpoint(eager=True)
-        .toDF("n")
     )
+    nodes = nodes_ck.toDF("n")
     e_count = e.count()
     max_edges = e_count
     iterations = 0
@@ -81,7 +102,7 @@ def connected_components(
         #    neighbor of u (and u itself) to m(u) = min(Γ⁻(u))
         ori = ls.selectExpr("greatest(a, b) AS u", "least(a, b) AS v")
         mins2 = ori.groupBy("u").agg(F.min("v").alias("m"))
-        ss = (
+        ss_ck = (
             ori.join(mins2, "u")
             .selectExpr("v AS x", "m")
             .union(mins2.selectExpr("u AS x", "m"))
@@ -89,14 +110,15 @@ def connected_components(
             .selectExpr("m AS a", "x AS b")  # m = min ⇒ already ordered
             .distinct()
             .localCheckpoint(eager=True)
-            .toDF("a", "b")
         )
+        ss = ss_ck.toDF("a", "b")
         ss_count = ss.count()
         max_edges = max(max_edges, ss_count)
         # set equality with ONE subtract: both sides are distinct, so
         # equal cardinality + empty one-way difference ⇒ equal sets
         converged = ss_count == e_count and ss.subtract(e).isEmpty()
-        e, e_count = ss, ss_count
+        _free_checkpoint(e_ck)  # last read of the old round was that subtract
+        e_ck, e, e_count = ss_ck, ss, ss_count
         if converged:
             break
     else:
@@ -107,9 +129,14 @@ def connected_components(
         stats["max_edges"] = max_edges
 
     # Fixpoint is a forest of stars centered on each component's min:
-    # leaf label = its center, center label = itself.
-    return (
+    # leaf label = its center, center label = itself.  Checkpoint the
+    # O(|V|) label frame so every working block can be freed now.
+    labels = (
         nodes.join(e.selectExpr("b AS n", "a AS c"), "n", "left")
         .groupBy("n")
         .agg(F.min(F.coalesce(F.col("c"), F.col("n"))).alias("cluster_id"))
+        .localCheckpoint(eager=True)
     )
+    _free_checkpoint(e_ck)
+    _free_checkpoint(nodes_ck)
+    return labels.toDF("n", "cluster_id")

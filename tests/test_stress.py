@@ -247,6 +247,32 @@ def test_connected_components_work_bounded_by_edges(spark):
     assert stats["iterations"] <= 16, stats  # ~log2(n), not diameter
 
 
+def test_connected_components_frees_round_checkpoints(spark):
+    """Each round's localCheckpoint must be unpersisted once superseded:
+    on a long-lived session the per-round blocks are a storage leak
+    (round-3 ADVICE).  After the call, at most the returned label frame
+    may remain pinned beyond what was already stored."""
+    from datafusion_umami_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    def stored() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    before = stored()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)] + [(500, 501)], "a long, b long"
+    )
+    stats: dict = {}
+    labels = connected_components(edges, stats=stats)
+    assert stats["iterations"] >= 3  # enough rounds for a leak to show
+    assert labels.count() == 202
+    assert stored() <= before + 1, (
+        f"checkpoint leak: {before} stored frames before, {stored()} after "
+        f"({stats['iterations']} iterations)"
+    )
+
+
 def test_connected_components_matches_duckdb_min_label(spark, duck, sf_dir):
     """The Spark star-contraction fixpoint and the DuckDB min-label
     recursive CTE agree on the real MinHash candidate graph."""
