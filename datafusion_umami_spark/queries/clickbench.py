@@ -488,3 +488,251 @@ register_sql(
     tags=("clickbench", "wide-agg", "cse"),
     bench=True,
 )
+
+# ---------------------------------------------------------------------------
+# Round-4 breadth: the remaining canonical ClickBench families —
+# global scan batteries (q1-q6), small-dim counts (q7), region/mobile
+# segmentation with distinct users (q8-q11), engine+phrase+minute
+# grouping (q14/q18), heavy-hitter users (q15), the CASE src/dst
+# traffic funnel (q39), client window dims behind a fence+OFFSET (q41),
+# and the fenced date histogram ordered by bucket (q42).
+# ---------------------------------------------------------------------------
+
+# q1-ish: global COUNT behind a selective predicate — the pushdown probe
+register_sql(
+    "cb_filtered_global_count",
+    """
+    SELECT COUNT(*) AS hits
+    FROM events
+    WHERE event_type <> 'view'
+    """,
+    tags=("clickbench", "scan", "count"),
+)
+
+# q2/q3-ish: SUM + COUNT + AVG in one no-grouping scan (integer-exact avg)
+register_sql(
+    "cb_global_scan_battery",
+    """
+    SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * COUNT(*)), 6) AS avg_value,
+           ROUND(CAST(SUM(user_id) AS DOUBLE) / COUNT(*), 6) AS avg_user
+    FROM events
+    """,
+    tags=("clickbench", "scan", "agg"),
+)
+
+# q6-ish: global MIN/MAX over the (roughly sorted) time column
+register_sql(
+    "cb_minmax_ts",
+    """
+    SELECT CAST(MIN(ts) AS TIMESTAMP_NTZ) AS first_ts,
+           CAST(MAX(ts) AS TIMESTAMP_NTZ) AS last_ts
+    FROM events
+    """,
+    oracle="""
+    SELECT CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+    FROM events
+    """,
+    tags=("clickbench", "scan", "minmax"),
+)
+
+# q7-ish: small-dimension group counts, fully ordered (no LIMIT needed —
+# the dimension is the handful of event types)
+register_sql(
+    "cb_smalldim_counts",
+    """
+    SELECT event_type, COUNT(*) AS c
+    FROM events
+    WHERE value <> 0
+    GROUP BY event_type
+    ORDER BY c DESC, event_type
+    """,
+    tags=("clickbench", "small-dim"),
+)
+
+# q8/q9-ish: region segmentation — mixed SUM/COUNT/AVG + COUNT(DISTINCT)
+# per derived region key, top 10 by count
+register_sql(
+    "cb_region_segmentation",
+    """
+    SELECT user_id % 32 AS region,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           COUNT(*) AS c,
+           ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * COUNT(*)), 6) AS avg_value,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY user_id % 32
+    ORDER BY c DESC, region
+    LIMIT 10
+    """,
+    tags=("clickbench", "segmentation", "distinct-agg"),
+)
+
+# q10/q11-ish: two-level "mobile model" segmentation by distinct users,
+# model key regex-extracted from the wide string column
+register_sql(
+    "cb_mobile_model_segmentation",
+    r"""
+    SELECT event_type AS phone,
+           regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS model,
+           COUNT(DISTINCT user_id) AS u
+    FROM events
+    WHERE props <> ''
+    GROUP BY event_type, regexp_extract(props, '"k":\\s*([0-9]+)', 1)
+    ORDER BY u DESC, phone, model
+    LIMIT 10
+    """,
+    oracle=r"""
+    SELECT event_type AS phone,
+           regexp_extract(props, '"k":\s*([0-9]+)', 1) AS model,
+           COUNT(DISTINCT user_id) AS u
+    FROM events
+    WHERE props <> ''
+    GROUP BY 1, 2
+    ORDER BY u DESC, phone, model
+    LIMIT 10
+    """,
+    tags=("clickbench", "segmentation", "regex", "distinct-agg"),
+)
+
+# q14/q18-ish: engine + phrase + extracted minute-of-hour grouping
+register_sql(
+    "cb_engine_phrase_minute",
+    """
+    SELECT user_id % 8 AS engine,
+           event_type AS phrase,
+           CAST(extract(MINUTE FROM ts) AS BIGINT) AS m,
+           COUNT(*) AS c
+    FROM events
+    WHERE event_type <> ''
+    GROUP BY user_id % 8, event_type, extract(MINUTE FROM ts)
+    ORDER BY c DESC, engine, phrase, m
+    LIMIT 10
+    """,
+    oracle="""
+    SELECT user_id % 8 AS engine,
+           event_type AS phrase,
+           CAST(extract(MINUTE FROM ts) AS BIGINT) AS m,
+           COUNT(*) AS c
+    FROM events
+    WHERE event_type <> ''
+    GROUP BY 1, 2, 3
+    ORDER BY c DESC, engine, phrase, m
+    LIMIT 10
+    """,
+    tags=("clickbench", "datetime", "multi-key"),
+)
+
+# q15-ish: heavy-hitter users by raw event count
+register_sql(
+    "cb_heavy_hitter_users",
+    """
+    SELECT user_id, COUNT(*) AS c
+    FROM events
+    GROUP BY user_id
+    ORDER BY c DESC, user_id
+    LIMIT 10
+    """,
+    tags=("clickbench", "topk", "heavy-hitter"),
+)
+
+# q39-ish: traffic funnel — CASE-derived source vs destination pairs
+# behind a date fence, ranked with deep OFFSET pagination
+register_sql(
+    "cb_case_src_dst_funnel",
+    """
+    SELECT user_id % 4 AS traffic_source,
+           CASE WHEN user_id % 4 = 0 AND event_type <> 'click'
+                THEN props ELSE '' END AS src,
+           event_type AS dst,
+           COUNT(*) AS pageviews
+    FROM events
+    WHERE ts >= TIMESTAMP_NTZ '2024-01-01 00:00:00'
+      AND ts < TIMESTAMP_NTZ '2025-01-01 00:00:00'
+      AND value >= 0
+    GROUP BY user_id % 4,
+             CASE WHEN user_id % 4 = 0 AND event_type <> 'click'
+                  THEN props ELSE '' END,
+             event_type
+    ORDER BY pageviews DESC, traffic_source, src, dst
+    LIMIT 10 OFFSET 20
+    """,
+    oracle="""
+    SELECT user_id % 4 AS traffic_source,
+           CASE WHEN user_id % 4 = 0 AND event_type <> 'click'
+                THEN props ELSE '' END AS src,
+           event_type AS dst,
+           COUNT(*) AS pageviews
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts < TIMESTAMP '2025-01-01 00:00:00'
+      AND value >= 0
+    GROUP BY 1, 2, 3
+    ORDER BY pageviews DESC, traffic_source, src, dst
+    LIMIT 10 OFFSET 20
+    """,
+    tags=("clickbench", "case", "funnel", "offset"),
+)
+
+# q41-ish: client window dimensions behind a flag fence, deep OFFSET
+register_sql(
+    "cb_client_window_dims",
+    """
+    SELECT CAST(floor(value) AS BIGINT) % 16 AS win_w,
+           CAST(floor(value * 10) AS BIGINT) % 9 AS win_h,
+           COUNT(*) AS pageviews
+    FROM events
+    WHERE event_type IN ('click', 'view')
+      AND user_id % 3 = 0
+      AND value > 1.0
+    GROUP BY CAST(floor(value) AS BIGINT) % 16, CAST(floor(value * 10) AS BIGINT) % 9
+    ORDER BY pageviews DESC, win_w, win_h
+    LIMIT 10 OFFSET 25
+    """,
+    oracle="""
+    SELECT CAST(floor(value) AS BIGINT) % 16 AS win_w,
+           CAST(floor(value * 10) AS BIGINT) % 9 AS win_h,
+           COUNT(*) AS pageviews
+    FROM events
+    WHERE event_type IN ('click', 'view')
+      AND user_id % 3 = 0
+      AND value > 1.0
+    GROUP BY 1, 2
+    ORDER BY pageviews DESC, win_w, win_h
+    LIMIT 10 OFFSET 25
+    """,
+    tags=("clickbench", "derived-keys", "offset"),
+)
+
+# q42-ish: fenced date histogram ORDERED BY THE BUCKET (not by count) —
+# the date-histogram family the round-3 verdict called out as missing
+register_sql(
+    "cb_day_histogram",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ) AS day,
+           COUNT(*) AS pageviews
+    FROM events
+    WHERE ts >= TIMESTAMP_NTZ '2024-01-01 00:00:00'
+      AND ts < TIMESTAMP_NTZ '2024-03-01 00:00:00'
+      AND event_type <> 'error'
+    GROUP BY date_trunc('day', ts)
+    ORDER BY day
+    LIMIT 40 OFFSET 5
+    """,
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS pageviews
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts < TIMESTAMP '2024-03-01 00:00:00'
+      AND event_type <> 'error'
+    GROUP BY 1
+    ORDER BY day
+    LIMIT 40 OFFSET 5
+    """,
+    tags=("clickbench", "date-histogram", "pushdown"),
+)

@@ -258,3 +258,222 @@ register_sql(
     """,
     tags=("job", "deep-chain", "join-order"),
 )
+
+# ---------------------------------------------------------------------------
+# Round-4 breadth: JOB's widest star fan-outs and its remaining filter
+# idioms (reference benchmarks/queries/imdb/6a,16a,22a-c,33c.sql):
+# role-playing dimension arms, redundant transitive join predicates,
+# negated dim equality, string-inequality fences, LIKE + NOT LIKE on
+# the same column, bridge self-joins, and 4-dim IN-list stacks.
+# ---------------------------------------------------------------------------
+
+# 22a-ish widest star: 9 relations, both nation/region arms role-played,
+# selective fences on three different arms
+register_sql(
+    "job_widest_9way_star",
+    """
+    SELECT MIN(cr.r_name) AS cust_region,
+           MIN(sr.r_name) AS supp_region,
+           MIN(p_name) AS first_part,
+           COUNT(*) AS matches
+    FROM region cr, region sr, nation cn, nation sn,
+         customer, supplier, orders, lineitem, part
+    WHERE cr.r_regionkey = cn.n_regionkey
+      AND sr.r_regionkey = sn.n_regionkey
+      AND cn.n_nationkey = c_nationkey
+      AND sn.n_nationkey = s_nationkey
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_suppkey = s_suppkey
+      AND l_partkey = p_partkey
+      AND cr.r_name IN ('ASIA', 'AMERICA')
+      AND sr.r_name <> 'AFRICA'
+      AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+      AND o_orderpriority LIKE '1%'
+    """,
+    tags=("job", "widest-star", "role-playing-dims"),
+)
+
+# JOB's hallmark redundant transitive equalities (t.id = mk.movie_id AND
+# t.id = mc.movie_id AND mk.movie_id = mc.movie_id): two lineitem
+# aliases + orders, every pairwise orderkey equality stated
+register_sql(
+    "job_redundant_join_preds",
+    """
+    SELECT MIN(l1.l_shipdate) AS first_ship,
+           MIN(l2.l_shipdate) AS second_ship,
+           COUNT(*) AS matches
+    FROM orders, lineitem l1, lineitem l2
+    WHERE l1.l_orderkey = o_orderkey
+      AND l2.l_orderkey = o_orderkey
+      AND l1.l_orderkey = l2.l_orderkey
+      AND l1.l_linenumber < l2.l_linenumber
+      AND l1.l_returnflag = 'R'
+      AND l2.l_returnflag = 'A'
+      AND o_orderstatus = 'F'
+    """,
+    tags=("job", "redundant-preds", "self-join"),
+)
+
+# 22a-ish negated dimension equality (cn.country_code != '[us]') plus a
+# NOT LIKE fence on a second dim
+register_sql(
+    "job_negated_dim_eq",
+    """
+    SELECT MIN(n_name) AS first_nation,
+           MIN(p_name) AS first_part,
+           COUNT(*) AS matches
+    FROM nation, supplier, lineitem, part
+    WHERE n_nationkey = s_nationkey
+      AND s_suppkey = l_suppkey
+      AND l_partkey = p_partkey
+      AND n_name <> 'NATION_0'
+      AND n_name NOT LIKE '%1%'
+      AND p_name NOT LIKE '%bolt%'
+      AND p_size < 8
+    """,
+    tags=("job", "negated-eq", "not-like"),
+)
+
+# mi_idx.info < '7.0'-ish: STRING inequality fences driving selectivity
+register_sql(
+    "job_string_range_dim",
+    """
+    SELECT MIN(o_orderpriority) AS first_prio,
+           MIN(p_brand) AS first_brand,
+           COUNT(*) AS matches
+    FROM orders, lineitem, part
+    WHERE o_orderkey = l_orderkey
+      AND l_partkey = p_partkey
+      AND o_orderpriority < '3'
+      AND p_brand >= 'Brand#40'
+      AND l_discount > 0.05
+    """,
+    tags=("job", "string-range"),
+)
+
+# 16a-ish: integer range fence (t.episode_nr >= 50 AND < 100) inside an
+# 8-way join with a role-played supplier-nation arm
+register_sql(
+    "job_episode_range_8way",
+    """
+    SELECT MIN(c_name) AS first_customer,
+           MIN(sn.n_name) AS supp_nation,
+           COUNT(*) AS matches
+    FROM region, nation cn, nation sn, customer, supplier, orders, lineitem, part
+    WHERE r_regionkey = cn.n_regionkey
+      AND cn.n_nationkey = c_nationkey
+      AND sn.n_nationkey = s_nationkey
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_suppkey = s_suppkey
+      AND l_partkey = p_partkey
+      AND p_size >= 25 AND p_size < 35
+      AND r_name = 'EUROPE'
+      AND o_orderstatus IN ('F', 'O')
+    """,
+    tags=("job", "int-range", "role-playing-dims"),
+)
+
+# IN-list stacks on four dimensions simultaneously (join-order stress:
+# which arm is most selective?)
+register_sql(
+    "job_four_inlist_dims",
+    """
+    SELECT MIN(r_name) AS first_region,
+           MIN(c_mktsegment) AS first_segment,
+           COUNT(*) AS matches
+    FROM region, nation, customer, orders, lineitem, part, supplier
+    WHERE r_regionkey = n_regionkey
+      AND n_nationkey = c_nationkey
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_partkey = p_partkey
+      AND l_suppkey = s_suppkey
+      AND r_name IN ('ASIA', 'EUROPE', 'AMERICA')
+      AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      AND p_brand IN ('Brand#11', 'Brand#21', 'Brand#31')
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    tags=("job", "in-list", "join-order"),
+)
+
+# movie_link-ish bridge self-join: two lineitem arms crossed on
+# (partkey, suppkey) — same part+supplier appearing in two orders
+register_sql(
+    "job_crossed_bridges",
+    """
+    SELECT MIN(p_name) AS first_part,
+           MIN(l1.l_shipdate) AS earlier_ship,
+           COUNT(*) AS matches
+    FROM lineitem l1, lineitem l2, part
+    WHERE l1.l_partkey = l2.l_partkey
+      AND l1.l_suppkey = l2.l_suppkey
+      AND l1.l_orderkey < l2.l_orderkey
+      AND l1.l_partkey = p_partkey
+      AND p_brand = 'Brand#13'
+      AND l1.l_quantity > 40
+      AND l2.l_quantity > 40
+    """,
+    tags=("job", "bridge-self-join"),
+)
+
+# 6a-ish: point equality on one dim (k.keyword = '...') + year trend
+# fence (t.production_year > 2010) on the fact's date
+register_sql(
+    "job_year_trend_fence",
+    """
+    SELECT MIN(o_orderdate) AS first_order,
+           MIN(s_name) AS first_supplier,
+           COUNT(*) AS matches
+    FROM part, lineitem, orders, supplier, nation, region
+    WHERE p_partkey = l_partkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND p_name = 'blue anvil'
+      AND o_orderdate > DATE '2000-01-01'
+    """,
+    tags=("job", "point-dim", "date-trend"),
+)
+
+# 22a-ish LIKE + NOT LIKE on the SAME column (mc.note not like '%(USA)%'
+# and mc.note like '%(200%)%')
+register_sql(
+    "job_like_notlike_same_col",
+    """
+    SELECT MIN(p_name) AS first_part,
+           MIN(o_orderdate) AS first_order,
+           COUNT(*) AS matches
+    FROM part, lineitem, orders
+    WHERE p_partkey = l_partkey
+      AND l_orderkey = o_orderkey
+      AND p_name LIKE '%blue%'
+      AND p_name NOT LIKE '%bolt%'
+      AND o_orderpriority IN ('1-URGENT', '5-LOW')
+      AND l_tax < 0.05
+    """,
+    tags=("job", "like-notlike"),
+)
+
+# three independent chains hanging off one fact, each chain fenced at
+# its far end — the optimizer must pick which arm to build first
+register_sql(
+    "job_three_chains_one_fact",
+    """
+    SELECT MIN(c_name) AS first_customer,
+           MIN(s_name) AS first_supplier,
+           MIN(p_name) AS first_part,
+           COUNT(*) AS matches
+    FROM lineitem, orders, customer, supplier, part
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey
+      AND l_partkey = p_partkey
+      AND c_acctbal > 8000
+      AND s_acctbal > 8000
+      AND p_retailprice > 980
+    """,
+    tags=("job", "three-arms", "join-order"),
+)
