@@ -47,6 +47,12 @@ HEAVY = [
     "cb_shifted_key_groupby",
     # multi-level aggregate cascade: partial/final splits at three grains
     "ts_multires_rollup",
+    # round-4 additions: the widest star (9 relations, two role-played
+    # dim arms) and a bridge self-join — the largest build states of the
+    # new JOB tranche; the regex-keyed two-level distinct segmentation
+    "job_widest_9way_star",
+    "job_crossed_bridges",
+    "cb_mobile_model_segmentation",
 ]
 
 HOSTILE_CONF = {

@@ -197,3 +197,38 @@ def test_shifted_key_groupby_partial_agg(spark, sf_dir):
     plan = plan_str(q("cb_shifted_key_groupby", spark, sf_dir), "simple")
     assert plan.count("HashAggregate") >= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["job_widest_9way_star", "job_episode_range_8way", "job_four_inlist_dims"],
+)
+def test_job_stars_broadcast_dims_no_cartesian(name, spark, sf_dir):
+    """The round-4 JOB stars join 7-9 relations via comma-join text; the
+    planner must (a) broadcast the small dimension arms instead of
+    shuffling the fact against them and (b) never fall back to a
+    cartesian/BNLJ even with every join predicate buried in WHERE."""
+    plan = plan_str(q(name, spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast of dims\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ\n{plan}"
+
+
+def test_crossed_bridges_is_equi_self_join(spark, sf_dir):
+    """job_crossed_bridges self-joins lineitem on (partkey, suppkey);
+    the inequality l1.l_orderkey < l2.l_orderkey must ride along as a
+    join/filter condition on an EQUI join, not force a nested loop."""
+    plan = plan_str(q("job_crossed_bridges", spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_day_histogram_pushes_time_fence(spark, sf_dir):
+    """cb_day_histogram's half-open ts fence must reach the parquet scan
+    as min/max pushed filters — at 100 TB the fence is what turns a
+    full-table scan into a two-month scan."""
+    plan = plan_str(q("cb_day_histogram", spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any(
+        "GreaterThanOrEqual" in ln and "LessThan" in ln for ln in pushed
+    ), plan
