@@ -736,3 +736,134 @@ register_sql(
     """,
     tags=("clickbench", "date-histogram", "pushdown"),
 )
+
+# ---------------------------------------------------------------------------
+# ClickBench "extended" suite (reference benchmarks/queries/clickbench/
+# extended/q3-q7): statistical aggregates with HAVING on the statistic,
+# exact grouped quantiles, the levenshtein/split_part funnel predicate,
+# and per-key minmax ordered by the key itself.
+# ---------------------------------------------------------------------------
+
+# extended q3-ish: grouped STDDEV/VAR battery, HAVING on the statistic,
+# ranked by spread (rounded to 4 decimals — M2-merge float tail is
+# partition-order dependent, the h2o corr² convention)
+register_sql(
+    "cb_ext_stddev_var_having",
+    """
+    SELECT user_id % 6 AS network, user_id % 32 AS region,
+           COUNT(*) AS c,
+           ROUND(CAST(SUM(user_id) AS DOUBLE) / COUNT(*), 6) AS avg_age,
+           ROUND(STDDEV(CAST(round(value * 100) AS BIGINT)), 4) AS s,
+           ROUND(VARIANCE(CAST(round(value * 100) AS BIGINT)), 4) AS v
+    FROM events
+    GROUP BY user_id % 6, user_id % 32
+    HAVING STDDEV(CAST(round(value * 100) AS BIGINT)) IS NOT NULL
+    ORDER BY s DESC, network, region
+    LIMIT 10
+    """,
+    oracle="""
+    SELECT user_id % 6 AS network, user_id % 32 AS region,
+           COUNT(*) AS c,
+           ROUND(CAST(SUM(user_id) AS DOUBLE) / COUNT(*), 6) AS avg_age,
+           ROUND(STDDEV(CAST(round(value * 100) AS BIGINT)), 4) AS s,
+           ROUND(VARIANCE(CAST(round(value * 100) AS BIGINT)), 4) AS v
+    FROM events
+    GROUP BY 1, 2
+    HAVING STDDEV(CAST(round(value * 100) AS BIGINT)) IS NOT NULL
+    ORDER BY s DESC, network, region
+    LIMIT 10
+    """,
+    tags=("clickbench-extended", "stddev", "having"),
+)
+
+# extended q4/q5-ish: per-(client,watch) EXACT median + p95 (the
+# reference uses MEDIAN and APPROX_PERCENTILE_CONT; exact interpolated
+# quantiles keep the oracle deterministic), HAVING c > 1, ranked by p95
+register_sql(
+    "cb_ext_quantiles_per_pair",
+    """
+    SELECT user_id % 64 AS client_ip, event_id % 16 AS watch_id,
+           COUNT(*) AS c,
+           MIN(CAST(round(value * 100) AS BIGINT)) AS tmin,
+           ROUND(percentile(CAST(round(value * 100) AS BIGINT), 0.5), 4) AS tmed,
+           ROUND(percentile(CAST(round(value * 100) AS BIGINT), 0.95), 4) AS tp95,
+           MAX(CAST(round(value * 100) AS BIGINT)) AS tmax
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY user_id % 64, event_id % 16
+    HAVING COUNT(*) > 1
+    ORDER BY tp95 DESC, client_ip, watch_id
+    LIMIT 10
+    """,
+    oracle="""
+    SELECT user_id % 64 AS client_ip, event_id % 16 AS watch_id,
+           COUNT(*) AS c,
+           MIN(CAST(round(value * 100) AS BIGINT)) AS tmin,
+           ROUND(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5), 4) AS tmed,
+           ROUND(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95), 4) AS tp95,
+           MAX(CAST(round(value * 100) AS BIGINT)) AS tmax
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 1
+    ORDER BY tp95 DESC, client_ip, watch_id
+    LIMIT 10
+    """,
+    tags=("clickbench-extended", "quantiles", "having"),
+)
+
+# extended q6-ish: the funnel monster — regex match + split_part key=value
+# extraction with a guarded int cast + levenshtein similarity, all in one
+# WHERE conjunction collapsing to a single COUNT
+register_sql(
+    "cb_ext_levenshtein_funnel",
+    r"""
+    SELECT COUNT(*) AS share_count
+    FROM events
+    WHERE user_id % 2 = 1
+      AND event_type IN ('click', 'view', 'share', 'purchase')
+      AND value BETWEEN 5 AND 500
+      AND props RLIKE '"k":\\s*[0-9]+'
+      AND CASE WHEN split_part(split_part(props, '"k": ', 2), '}', 1)
+                    RLIKE '^[0-9]+$'
+               THEN CAST(split_part(split_part(props, '"k": ', 2), '}', 1)
+                         AS INT)
+               ELSE 0 END > 10
+      AND levenshtein(event_type, 'click') < 4
+    """,
+    oracle=r"""
+    SELECT COUNT(*) AS share_count
+    FROM events
+    WHERE user_id % 2 = 1
+      AND event_type IN ('click', 'view', 'share', 'purchase')
+      AND value BETWEEN 5 AND 500
+      AND regexp_matches(props, '"k":\s*[0-9]+')
+      AND CASE WHEN regexp_matches(
+                        split_part(split_part(props, '"k": ', 2), '}', 1),
+                        '^[0-9]+$')
+               THEN CAST(split_part(split_part(props, '"k": ', 2), '}', 1)
+                         AS INT)
+               ELSE 0 END > 10
+      AND levenshtein(event_type, 'click') < 4
+    """,
+    tags=("clickbench-extended", "levenshtein", "split-part", "funnel"),
+)
+
+# extended q7-ish: per-key minmax + flag sum, ordered by the KEY
+# descending (not by an aggregate — a sort the group-limit optimizer
+# can push through)
+register_sql(
+    "cb_ext_per_watch_minmax",
+    """
+    SELECT event_id % 512 AS watch_id,
+           MIN(CAST(round(value * 100) AS BIGINT)) AS wmin,
+           MAX(CAST(round(value * 100) AS BIGINT)) AS wmax,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS srefresh
+    FROM events
+    GROUP BY event_id % 512
+    ORDER BY watch_id DESC
+    LIMIT 10
+    """,
+    tags=("clickbench-extended", "minmax", "key-ordered"),
+)
