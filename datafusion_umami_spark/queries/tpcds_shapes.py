@@ -293,3 +293,190 @@ register_sql(
     """,
     tags=("tpcds", "window", "deviation"),
 )
+
+# ---------------------------------------------------------------------------
+# Round-4 tranche — the remaining hallmark TPC-DS combinations
+# (reference core/tests/tpc-ds/10,11,14,38,51,58.sql): EXISTS-OR channel
+# participation, two-channel growth comparison, cross-channel
+# INTERSECT/EXCEPT on entity sets, cumulative full-outer channel
+# compare, and the channel-consistency tolerance band.
+# ---------------------------------------------------------------------------
+
+# q10/q35-ish: demographic counts for customers active in the URGENT
+# channel AND in at least one of two other channels (EXISTS + OR of two
+# EXISTS — the mark-join decorrelation stress)
+register_sql(
+    "tpcds_exists_or_channels",
+    """
+    SELECT c_mktsegment,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           COUNT(*) AS cnt
+    FROM customer c
+    WHERE EXISTS (SELECT * FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND (EXISTS (SELECT * FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '5-LOW')
+           OR EXISTS (SELECT * FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P'))
+    GROUP BY c_mktsegment, CAST(floor(c_acctbal / 2000) AS BIGINT)
+    ORDER BY c_mktsegment, bal_band
+    LIMIT 100
+    """,
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           COUNT(*) AS cnt
+    FROM customer c
+    WHERE EXISTS (SELECT * FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND (EXISTS (SELECT * FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '5-LOW')
+           OR EXISTS (SELECT * FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P'))
+    GROUP BY 1, 2
+    ORDER BY c_mktsegment, bal_band
+    LIMIT 100
+    """,
+    tags=("tpcds", "exists-or", "mark-join"),
+)
+
+# q11/q74-ish: customers whose URGENT-channel revenue grew faster
+# year-over-year than their other-channel revenue (two CTE rollups,
+# joined at two year offsets each — four joins on one aggregate)
+register_sql(
+    "tpcds_two_channel_growth_compare",
+    """
+    WITH chan AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'u' ELSE 'n' END AS ch,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+      FROM orders
+      GROUP BY o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 'u' ELSE 'n' END
+    )
+    SELECT u2.o_custkey AS custkey,
+           u2.rev_cents AS urgent_now,
+           n2.rev_cents AS normal_now
+    FROM chan u1, chan u2, chan n1, chan n2
+    WHERE u1.o_custkey = u2.o_custkey AND u2.o_custkey = n1.o_custkey
+      AND n1.o_custkey = n2.o_custkey
+      AND u1.ch = 'u' AND u2.ch = 'u' AND n1.ch = 'n' AND n2.ch = 'n'
+      AND u1.yr = 1997 AND u2.yr = 1998 AND n1.yr = 1997 AND n2.yr = 1998
+      AND u1.rev_cents > 0 AND n1.rev_cents > 0
+      AND CAST(u2.rev_cents AS DOUBLE) / u1.rev_cents
+          > CAST(n2.rev_cents AS DOUBLE) / n1.rev_cents
+    ORDER BY custkey
+    LIMIT 100
+    """,
+    tags=("tpcds", "yoy-compare", "cte-self-join"),
+)
+
+# q14-ish: parts sold through BOTH order-status channels (INTERSECT on
+# the entity key) feeding a revenue aggregation of just those parts
+register_sql(
+    "tpcds_cross_channel_intersect",
+    """
+    WITH both_parts AS (
+      SELECT l_partkey FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      INTERSECT
+      SELECT l_partkey FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey AND o_orderstatus = 'O'
+    )
+    SELECT p_brand,
+           COUNT(*) AS line_count,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM lineitem l, part, both_parts bp
+    WHERE l.l_partkey = p_partkey AND p_partkey = bp.l_partkey
+    GROUP BY p_brand
+    ORDER BY rev_cents DESC, p_brand
+    LIMIT 25
+    """,
+    tags=("tpcds", "intersect", "semi-join"),
+)
+
+# q38/q87-ish: how many customers bought in the F channel but never in
+# the O channel (EXCEPT of entity sets, counted)
+register_sql(
+    "tpcds_customer_set_except",
+    """
+    SELECT COUNT(*) AS only_f_customers
+    FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ) t
+    """,
+    tags=("tpcds", "except", "anti-join"),
+)
+
+# q51-ish: month-cumulative revenue of two channels FULL OUTER joined on
+# month, keeping months where the URGENT cumulative overtakes the other
+register_sql(
+    "tpcds_cumulative_channel_compare",
+    """
+    WITH u AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY date_trunc('month', o_orderdate)
+    ),
+    n AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev
+      FROM orders WHERE o_orderpriority = '5-LOW'
+      GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT mon, CAST(cum_u AS BIGINT) AS cum_u, CAST(cum_n AS BIGINT) AS cum_n
+    FROM (
+      SELECT COALESCE(u.mon, n.mon) AS mon,
+             SUM(COALESCE(u.rev, 0))
+                 OVER (ORDER BY COALESCE(u.mon, n.mon)) AS cum_u,
+             SUM(COALESCE(n.rev, 0))
+                 OVER (ORDER BY COALESCE(u.mon, n.mon)) AS cum_n
+      FROM u FULL OUTER JOIN n ON u.mon = n.mon
+    ) t
+    WHERE cum_u > cum_n
+    ORDER BY mon
+    LIMIT 100
+    """,
+    tags=("tpcds", "full-outer", "cumulative-window"),
+)
+
+# q58-ish: brands whose revenue is consistent across all three
+# return-flag channels (each channel within ±20% of the brand average)
+register_sql(
+    "tpcds_channel_consistency",
+    """
+    WITH per_chan AS (
+      SELECT p_brand, l_returnflag,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+      GROUP BY p_brand, l_returnflag
+    )
+    SELECT p_brand,
+           CAST(MIN(rev) AS BIGINT) AS min_rev,
+           CAST(MAX(rev) AS BIGINT) AS max_rev
+    FROM per_chan
+    GROUP BY p_brand
+    HAVING COUNT(*) = 3
+       AND CAST(MIN(rev) AS DOUBLE) >= 0.8 * (CAST(SUM(rev) AS DOUBLE) / 3)
+       AND CAST(MAX(rev) AS DOUBLE) <= 1.2 * (CAST(SUM(rev) AS DOUBLE) / 3)
+    ORDER BY p_brand
+    LIMIT 50
+    """,
+    tags=("tpcds", "consistency-band", "two-level-agg"),
+)
