@@ -867,3 +867,71 @@ register_sql(
     """,
     tags=("clickbench-extended", "minmax", "key-ordered"),
 )
+
+# ---------------------------------------------------------------------------
+# Final three for 1:1 ClickBench coverage (reference benchmarks/queries/
+# clickbench/queries/q0,q12,q34.sql). Full mapping of the 43 canonical
+# queries to shapes in this module:
+#   q0→cb_count_star  q1→cb_filtered_global_count  q2,q3→cb_global_scan_
+#   battery  q4,q5→cb_multi_distinct  q6→cb_minmax_ts  q7→cb_smalldim_
+#   counts  q8,q9→cb_region_segmentation  q10,q11→cb_mobile_model_
+#   segmentation  q12→cb_phrase_count_topk  q13→cb_topk_by_users
+#   q14,q18→cb_engine_phrase_minute  q15→cb_heavy_hitter_users
+#   q16,q33→cb_two_key_topk  q17→(q16 without its sort; same plan minus
+#   TakeOrdered — represented by cb_two_key_topk)  q19→cb_point_lookup
+#   q20→cb_substring_search  q21,q22→cb_like_notlike_minurl
+#   q23→cb_select_star_like_ordered  q24,q26→cb_ts_ordered_phrases
+#   q25→cb_string_sort_topk  q27→cb_url_length_having
+#   q28→cb_referer_domain_agg (+cb_regex_extract_agg)  q29→cb_sum_series
+#   q30→cb_wide_sums  q31,q32→cb_watch_client_mixed_agg
+#   q34→cb_const_key_groupby  q35→cb_shifted_key_groupby
+#   q36,q37,q38→cb_fenced_pageviews_offset  q39→cb_case_src_dst_funnel
+#   q40→cb_in_heavy_filter  q41→cb_client_window_dims
+#   q42→cb_day_histogram (+cb_minute_buckets)
+# ---------------------------------------------------------------------------
+
+# q0: the degenerate full-scan count — COUNT(*) must come from parquet
+# row-group metadata, not a data scan
+register_sql(
+    "cb_count_star",
+    """
+    SELECT COUNT(*) AS n FROM events
+    """,
+    tags=("clickbench", "count-star", "metadata-only"),
+)
+
+# q12: top phrases by plain count (the COUNT(*) sibling of
+# cb_topk_by_users' COUNT(DISTINCT))
+register_sql(
+    "cb_phrase_count_topk",
+    """
+    SELECT props AS phrase, COUNT(*) AS c
+    FROM events
+    WHERE props <> ''
+    GROUP BY props
+    ORDER BY c DESC, phrase
+    LIMIT 10
+    """,
+    tags=("clickbench", "topk"),
+)
+
+# q34: a CONSTANT in the grouping key list (SELECT 1, URL ... GROUP BY
+# 1, URL) — the planner must fold it rather than shuffle on it
+register_sql(
+    "cb_const_key_groupby",
+    """
+    SELECT 1 AS one, event_type, COUNT(*) AS c
+    FROM events
+    GROUP BY 1, event_type
+    ORDER BY c DESC, event_type
+    LIMIT 10
+    """,
+    oracle="""
+    SELECT 1 AS one, event_type, COUNT(*) AS c
+    FROM events
+    GROUP BY 1, event_type
+    ORDER BY c DESC, event_type
+    LIMIT 10
+    """,
+    tags=("clickbench", "const-group-key"),
+)
