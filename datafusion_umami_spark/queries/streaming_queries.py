@@ -329,3 +329,51 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "p_ts", "e_ts")
         .limit(1000)
     )
+
+
+# --- streaming exact dedup with bounded state -------------------------------
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS hour_ts
+    FROM events
+    ORDER BY user_id, event_type, hour_ts
+    LIMIT 1000
+    """,
+    tags=("streaming", "dedup", "watermark", "bounded-state"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state:
+    dropDuplicatesWithinWatermark keeps a key's state only until the
+    watermark passes it, so an unbounded run never accumulates
+    unbounded dedup state — the streaming sibling of dedup_exact and a
+    capability the reference has no analog for (its streaming layer has
+    no event-time semantics at all, SURVEY.md §2.11; nearest scalar is
+    date_bin, reference functions/src/datetime/date_bin.rs).
+
+    The dedup key is the full projected row (user, type, hour bucket),
+    so on bounded input the append-mode result is exactly the batch
+    DISTINCT — hash-checked against DuckDB.  At 100 TB the state store
+    holds one entry per live key within the watermark horizon; state
+    expiry, not executor memory, bounds it."""
+    deduped = (
+        read_events_stream(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        )
+        .withWatermark("hour_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour_ts"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("hour_ts").cast("timestamp_ntz").alias("hour_ts"),
+        )
+    )
+    return (
+        stream_to_memory(deduped, "stream_dedup_within_watermark", "append")
+        .orderBy("user_id", "event_type", "hour_ts")
+        .limit(1000)
+    )
