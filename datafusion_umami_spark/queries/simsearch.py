@@ -13,6 +13,15 @@ Part of the LLM-data-pipeline surface. Scale design:
 - IVF-grid: coarse cells from the first two dimensions; probing the
   query's cell ± neighbors. Stands in for kmeans centroids with a
   deterministic, oracle-checkable assignment.
+- IVF-trained (ann_ivf_trained): real Lloyd's k-means — deterministic
+  seed centroids (vec_id < k), argmin assignment via ROW_NUMBER over
+  round(L2², 9) with centroid-id tie-break, centroid recompute through
+  EXACT scaled-integer per-dimension sums (partition-order independent),
+  one refinement pass, then probe = cosine top-k within the query's
+  cluster only.  At 100 TB: train on a sample, broadcast the k×dim
+  centroid table (tiny), assignment is map-side, and the only shuffles
+  are the k×dim centroid-mean aggregations — the FAISS coarse-quantizer
+  design expressed as two DataFrame aggregation rounds.
 
 All vector math is double-cast element arithmetic — identical in Spark
 (zip_with/aggregate) and DuckDB (list_transform/list_sum).
@@ -303,3 +312,103 @@ register_sql(
 # the per-dim mean and the norm are partition-order independent —
 # float SUM over a shuffle would not be. sumx^2 fits int64 up to
 # ~1e9 vectors per (label, dim) at this scaling.
+
+
+# --- IVF with TRAINED centroids (Lloyd's k-means, 2 iterations) -------------
+_SP_DIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+_DU_DIST = "list_sum(list_transform(list_zip({a}, {b}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+
+register_sql(
+    "ann_ivf_trained",
+    f"""
+    WITH e AS (SELECT vec_id, {_SP_V} AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    a1 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, s.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_SP_DIST.format(a="e.v", b="s.cv")}, 9), s.cid
+               ) AS rn
+        FROM e CROSS JOIN seeds s) t
+      WHERE rn = 1),
+    m1 AS (
+      SELECT cid, idx.i,
+             CAST(SUM(CAST(round(element_at(v, idx.i) * 10000) AS BIGINT))
+                  AS BIGINT) AS sx,
+             COUNT(*) AS n
+      FROM a1 CROSS JOIN (SELECT explode(sequence(1, 64)) AS i) idx
+      GROUP BY cid, idx.i),
+    c1 AS (
+      SELECT cid,
+             transform(array_sort(collect_list(named_struct(
+                 'i', i, 'cx', CAST(sx AS DOUBLE) / (10000.0 * n)))),
+               p -> p.cx) AS cv
+      FROM m1 GROUP BY cid),
+    a2 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_SP_DIST.format(a="e.v", b="c.cv")}, 9), c.cid
+               ) AS rn
+        FROM e CROSS JOIN c1 c) t
+      WHERE rn = 1),
+    nrmed AS (
+      SELECT vec_id, v, cid,
+             sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
+                            (acc, x) -> acc + x)) AS nrm
+      FROM a2),
+    q AS (SELECT v, nrm, cid FROM nrmed WHERE vec_id = 0)
+    SELECT a.vec_id, ROUND({_SP_COS}, 6) AS cosine
+    FROM nrmed a JOIN q ON a.cid = q.cid
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 5
+    """,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DU_V} AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    a1 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, s.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_DU_DIST.format(a="e.v", b="s.cv")}, 9), s.cid
+               ) AS rn
+        FROM e CROSS JOIN seeds s) t
+      WHERE rn = 1),
+    m1 AS (
+      SELECT cid, idx.i,
+             CAST(SUM(CAST(round(v[idx.i] * 10000) AS BIGINT)) AS BIGINT) AS sx,
+             COUNT(*) AS n
+      FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) idx
+      GROUP BY cid, idx.i),
+    c1 AS (
+      SELECT cid, list(CAST(sx AS DOUBLE) / (10000.0 * n) ORDER BY i) AS cv
+      FROM m1 GROUP BY cid),
+    a2 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_DU_DIST.format(a="e.v", b="c.cv")}, 9), c.cid
+               ) AS rn
+        FROM e CROSS JOIN c1 c) t
+      WHERE rn = 1),
+    nrmed AS (
+      SELECT vec_id, v, cid,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM a2),
+    q AS (SELECT v, nrm, cid FROM nrmed WHERE vec_id = 0)
+    SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
+    FROM nrmed a JOIN q ON a.cid = q.cid
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 5
+    """,
+    tags=("ann", "ivf", "kmeans", "llm-pipeline"),
+)

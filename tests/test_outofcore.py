@@ -53,6 +53,9 @@ HEAVY = [
     "job_widest_9way_star",
     "job_crossed_bridges",
     "cb_mobile_model_segmentation",
+    # trained IVF: two k-means rounds whose centroid means must be
+    # partition-order independent (exact scaled-int sums)
+    "ann_ivf_trained",
 ]
 
 HOSTILE_CONF = {
