@@ -480,3 +480,130 @@ register_sql(
     """,
     tags=("tpcds", "consistency-band", "two-level-agg"),
 )
+
+# q23-ish: frequent parts (bought in many orders) restricted to
+# best-customer orders — two independent CTE filters meeting in semi-joins
+register_sql(
+    "tpcds_frequent_items_best_customers",
+    """
+    WITH freq_parts AS (
+      SELECT l_partkey FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey
+      GROUP BY l_partkey HAVING COUNT(DISTINCT o_orderkey) > 4
+    ),
+    best_cust AS (
+      SELECT o_custkey FROM orders
+      GROUP BY o_custkey
+      HAVING CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             > 20000000
+    )
+    SELECT COUNT(*) AS lines,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM lineitem l, orders o
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_partkey IN (SELECT l_partkey FROM freq_parts)
+      AND o.o_custkey IN (SELECT o_custkey FROM best_cust)
+    """,
+    tags=("tpcds", "semi-join-chain", "having"),
+)
+
+# q17-ish: coefficient of variation — stddev/mean of quantity per
+# (brand, returnflag-channel), keep high-variation pairs
+register_sql(
+    "tpcds_quantity_cov",
+    """
+    SELECT p_brand, l_returnflag,
+           COUNT(*) AS n,
+           ROUND(STDDEV(l_quantity) /
+                 (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)),
+                 4) AS cov
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+    GROUP BY p_brand, l_returnflag
+    HAVING COUNT(*) > 20
+       AND STDDEV(l_quantity) /
+           (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)) > 0.5
+    ORDER BY cov DESC, p_brand, l_returnflag
+    LIMIT 50
+    """,
+    tags=("tpcds", "cov", "stddev-ratio"),
+)
+
+# q54-ish: customers segmented into revenue bands of a computed aggregate
+register_sql(
+    "tpcds_revenue_bands",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(floor(rev_cents / 5000000) AS BIGINT) AS band,
+           COUNT(*) AS customers
+    FROM rev
+    GROUP BY CAST(floor(rev_cents / 5000000) AS BIGINT)
+    ORDER BY band
+    LIMIT 200
+    """,
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(floor(rev_cents / 5000000) AS BIGINT) AS band,
+           COUNT(*) AS customers
+    FROM rev
+    GROUP BY 1
+    ORDER BY band
+    LIMIT 200
+    """,
+    tags=("tpcds", "banding", "two-level-agg"),
+)
+
+# q90-ish: ratio of two disjoint time-window counts via scalar subqueries
+register_sql(
+    "tpcds_am_pm_ratio",
+    """
+    SELECT ROUND(
+             CAST((SELECT COUNT(*) FROM events
+                   WHERE CAST(extract(HOUR FROM ts) AS BIGINT) BETWEEN 6 AND 11)
+                  AS DOUBLE)
+             / (SELECT COUNT(*) FROM events
+                WHERE CAST(extract(HOUR FROM ts) AS BIGINT) BETWEEN 18 AND 23),
+             6) AS am_pm_ratio
+    """,
+    tags=("tpcds", "scalar-subquery", "time-window"),
+)
+
+# q66-ish: manual month pivot — one SUM(CASE) column per quarter, one
+# scan, partial-aggregated map-side
+register_sql(
+    "tpcds_monthly_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN CAST(extract(MONTH FROM o_orderdate) AS BIGINT)
+                              BETWEEN 1 AND 3
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS q1_cents,
+           CAST(SUM(CASE WHEN CAST(extract(MONTH FROM o_orderdate) AS BIGINT)
+                              BETWEEN 4 AND 6
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS q2_cents,
+           CAST(SUM(CASE WHEN CAST(extract(MONTH FROM o_orderdate) AS BIGINT)
+                              BETWEEN 7 AND 9
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS q3_cents,
+           CAST(SUM(CASE WHEN CAST(extract(MONTH FROM o_orderdate) AS BIGINT)
+                              BETWEEN 10 AND 12
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS q4_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpcds", "manual-pivot", "sum-case"),
+)
