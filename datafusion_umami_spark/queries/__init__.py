@@ -45,6 +45,7 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     dataframe_ops,
     simsearch,
     textanalysis,
+    decontam,
     multimodal,
     streaming_queries,
     timeseries,
@@ -200,6 +201,35 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "text_pii_redact",
     "text_paragraph_dedup",
     "pipeline_c4_style_filter",
+    # round-4 decontamination / repetition / tf-idf additions
+    "text_decontam_flags",
+    "text_decontam_pair_overlap",
+    "text_repetition_gopher",
+    "text_tfidf_top_terms",
+    # round-4 JOB second tranche
+    "job_two_nation_arms_crossed",
+    "job_leftjoin_null_reject",
+    "job_between_numeric_dims",
+    "job_distinct_over_star",
+    "job_substring_prefix_probe",
+    "job_or_across_two_dims",
+    "job_inlist_notin_mix",
+    "job_min_over_expression",
+    "job_like_prefix_suffix",
+    "job_three_fenced_arms",
+    "job_double_date_window",
+    "job_double_aliased_arms_8way",
+    # round-4 TPC-DS third tranche
+    "tpcds_moving_avg_flag",
+    "tpcds_item_lifecycle",
+    "tpcds_rank_tie_semantics",
+    "tpcds_consecutive_year_growth",
+    "tpcds_basket_band_customers",
+    "tpcds_percent_rank_decile",
+    "tpcds_order_gap_stats",
+    "tpcds_rollup_subtotals_only",
+    "tpcds_ntile_decile_profile",
+    "tpcds_return_ratio_rank",
     # LLM-pipeline: multimodal plumbing
     "mm_binary_plumbing",
     "mm_decode_features",

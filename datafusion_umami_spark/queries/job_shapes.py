@@ -477,3 +477,234 @@ register_sql(
     """,
     tags=("job", "three-arms", "join-order"),
 )
+
+# ---------------------------------------------------------------------------
+# Round-4 second tranche: twelve more JOB idioms (reference
+# benchmarks/queries/imdb/ shapes not yet represented above).  Same
+# conventions: MIN()/COUNT() outputs for order-independence, selective
+# dimension fences driving join-order choice, identical SQL on both
+# engines.  100 TB shape for all of these: every filtered dimension arm
+# collapses to KBs and broadcasts; only lineitem/orders shuffle.
+# ---------------------------------------------------------------------------
+
+# 7a-ish: nation joined TWICE (customer arm vs supplier arm) with a
+# cross-arm inequality — the classic JOB aliased-dimension shape
+# (imdb/7a.sql joins name/aka_name the same way)
+register_sql(
+    "job_two_nation_arms_crossed",
+    """
+    SELECT MIN(n1.n_name) AS first_cust_nation,
+           MIN(n2.n_name) AS first_supp_nation,
+           COUNT(*) AS matches
+    FROM nation n1, customer, orders, lineitem, supplier, nation n2
+    WHERE n1.n_nationkey = c_nationkey
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_suppkey = s_suppkey
+      AND s_nationkey = n2.n_nationkey
+      AND n1.n_name <> n2.n_name
+      AND n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND n2.n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+      AND l_quantity > 10
+    """,
+    tags=("job", "aliased-dims", "join-order"),
+)
+
+# anti-join via LEFT JOIN ... IS NULL (imdb queries express "no such
+# link exists" this way before optimizers normalize it to anti-join)
+register_sql(
+    "job_leftjoin_null_reject",
+    """
+    SELECT MIN(p.p_name) AS first_unordered_part,
+           COUNT(*) AS n_unordered
+    FROM part p LEFT JOIN lineitem l
+      ON p.p_partkey = l.l_partkey AND l.l_quantity > 45
+    WHERE l.l_orderkey IS NULL
+      AND p.p_retailprice > 500
+    """,
+    tags=("job", "left-null-anti"),
+)
+
+# numeric BETWEEN fences on two different dimension arms at once
+register_sql(
+    "job_between_numeric_dims",
+    """
+    SELECT MIN(p_name) AS first_part,
+           MIN(s_name) AS first_supplier,
+           COUNT(*) AS matches
+    FROM part, lineitem, supplier
+    WHERE p_partkey = l_partkey
+      AND l_suppkey = s_suppkey
+      AND p_size BETWEEN 10 AND 25
+      AND s_acctbal BETWEEN 2000.0 AND 6000.0
+      AND p_retailprice BETWEEN 900.0 AND 910.0
+    """,
+    tags=("job", "between", "numeric-fence"),
+)
+
+# COUNT(DISTINCT) over the fenced star — JOB's dedup-the-fanout idiom
+register_sql(
+    "job_distinct_over_star",
+    """
+    SELECT COUNT(DISTINCT c_custkey) AS n_customers,
+           COUNT(DISTINCT p_brand) AS n_brands,
+           COUNT(*) AS matches
+    FROM customer, orders, lineitem, part
+    WHERE c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_partkey = p_partkey
+      AND p_type = 'PROMO'
+      AND c_mktsegment = 'MACHINERY'
+      AND o_orderstatus = 'F'
+    """,
+    tags=("job", "count-distinct"),
+)
+
+# substring-equality probe (imdb's char_name prefix tests): substr on
+# the dim column must stay a post-scan filter, not break the equi-join
+register_sql(
+    "job_substring_prefix_probe",
+    """
+    SELECT MIN(c_name) AS first_customer,
+           MIN(o_totalprice) AS min_price,
+           COUNT(*) AS matches
+    FROM customer, orders
+    WHERE c_custkey = o_custkey
+      AND SUBSTRING(c_name, 16, 1) = '0'
+      AND o_totalprice > 50000
+    """,
+    tags=("job", "substring-probe"),
+)
+
+# disjunction SPANNING two dimension arms (imdb/11-ish): the OR
+# references columns of different relations, so neither arm's filter
+# can be pushed below the join — both joins execute, filter on top
+register_sql(
+    "job_or_across_two_dims",
+    """
+    SELECT MIN(p_name) AS first_part,
+           MIN(s_name) AS first_supplier,
+           COUNT(*) AS matches
+    FROM part, lineitem, supplier
+    WHERE p_partkey = l_partkey
+      AND l_suppkey = s_suppkey
+      AND (p_brand = 'Brand#11' OR s_acctbal > 9000)
+      AND l_discount > 0.05
+    """,
+    tags=("job", "cross-arm-or"),
+)
+
+# IN + NOT IN on sibling dims (imdb/14-ish keyword include/exclude)
+register_sql(
+    "job_inlist_notin_mix",
+    """
+    SELECT MIN(n_name) AS first_nation,
+           MIN(c_name) AS first_customer,
+           COUNT(*) AS matches
+    FROM nation, customer, orders
+    WHERE n_nationkey = c_nationkey
+      AND c_custkey = o_custkey
+      AND n_name IN ('NATION_2', 'NATION_4', 'NATION_6', 'NATION_8')
+      AND c_mktsegment NOT IN ('BUILDING', 'FURNITURE')
+      AND o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
+    """,
+    tags=("job", "in-notin"),
+)
+
+# MIN over computed expressions (imdb keeps MIN(col); computing inside
+# the aggregate exercises expression-then-aggregate over the join)
+register_sql(
+    "job_min_over_expression",
+    """
+    SELECT CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS min_net_price,
+           MIN(UPPER(p_name)) AS first_part_upper,
+           COUNT(*) AS matches
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND p_brand = 'Brand#22'
+      AND l_shipdate > DATE '2000-06-01'
+    """,
+    tags=("job", "expression-agg"),
+)
+
+# prefix LIKE on one dim + suffix LIKE on another
+register_sql(
+    "job_like_prefix_suffix",
+    """
+    SELECT MIN(p_name) AS first_part,
+           MIN(n_name) AS first_nation,
+           COUNT(*) AS matches
+    FROM part, lineitem, supplier, nation
+    WHERE p_partkey = l_partkey
+      AND l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey
+      AND p_name LIKE 'blue%'
+      AND n_name LIKE '%4'
+      AND l_returnflag = 'N'
+    """,
+    tags=("job", "like-prefix-suffix"),
+)
+
+# all three star arms fenced at once (imdb/19-ish: person + company +
+# keyword all filtered) — maximum broadcast pressure
+register_sql(
+    "job_three_fenced_arms",
+    """
+    SELECT MIN(o_orderdate) AS first_order,
+           COUNT(*) AS matches
+    FROM customer, orders, lineitem, part, supplier
+    WHERE c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_partkey = p_partkey
+      AND l_suppkey = s_suppkey
+      AND c_mktsegment = 'AUTOMOBILE'
+      AND p_type IN ('SMALL', 'MEDIUM')
+      AND s_acctbal > 5000
+    """,
+    tags=("job", "three-fences", "broadcast"),
+)
+
+# date-windowed star with a redundant transitive fence (imdb carries
+# both t.production_year and mi.info year fences; here the o_orderdate
+# window plus l_shipdate window overlap transitively)
+register_sql(
+    "job_double_date_window",
+    """
+    SELECT MIN(c_name) AS first_customer,
+           MIN(l_shipdate) AS first_ship,
+           COUNT(*) AS matches
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1998-12-31'
+      AND l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1999-06-30'
+      AND c_acctbal < 0
+    """,
+    tags=("job", "date-window"),
+)
+
+# widest inner shape with BOTH aliased nations AND both regions:
+# 8 relations, two of them aliased twice — deepest broadcast tree
+register_sql(
+    "job_double_aliased_arms_8way",
+    """
+    SELECT MIN(r1.r_name) AS first_cust_region,
+           MIN(r2.r_name) AS first_supp_region,
+           COUNT(*) AS matches
+    FROM region r1, nation n1, customer, orders, lineitem,
+         supplier, nation n2, region r2
+    WHERE r1.r_regionkey = n1.n_regionkey
+      AND n1.n_nationkey = c_nationkey
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_suppkey = s_suppkey
+      AND s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey
+      AND r1.r_name = 'ASIA'
+      AND r2.r_name IN ('EUROPE', 'AFRICA')
+      AND o_totalprice > 150000
+    """,
+    tags=("job", "aliased-dims", "widest"),
+)

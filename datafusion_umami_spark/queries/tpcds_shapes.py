@@ -607,3 +607,299 @@ register_sql(
     """,
     tags=("tpcds", "manual-pivot", "sum-case"),
 )
+
+# ---------------------------------------------------------------------------
+# Round-4 third tranche: ten more TPC-DS idioms (reference
+# core/tests/tpcds_planning.rs families not yet represented).
+# Same determinism rules as above: integer-cents money, exact-int window
+# sums, full total-order ORDER BY + LIMIT caps.
+# ---------------------------------------------------------------------------
+
+# q51-ish crossover: daily revenue vs its trailing 7-row moving average.
+# The moving average is computed from EXACT integer window sums
+# (SUM/COUNT over cents), so no float accumulation order can diverge;
+# DuckDB's window SUM(BIGINT) is HUGEINT → cast back.
+register_sql(
+    "tpcds_moving_avg_flag",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    ma AS (
+      SELECT d, rev_c,
+             CAST(SUM(rev_c) OVER (ORDER BY d
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS s7,
+             CAST(COUNT(*) OVER (ORDER BY d
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
+      FROM daily)
+    SELECT d, rev_c,
+           ROUND(CAST(s7 AS DOUBLE) / 100.0 / n7, 4) AS ma7,
+           CAST(CASE WHEN rev_c * n7 > s7 THEN 1 ELSE 0 END AS BIGINT)
+             AS above_ma
+    FROM ma
+    ORDER BY d
+    LIMIT 2000
+    """,
+    tags=("tpcds", "moving-average", "window"),
+)
+
+# q37-ish item lifecycle: first/last sale per brand + active-span days.
+# date arithmetic differs by engine → separate oracle text.
+register_sql(
+    "tpcds_item_lifecycle",
+    """
+    SELECT p_brand,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship,
+           CAST(datediff(MAX(l_shipdate), MIN(l_shipdate)) AS BIGINT)
+             AS span_days
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 200
+    """,
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship,
+           CAST(date_diff('day', MIN(l_shipdate), MAX(l_shipdate)) AS BIGINT)
+             AS span_days
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 200
+    """,
+    tags=("tpcds", "lifecycle", "date-arith"),
+)
+
+# Top-k with ties: RANK (gap-ties) vs DENSE_RANK vs ROW_NUMBER on the
+# same ordering — the classic q67-addendum divergence TPC-DS audits.
+register_sql(
+    "tpcds_rank_tie_semantics",
+    """
+    WITH spend AS (
+      SELECT c_nationkey AS nationkey, o_custkey AS custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey, o_custkey),
+    r AS (
+      SELECT nationkey, custkey, rev_c,
+             RANK() OVER (PARTITION BY nationkey ORDER BY rev_c DESC)
+               AS rk,
+             DENSE_RANK() OVER (PARTITION BY nationkey ORDER BY rev_c DESC)
+               AS drk,
+             ROW_NUMBER() OVER (PARTITION BY nationkey
+                                ORDER BY rev_c DESC, custkey) AS rn
+      FROM spend)
+    SELECT nationkey, custkey, ROUND(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+           CAST(rk AS BIGINT) AS rk, CAST(drk AS BIGINT) AS drk,
+           CAST(rn AS BIGINT) AS rn
+    FROM r
+    WHERE rk <= 3
+    ORDER BY nationkey, rn
+    LIMIT 2000
+    """,
+    tags=("tpcds", "rank-ties", "window"),
+)
+
+# q11-ish consecutive-period growth: customers whose spend in year Y+1
+# exceeds year Y — equi self-join of one per-(customer, year) aggregate.
+register_sql(
+    "tpcds_consecutive_year_growth",
+    """
+    WITH cy AS (
+      SELECT o_custkey AS custkey,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate))
+    SELECT a.custkey, a.yr AS yr1,
+           ROUND(CAST(a.rev_c AS DOUBLE) / 100.0, 2) AS rev1,
+           ROUND(CAST(b.rev_c AS DOUBLE) / 100.0, 2) AS rev2,
+           ROUND(CAST(b.rev_c AS DOUBLE) / a.rev_c, 6) AS growth
+    FROM cy a JOIN cy b ON a.custkey = b.custkey AND b.yr = a.yr + 1
+    WHERE b.rev_c > a.rev_c
+    ORDER BY a.custkey, a.yr
+    LIMIT 2000
+    """,
+    tags=("tpcds", "self-join", "growth"),
+)
+
+# q34/q73 basket bands: orders with 5-7 items, customers placing >= 2
+# such orders — HAVING band on the fact, joined back to the dimension.
+register_sql(
+    "tpcds_basket_band_customers",
+    """
+    WITH baskets AS (
+      SELECT l_orderkey, COUNT(*) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+      HAVING COUNT(*) BETWEEN 5 AND 7),
+    cust AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_band_orders
+      FROM orders JOIN baskets ON o_orderkey = l_orderkey
+      GROUP BY o_custkey
+      HAVING COUNT(*) >= 2)
+    SELECT c_name, n_band_orders
+    FROM cust JOIN customer ON c_custkey = o_custkey
+    ORDER BY n_band_orders DESC, c_name
+    LIMIT 1000
+    """,
+    tags=("tpcds", "basket-band", "having"),
+)
+
+# Top decile of spenders per nation via PERCENT_RANK — exact rational
+# (rank-1)/(n-1) over integer cents, no float accumulation.
+register_sql(
+    "tpcds_percent_rank_decile",
+    """
+    WITH spend AS (
+      SELECT c_nationkey AS nationkey, o_custkey AS custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey, o_custkey),
+    pr AS (
+      SELECT nationkey, custkey, rev_c,
+             PERCENT_RANK() OVER (PARTITION BY nationkey ORDER BY rev_c)
+               AS prk
+      FROM spend)
+    SELECT nationkey, custkey, ROUND(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(prk, 6) AS pct_rank
+    FROM pr
+    WHERE prk >= 0.9
+    ORDER BY nationkey, custkey
+    LIMIT 2000
+    """,
+    tags=("tpcds", "percent-rank", "window"),
+)
+
+# Largest order-to-order gap per customer (LAG + date subtraction) —
+# churn-detection idiom; date arithmetic differs by engine.
+register_sql(
+    "tpcds_order_gap_stats",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+             o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS prev_d
+      FROM orders),
+    gaps AS (
+      SELECT o_custkey, datediff(o_orderdate, prev_d) AS gap
+      FROM seq WHERE prev_d IS NOT NULL)
+    SELECT o_custkey AS custkey,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM gaps
+    GROUP BY o_custkey
+    HAVING MAX(gap) > 200
+    ORDER BY max_gap_days DESC, custkey
+    LIMIT 1000
+    """,
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS prev_d
+      FROM orders),
+    gaps AS (
+      SELECT o_custkey, date_diff('day', prev_d, o_orderdate) AS gap
+      FROM seq WHERE prev_d IS NOT NULL)
+    SELECT o_custkey AS custkey,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM gaps
+    GROUP BY o_custkey
+    HAVING MAX(gap) > 200
+    ORDER BY max_gap_days DESC, custkey
+    LIMIT 1000
+    """,
+    tags=("tpcds", "lag-gap", "window"),
+)
+
+# ROLLUP keeping ONLY the subtotal rows (GROUPING() flags in HAVING) —
+# the q18/q22 summary-row harvest.
+register_sql(
+    "tpcds_rollup_subtotals_only",
+    """
+    SELECT region, nation, rev_c, g_region, g_nation
+    FROM (
+      SELECT COALESCE(r_name, 'ALL') AS region,
+             COALESCE(n_name, 'ALL') AS nation,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c,
+             CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+             CAST(GROUPING(n_name) AS BIGINT) AS g_nation
+      FROM region
+        JOIN nation ON r_regionkey = n_regionkey
+        JOIN customer ON n_nationkey = c_nationkey
+        JOIN orders ON c_custkey = o_custkey
+      GROUP BY ROLLUP(r_name, n_name)) sub
+    WHERE g_nation = 1
+    ORDER BY region, nation
+    LIMIT 100
+    """,
+    tags=("tpcds", "rollup", "grouping-flags"),
+)
+
+# NTILE decile segmentation of customers by spend, then per-decile
+# aggregate — the customer-value banding TPC-DS uses for mailing lists.
+register_sql(
+    "tpcds_ntile_decile_profile",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_custkey),
+    d AS (
+      SELECT custkey, rev_c,
+             NTILE(10) OVER (ORDER BY rev_c DESC, custkey) AS decile
+      FROM spend)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(rev_c) AS DOUBLE) / 100.0, 2) AS decile_revenue,
+           ROUND(CAST(MIN(rev_c) AS DOUBLE) / 100.0, 2) AS min_revenue,
+           ROUND(CAST(MAX(rev_c) AS DOUBLE) / 100.0, 2) AS max_revenue
+    FROM d
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    tags=("tpcds", "ntile", "segmentation"),
+)
+
+# q49-ish worst return ratios: returned-quantity share per part, ranked.
+# Quantities are integral doubles → exact BIGINT casts; the ratio is one
+# int/int division (identical IEEE result on both engines).
+register_sql(
+    "tpcds_return_ratio_rank",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(SUM(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS ret_qty,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tot_qty
+      FROM lineitem GROUP BY l_partkey),
+    r AS (
+      SELECT l_partkey, ret_qty, tot_qty,
+             ROUND(CAST(ret_qty AS DOUBLE) / tot_qty, 6) AS ret_ratio
+      FROM pr WHERE tot_qty >= 20),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY ret_ratio DESC, l_partkey) AS rn
+      FROM r)
+    SELECT l_partkey, ret_qty, tot_qty, ret_ratio, CAST(rn AS BIGINT) AS rn
+    FROM ranked
+    WHERE rn <= 100
+    ORDER BY rn
+    """,
+    tags=("tpcds", "return-ratio", "rank"),
+)
