@@ -46,6 +46,7 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     simsearch,
     textanalysis,
     decontam,
+    eventanalytics,
     multimodal,
     streaming_queries,
     timeseries,
@@ -230,6 +231,11 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "tpcds_rollup_subtotals_only",
     "tpcds_ntile_decile_profile",
     "tpcds_return_ratio_rank",
+    # round-4 event-analytics family
+    "evt_cohort_retention",
+    "evt_funnel_ordered",
+    "evt_rfm_segments",
+    "evt_value_band_histogram",
     # LLM-pipeline: multimodal plumbing
     "mm_binary_plumbing",
     "mm_decode_features",

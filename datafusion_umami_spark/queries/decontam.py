@@ -220,10 +220,14 @@ _TFIDF_BODY = """
               FROM tok GROUP BY word),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
     scored AS (
+      -- scalar subquery (not CROSS JOIN): Spark executes it once and
+      -- inlines the literal, avoiding a nested-loop join against the
+      -- 1-row count relation
       SELECT tf.doc_id, tf.word, tf.tf,
-             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 4)
+             ROUND(tf.tf * (ln(((SELECT n_docs FROM n) + 1.0)
+                                / (dfreq.df + 1.0)) + 1.0), 4)
                AS tfidf
-      FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n),
+      FROM tf JOIN dfreq ON tf.word = dfreq.word),
     ranked AS (
       SELECT doc_id, word, tf, tfidf,
              ROW_NUMBER() OVER (PARTITION BY doc_id

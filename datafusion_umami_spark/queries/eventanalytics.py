@@ -1,0 +1,186 @@
+"""Behavioral / product-analytics operators over the events stream table:
+cohort retention, strictly-ordered funnels, RFM segmentation, value
+histograms.
+
+These are the batch-side siblings of the streaming sessionization
+family (queries/streaming_queries.py) — the standard shapes any events
+warehouse (and any user-interaction training-data pipeline) runs daily.
+The reference engine has no events/analytics surface (SURVEY.md §2.11:
+no event-time semantics at all), so like decontam.py this is
+capability-superset work from the build brief.
+
+100 TB design notes:
+- every query is scan → per-user partial aggregate → small join; the
+  per-user tables are |users|-sized (orders of magnitude under the raw
+  events), so every post-aggregation join broadcasts;
+- the cohort matrix and histogram group on (low-card, low-card) keys —
+  the final exchanges carry KBs;
+- money/value arithmetic is integer cents end-to-end (registry.py
+  determinism conventions), window tie-breaks are total orders.
+"""
+
+from __future__ import annotations
+
+from datafusion_umami_spark.registry import register_sql
+
+# --- day-cohort retention matrix ------------------------------------------
+# Users cohorted by first-seen day; n_active = distinct users of cohort
+# C active at day offset K.  The activity×first_seen join is per-user
+# (tiny right side → broadcast); the matrix groupBy is (day, offset).
+register_sql(
+    "evt_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
+      FROM events),
+    matrix AS (
+      SELECT f.cohort_day,
+             datediff(a.active_day, f.cohort_day) AS day_offset,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+      GROUP BY f.cohort_day, datediff(a.active_day, f.cohort_day))
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(n_active AS BIGINT) AS n_active
+    FROM matrix
+    ORDER BY cohort_day, day_offset
+    LIMIT 2000
+    """,
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
+      FROM events),
+    matrix AS (
+      SELECT f.cohort_day,
+             date_diff('day', f.cohort_day, a.active_day) AS day_offset,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+      GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.active_day))
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(n_active AS BIGINT) AS n_active
+    FROM matrix
+    ORDER BY cohort_day, day_offset
+    LIMIT 2000
+    """,
+    tags=("events", "cohort", "retention", "analytics"),
+)
+
+# --- strictly-ordered funnel: view → click (after) → purchase (after) -----
+# Each stage is MIN(ts) per user constrained to be AFTER the previous
+# stage's MIN — the standard "ordered funnel" semantics (a click before
+# the first view does not count).  Stage tables are per-user aggregates
+# (broadcastable); no window over raw events is needed.
+register_sql(
+    "evt_funnel_ordered",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / greatest((SELECT COUNT(*) FROM v), 1), 6)
+             AS conversion_rate
+    """,
+    tags=("events", "funnel", "analytics"),
+)
+
+# --- RFM quartile segmentation --------------------------------------------
+# Recency/Frequency/Monetary per user, each NTILE(4)-banded with a full
+# total-order tiebreak so the quartile assignment is deterministic.
+register_sql(
+    "evt_rfm_segments",
+    """
+    WITH mx AS (
+      SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events),
+    rfm AS (
+      SELECT user_id,
+             datediff(mx.max_day,
+                      MAX(CAST(date_trunc('day', ts) AS DATE))) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM events CROSS JOIN mx
+      GROUP BY user_id, mx.max_day),
+    seg AS (
+      SELECT user_id, recency_days, frequency, monetary_c,
+             NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r_q,
+             NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+             NTILE(4) OVER (ORDER BY monetary_c DESC, user_id) AS m_q
+      FROM rfm)
+    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary_c,
+           CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           concat(CAST(r_q AS STRING), CAST(f_q AS STRING),
+                  CAST(m_q AS STRING)) AS segment
+    FROM seg
+    ORDER BY user_id
+    LIMIT 2000
+    """,
+    oracle="""
+    WITH mx AS (
+      SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events),
+    rfm AS (
+      SELECT user_id,
+             date_diff('day', MAX(CAST(date_trunc('day', ts) AS DATE)),
+                       mx.max_day) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM events CROSS JOIN mx
+      GROUP BY user_id, mx.max_day),
+    seg AS (
+      SELECT user_id, recency_days, frequency, monetary_c,
+             NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r_q,
+             NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+             NTILE(4) OVER (ORDER BY monetary_c DESC, user_id) AS m_q
+      FROM rfm)
+    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary_c,
+           CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           concat(CAST(r_q AS VARCHAR), CAST(f_q AS VARCHAR),
+                  CAST(m_q AS VARCHAR)) AS segment
+    FROM seg
+    ORDER BY user_id
+    LIMIT 2000
+    """,
+    tags=("events", "rfm", "segmentation", "analytics"),
+)
+
+# --- fixed-width value histogram per event type ---------------------------
+# Bands of 50 currency units computed on integer cents (floor of an
+# exactly-representable division) — deterministic across engines, no
+# log-scale float edges.
+register_sql(
+    "evt_value_band_histogram",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(CAST(round(value * 100) AS BIGINT) / 5000.0) AS BIGINT)
+               AS band
+      FROM events)
+    SELECT event_type, band, band * 50 AS band_lo_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b
+    GROUP BY event_type, band
+    ORDER BY event_type, band
+    LIMIT 500
+    """,
+    tags=("events", "histogram", "analytics"),
+)

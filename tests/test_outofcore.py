@@ -56,6 +56,13 @@ HEAVY = [
     # trained IVF: two k-means rounds whose centroid means must be
     # partition-order independent (exact scaled-int sums)
     "ann_ivf_trained",
+    # round-4 families: n-gram decontamination (explode + broadcast
+    # probe + per-doc agg), TF-IDF (two agg grains + group-limit
+    # window), exact-integer moving-average window, cohort matrix
+    "text_decontam_flags",
+    "text_tfidf_top_terms",
+    "tpcds_moving_avg_flag",
+    "evt_cohort_retention",
 ]
 
 HOSTILE_CONF = {

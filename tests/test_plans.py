@@ -232,3 +232,56 @@ def test_day_histogram_pushes_time_fence(spark, sf_dir):
     assert pushed and any(
         "GreaterThanOrEqual" in ln and "LessThan" in ln for ln in pushed
     ), plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "job_double_aliased_arms_8way",
+        "job_three_fenced_arms",
+        "job_two_nation_arms_crossed",
+    ],
+)
+def test_round4_job_tranche_broadcasts(name, spark, sf_dir):
+    """Second JOB tranche: role-played dimension arms (nation/region
+    aliased twice) must still broadcast — 7 BroadcastHashJoins for the
+    8-way — and never degrade to cartesian/BNLJ."""
+    plan = plan_str(q(name, spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast of dims\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name", ["text_decontam_flags", "text_decontam_pair_overlap"]
+)
+def test_decontam_broadcasts_eval_side_jvm_only(name, spark, sf_dir):
+    """Decontamination probes the tiny eval-set n-gram table: the hash
+    join must broadcast it (at 100 TB the corpus side never reshuffles
+    for the probe), stay fully JVM-side, and never plan an all-pairs
+    fallback."""
+    plan = plan_str(q(name, spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tfidf_uses_window_group_limit_no_nlj(spark, sf_dir):
+    """TF-IDF top-3 per doc must plan as WindowGroupLimit (rank pushed
+    into the sort, no full per-partition materialization), and the
+    corpus-size scalar must be inlined (no 1-row nested-loop join)."""
+    plan = plan_str(q("text_tfidf_top_terms", spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_cohort_retention_broadcasts_user_table(spark, sf_dir):
+    """The cohort matrix joins per-user first-seen days against per-user
+    activity days — both |users|-sized aggregates; the join must
+    broadcast, with partial/final aggregate splits on both inputs."""
+    plan = plan_str(q("evt_cohort_retention", spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
