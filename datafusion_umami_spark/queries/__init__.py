@@ -47,6 +47,7 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     textanalysis,
     decontam,
     eventanalytics,
+    curation,
     multimodal,
     streaming_queries,
     timeseries,
@@ -236,6 +237,11 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "evt_funnel_ordered",
     "evt_rfm_segments",
     "evt_value_band_histogram",
+    # round-4 dataset-curation family
+    "cur_balanced_per_class_sample",
+    "cur_hash_split_leakfree",
+    "cur_source_mixture_budget",
+    "cur_quality_curriculum_buckets",
     # LLM-pipeline: multimodal plumbing
     "mm_binary_plumbing",
     "mm_decode_features",

@@ -1,0 +1,213 @@
+"""Dataset-curation operators: the selection / splitting / mixing steps
+between a cleaned corpus and a training run.
+
+Completes the LLM-pipeline family (dedup → decontam → quality →
+**curation**): balanced per-class sampling, deterministic leak-free
+train/val/test splitting, source-mixture token budgeting (the
+"how many tokens from each source" step every pretraining mix needs),
+and curriculum bucketing by quality score.
+
+All selection is driven by a deterministic 60-bit md5 hash (shared
+convention with dedup.py) — never rand() — so results are reproducible
+across engines, partitionings, and retries; that determinism is itself
+the operator's contract at 100 TB (a resumed job must pick the same
+rows).
+
+100 TB notes per query inline. Reference parity: the reference has a
+deterministic-sampling surface only via LIMIT/TABLESAMPLE
+(sqllogictest/test_files/limit.slt); class-balanced and budgeted
+selection are capability-superset work from the build brief.
+"""
+
+from __future__ import annotations
+
+from datafusion_umami_spark.registry import register_sql
+
+SPARK_H64 = "CAST(conv(substr(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+DUCK_H64 = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+# --- balanced per-class sample --------------------------------------------
+# Equal doc counts per language: rank docs inside each class by a
+# deterministic hash (not rand!) and keep the first K.  The window
+# partitions on the class key; at 100 TB this is one shuffle keyed by
+# (lang), and WindowGroupLimit prunes each partition to K rows map-side
+# before the final sort.
+_BAL_BODY = """
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM hashed)
+    SELECT doc_id, lang, n_chars
+    FROM ranked
+    WHERE rn <= 40
+    ORDER BY lang, doc_id
+    LIMIT 1000
+"""
+
+register_sql(
+    "cur_balanced_per_class_sample",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, n_chars,
+             {SPARK_H64.format(s="concat('bal:', CAST(doc_id AS STRING))")} AS h
+      FROM documents),
+    {_BAL_BODY}
+    """,
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, n_chars,
+             {DUCK_H64.format(s="concat('bal:', CAST(doc_id AS VARCHAR))")} AS h
+      FROM documents),
+    {_BAL_BODY}
+    """,
+    tags=("curation", "sampling", "llm-pipeline"),
+)
+
+# --- deterministic leak-free split ----------------------------------------
+# train/val/test by CONTENT hash (not doc_id): byte-identical documents
+# always land in the same split, so exact duplicates can never leak
+# from train into eval.  n_spanning counts content hashes that appear
+# in more than one split — structurally zero, and the query proves it.
+_SPLIT_BODY = """
+    assigned AS (
+      SELECT doc_id, content_h,
+             CASE WHEN content_h % 100 < 90 THEN 'train'
+                  WHEN content_h % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM hashed),
+    per_split AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT content_h) AS BIGINT) AS n_distinct
+      FROM assigned GROUP BY split),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_spanning
+      FROM (SELECT content_h FROM assigned
+            GROUP BY content_h HAVING COUNT(DISTINCT split) > 1) t)
+    SELECT p.split, p.n_docs, p.n_distinct, l.n_spanning
+    FROM per_split p CROSS JOIN leak l
+    ORDER BY p.split
+"""
+
+register_sql(
+    "cur_hash_split_leakfree",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, {SPARK_H64.format(s='text')} AS content_h
+      FROM documents),
+    {_SPLIT_BODY}
+    """,
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, {DUCK_H64.format(s='text')} AS content_h
+      FROM documents),
+    {_SPLIT_BODY}
+    """,
+    tags=("curation", "split", "llm-pipeline"),
+)
+
+# --- source-mixture token budget (largest-remainder allocation) -----------
+# Given per-source token counts, allocate an integer token budget of
+# 100k proportionally: base = floor share, then +1 to the sources with
+# the largest fractional remainders until the budget is exact.  All
+# integer arithmetic (cross-engine exact); the allocation table is
+# |sources|-sized — trivially small at any corpus scale, computed from
+# one aggregation over the corpus.
+_MIX_BODY = """
+    tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_toks FROM src),
+    alloc AS (
+      -- exact integer floor-division on both engines: (a - a%b)/b is an
+      -- exact multiple of b, and the quotient stays under 2^53, so the
+      -- double division is lossless (Spark DIV / DuckDB // differ in
+      -- syntax; this form is portable AND exact)
+      SELECT s.source, s.toks,
+             CAST((s.toks * 100000 - (s.toks * 100000) % t.total_toks)
+                  / t.total_toks AS BIGINT) AS base_alloc,
+             (s.toks * 100000) % t.total_toks AS rem
+      FROM src s CROSS JOIN tot t),
+    ranked AS (
+      SELECT source, toks, base_alloc,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
+      FROM alloc),
+    need AS (
+      SELECT CAST(100000 - SUM(base_alloc) AS BIGINT) AS topup FROM ranked)
+    SELECT r.source, r.toks AS source_tokens,
+           CAST(r.base_alloc + CASE WHEN r.rr <= n.topup THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated_tokens
+    FROM ranked r CROSS JOIN need n
+    ORDER BY r.source
+"""
+
+register_sql(
+    "cur_source_mixture_budget",
+    r"""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(size(split(trim(text), '\\s+'))) AS BIGINT) AS toks
+      FROM documents GROUP BY source),
+    """
+    + _MIX_BODY,
+    oracle=r"""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS toks
+      FROM documents GROUP BY source),
+    """
+    + _MIX_BODY,
+    tags=("curation", "mixture", "llm-pipeline"),
+)
+
+# --- curriculum buckets by quality score ----------------------------------
+# Quality deciles (same score recipe as text_quality_score) with
+# per-bucket profiles — the ordering a curriculum loader consumes.
+# NTILE over (score, doc_id) is a total order → deterministic buckets.
+_CURR_BODY = """
+    scored AS (
+      SELECT doc_id,
+             ROUND(least(n_tokens / 50.0, 1.0) * 0.4
+                   + least(n_stop / greatest(n_tokens, 1.0) * 5.0, 1.0) * 0.4
+                   + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0,
+                                  1.0)) * 0.2,
+                   6) AS q
+      FROM feats),
+    buckets AS (
+      SELECT doc_id, q,
+             NTILE(10) OVER (ORDER BY q DESC, doc_id) AS bucket
+      FROM scored)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(q), 6) AS min_q,
+           ROUND(MAX(q), 6) AS max_q
+    FROM buckets
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+register_sql(
+    "cur_quality_curriculum_buckets",
+    r"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(size(split(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+             CAST(regexp_count(text, '[^a-z0-9 ]') AS DOUBLE) AS n_punct,
+             CAST(regexp_count(text, '\\b(the|a|of|and|is|in|to)\\b') AS DOUBLE)
+               AS n_stop
+      FROM documents),
+    """
+    + _CURR_BODY,
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+               AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+               AS n_punct,
+             CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|in|to)\b'))
+               AS DOUBLE) AS n_stop
+      FROM documents),
+    """
+    + _CURR_BODY,
+    tags=("curation", "curriculum", "llm-pipeline"),
+)

@@ -285,3 +285,12 @@ def test_cohort_retention_broadcasts_user_table(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_balanced_sample_uses_window_group_limit(spark, sf_dir):
+    """Per-class sampling keeps 40 rows per language via ROW_NUMBER —
+    the plan must prune with WindowGroupLimit so each map task emits at
+    most K rows per class before the exchange."""
+    plan = plan_str(q("cur_balanced_per_class_sample", spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -284,3 +284,52 @@ def test_connected_components_matches_duckdb_min_label(spark, duck, sf_dir):
     got = spec.fn(spark, sf_dir).toPandas()
     r = compare_frames(spec.name, got, duck.execute(spec.oracle).df())
     assert r.ok, r.detail
+
+
+def test_mixture_budget_allocates_exactly(spark, sf_dir):
+    """Largest-remainder allocation must hand out EXACTLY the 100k-token
+    budget (floor shares + top-ups), with every source represented and
+    no source over its proportional share by more than 1 token."""
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    pdf = REGISTRY["cur_source_mixture_budget"].fn(spark, sf_dir).toPandas()
+    assert int(pdf["allocated_tokens"].sum()) == 100_000
+    assert (pdf["allocated_tokens"] >= 0).all()
+    total = int(pdf["source_tokens"].sum())
+    for _, row in pdf.iterrows():
+        exact = row["source_tokens"] * 100_000 / total
+        assert abs(row["allocated_tokens"] - exact) < 1.0 + 1e-9
+
+
+def test_hash_split_has_zero_leakage(spark, sf_dir):
+    """Content-hash splitting can never place byte-identical documents
+    in different splits — n_spanning is structurally zero and the split
+    sizes must cover the whole corpus."""
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+    from datafusion_umami_spark.tables import register_views
+
+    _load_all()
+    pdf = REGISTRY["cur_hash_split_leakfree"].fn(spark, sf_dir).toPandas()
+    assert (pdf["n_spanning"] == 0).all()
+    register_views(spark, sf_dir)
+    n_docs = spark.table("documents").count()
+    assert int(pdf["n_docs"].sum()) == n_docs
+
+
+def test_balanced_sample_is_balanced_and_stable(spark, sf_dir):
+    """Per-class sample must return the same 40 docs per language on
+    every run (hash-driven, not rand-driven) regardless of partitioning."""
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    spec = REGISTRY["cur_balanced_per_class_sample"]
+    a = spec.fn(spark, sf_dir).toPandas()
+    assert (a.groupby("lang")["doc_id"].count() == 40).all()
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = spec.fn(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert a.values.tolist() == b.values.tolist()
