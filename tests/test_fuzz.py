@@ -6,7 +6,9 @@ tests (joins/hash_join.rs `#[apply(batch_sizes)]`).
 
 Seeded generator (reproducible) composes queries from an ANSI subset
 valid verbatim in BOTH Spark SQL and DuckDB: random predicates, group
-keys, aggregates, sorts, limits over the driver tables.  Half the cases
+keys, aggregates, sorts, limits, set ops, ROLLUPs, ranked windows,
+exact-integer running-sum frames and correlated (NOT) EXISTS over the
+driver tables.  Half the cases
 additionally run Spark with a 1 MiB `files.maxPartitionBytes` (many
 input splits — the analog of the reference's small batch sizes) to
 catch chunking bugs.
@@ -24,7 +26,7 @@ import pytest
 from datafusion_umami_spark.oracle import canonical_rows
 from datafusion_umami_spark.tables import register_views
 
-N_CASES = 32
+N_CASES = 44
 
 _TABLES = {
     "lineitem": {
@@ -107,7 +109,7 @@ _JOINS = [
 
 def _gen_case(rng: random.Random) -> str:
     roll = rng.random()
-    if roll < 0.15:  # equi-join + aggregate
+    if roll < 0.12:  # equi-join + aggregate
         left, right, cond, keys, aggs, preds = rng.choice(_JOINS)
         where = " AND ".join([cond] + rng.sample(preds, k=rng.randint(1, 2)))
         ks = rng.sample(keys, k=rng.randint(1, 2))
@@ -117,7 +119,7 @@ def _gen_case(rng: random.Random) -> str:
             f"SELECT {', '.join(key_aliases)}, COUNT(*) AS cnt, {', '.join(ags)} "
             f"FROM {left}, {right} WHERE {where} GROUP BY {', '.join(ks)}"
         )
-    if roll < 0.3:  # ranked window per group (unique tie-break, capped)
+    if roll < 0.24:  # ranked window per group (unique tie-break, capped)
         part = rng.choice(["o_custkey % 13", "o_orderstatus"])
         k = rng.choice([2, 3])
         pred = rng.choice(_TABLES["orders"]["preds"])
@@ -129,7 +131,7 @@ def _gen_case(rng: random.Random) -> str:
             f"  FROM orders WHERE {pred}) t "
             f"WHERE rn <= {k} ORDER BY o_orderkey LIMIT 300"
         )
-    if roll < 0.45:  # set operation between two slices of one table
+    if roll < 0.36:  # set operation between two slices of one table
         tname = rng.choice(sorted(_TABLES))
         t = _TABLES[tname]
         op = rng.choice(
@@ -143,7 +145,7 @@ def _gen_case(rng: random.Random) -> str:
             f"SELECT {cols} FROM {tname} WHERE {p2} "
             f"ORDER BY {cols} LIMIT 500"
         )
-    if roll < 0.55:  # ROLLUP over two keys, COALESCE'd for stable output
+    if roll < 0.45:  # ROLLUP over two keys, COALESCE'd for stable output
         tname = rng.choice(sorted(_TABLES))
         t = _TABLES[tname]
         k1, k2 = rng.sample(t["keys"], k=2)
@@ -155,11 +157,37 @@ def _gen_case(rng: random.Random) -> str:
             f"       COUNT(*) AS cnt, {agg} "
             f"FROM {tname} WHERE {pred} GROUP BY ROLLUP({k1}, {k2})"
         )
+    if roll < 0.55:  # aggregate-over-frame: exact integer running sums
+        part = rng.choice(["o_custkey % 13", "o_orderstatus"])
+        frame = rng.choice(
+            ["UNBOUNDED PRECEDING", "3 PRECEDING", "10 PRECEDING"]
+        )
+        pred = rng.choice(_TABLES["orders"]["preds"])
+        return (
+            f"SELECT o_orderkey, o_custkey,"
+            f"       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))"
+            f"         OVER (PARTITION BY {part} ORDER BY o_orderkey"
+            f"           ROWS BETWEEN {frame} AND CURRENT ROW) AS BIGINT)"
+            f"         AS run_cents "
+            f"FROM orders WHERE {pred} ORDER BY o_orderkey LIMIT 400"
+        )
+    if roll < 0.65:  # correlated (NOT) EXISTS against the fact table
+        neg = rng.choice(["", "NOT "])
+        pred = rng.choice(_TABLES["orders"]["preds"])
+        outer_pred = rng.choice(
+            ["c_acctbal > 0", "c_mktsegment <> 'BUILDING'", "c_custkey % 2 = 0"]
+        )
+        return (
+            f"SELECT c_custkey, c_name FROM customer "
+            f"WHERE {outer_pred} AND {neg}EXISTS ("
+            f"  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND {pred}) "
+            f"ORDER BY c_custkey LIMIT 300"
+        )
     tname = rng.choice(sorted(_TABLES))
     t = _TABLES[tname]
     preds = rng.sample(t["preds"], k=rng.randint(1, 3))
     where = " AND ".join(preds)
-    if roll < 0.8:
+    if roll < 0.85:
         keys = rng.sample(t["keys"], k=rng.randint(1, 2))
         aggs = rng.sample(t["aggs"], k=rng.randint(1, 3))
         key_aliases = [f"{k} AS k{i}" for i, k in enumerate(keys)]
