@@ -71,6 +71,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "stream_sliding_window",
     "stream_static_join",
     "session_window_agg",
+    "stream_multires_cascade",
     # round-1 driver FAILs (canonicalizer crash on list output), fixed
     # locally by stringifying — need a green driver row to close them out
     "agg_array_agg_sorted",

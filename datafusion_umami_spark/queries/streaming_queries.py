@@ -377,3 +377,54 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("user_id", "event_type", "hour_ts")
         .limit(1000)
     )
+
+
+# --- chained streaming aggregations: minute → hour cascade -----------------
+@register(
+    "stream_multires_cascade",
+    # Append mode only emits windows the final watermark (max event time
+    # minus the 1-minute delay) has closed — the oracle reproduces that
+    # cutoff exactly: hour windows whose end is past the watermark stay
+    # unemitted (they are still open state on a live stream).
+    oracle="""
+    WITH cutoff AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS wm FROM events)
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events, cutoff
+    WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= cutoff.wm
+    GROUP BY 1
+    ORDER BY win_start
+    LIMIT 2000
+    """,
+    tags=("streaming", "cascade", "multi-resolution", "event-time"),
+)
+def stream_multires_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming sibling of ts_multires_rollup: two CHAINED stateful
+    aggregations in one query — minute tumbling windows re-aggregated
+    into hour windows (window-over-window, supported since Spark 3.4,
+    append mode required).  At 100 TB this is the always-on ingestion
+    rollup: the hour state re-aggregates 60 minute-rows, never raw
+    events, so state size is bounded by live windows × grain ratio.
+    The reference has no event-time engine at all (SURVEY.md §2.11) —
+    its closest primitive is the date_bin scalar
+    (functions/src/datetime/date_bin.rs)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    minute = ev.groupBy(F.window("ts", "1 minute")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    hour = (
+        minute.groupBy(F.window(F.col("window"), "1 hour"))
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("n"),
+            F.col("cents"),
+        )
+    )
+    return (
+        stream_to_memory(hour, "stream_multires_cascade", "append")
+        .orderBy("win_start")
+        .limit(2000)
+    )
