@@ -48,6 +48,7 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     decontam,
     eventanalytics,
     curation,
+    graph_algos,
     multimodal,
     streaming_queries,
     timeseries,
@@ -238,7 +239,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "evt_funnel_ordered",
     "evt_rfm_segments",
     "evt_value_band_histogram",
-    # round-4 dataset-curation family
+    # round-4 graph + dataset-curation families
+    "graph_pagerank_purchases",
     "cur_balanced_per_class_sample",
     "cur_hash_split_leakfree",
     "cur_source_mixture_budget",

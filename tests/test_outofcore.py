@@ -63,6 +63,9 @@ HEAVY = [
     "text_tfidf_top_terms",
     "tpcds_moving_avg_flag",
     "evt_cohort_retention",
+    # integer-exact iterative PageRank: per-round shuffle aggregation
+    # must be partition-order independent
+    "graph_pagerank_purchases",
 ]
 
 HOSTILE_CONF = {

@@ -333,3 +333,32 @@ def test_balanced_sample_is_balanced_and_stable(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_pagerank_frees_round_checkpoints(spark):
+    """Like connected components, each PageRank round's localCheckpoint
+    must be unpersisted once superseded — bounded block-manager usage on
+    a long-lived driver."""
+    from pyspark.sql import functions as F
+
+    from datafusion_umami_spark.operators.pagerank import pagerank
+
+    def stored() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    before = stored()
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 60) for i in range(60)], "src long, dst long"
+    )
+    bidir = ring.unionAll(ring.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+    stats: dict = {}
+    pr = pagerank(bidir, iterations=6, stats=stats)
+    rows = pr.collect()
+    assert stats["iterations"] == 6
+    assert len(rows) == 60
+    # symmetric ring → uniform stationary mass: every node keeps ~1.0
+    assert all(abs(r.pr - 1_000_000) < 5 for r in rows)
+    assert stored() <= before + 1, (
+        f"checkpoint leak: {before} before, {stored()} after"
+    )
