@@ -241,6 +241,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "evt_value_band_histogram",
     # round-4 graph + dataset-curation families
     "graph_pagerank_purchases",
+    "inc_rollup_merge",
+    "merge_upsert_latest_wins",
     "cur_balanced_per_class_sample",
     "cur_hash_split_leakfree",
     "cur_source_mixture_budget",

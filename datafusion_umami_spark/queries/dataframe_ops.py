@@ -241,3 +241,35 @@ def repartition_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_shipdate")
         .limit(400)
     )
+
+
+# --- upsert via FULL OUTER JOIN (MERGE INTO without a table format) -------
+# The reference rejects UPDATE/DELETE DML for listing tables
+# (SCALE.md documented gap); the relational equivalent every warehouse
+# runs instead is a full-outer-join merge: existing dimension rows
+# COALESCE'd against a batch of per-key updates, new keys inserted,
+# untouched keys passed through.  Keyed equi-join → one shuffle (or
+# broadcast when the update batch is small, the common case).
+register_sql(
+    "merge_upsert_latest_wins",
+    """
+    WITH updates AS (
+      SELECT user_id AS custkey,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS spend_c
+      FROM events GROUP BY user_id),
+    merged AS (
+      SELECT COALESCE(c.c_custkey, u.custkey) AS custkey,
+             CASE WHEN c.c_custkey IS NULL THEN 'inserted'
+                  WHEN u.custkey IS NULL THEN 'unchanged'
+                  ELSE 'updated' END AS status,
+             COALESCE(u.spend_c, 0) AS spend_c,
+             c.c_mktsegment AS segment
+      FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.custkey)
+    SELECT custkey, status, spend_c, segment
+    FROM merged
+    ORDER BY custkey
+    LIMIT 2000
+    """,
+    tags=("merge", "upsert", "full-outer-join"),
+)

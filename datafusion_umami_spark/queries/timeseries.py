@@ -127,3 +127,54 @@ register_sql(
     """,
     tags=("timeseries", "gap-fill", "calendar-spine"),
 )
+
+
+# --- incremental rollup maintenance ---------------------------------------
+# The materialized-view maintenance pattern: a standing daily summary
+# (everything before the newest day) merged with that day's delta by
+# UNION ALL + re-aggregation.  The ORACLE is the full recompute — the
+# query's whole point is that merge == recompute, which holds because
+# the integer-cents aggregates are associative (registry.py
+# conventions).  At 100 TB the summary side is a tiny stored table and
+# only the delta partition is scanned; here both derive from one scan
+# to keep the driver check self-contained.
+register_sql(
+    "inc_rollup_merge",
+    """
+    WITH cutoff AS (
+      SELECT date_trunc('day', MAX(o_orderdate)) AS d0 FROM orders),
+    summary AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders, cutoff WHERE o_orderdate < cutoff.d0
+      GROUP BY CAST(date_trunc('day', o_orderdate) AS DATE)),
+    delta AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders, cutoff WHERE o_orderdate >= cutoff.d0
+      GROUP BY CAST(date_trunc('day', o_orderdate) AS DATE)),
+    merged AS (
+      SELECT day, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM (SELECT * FROM summary UNION ALL SELECT * FROM delta) u
+      GROUP BY day)
+    SELECT day, n, cents FROM merged
+    ORDER BY day
+    LIMIT 3000
+    """,
+    oracle="""
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    GROUP BY CAST(date_trunc('day', o_orderdate) AS DATE)
+    ORDER BY day
+    LIMIT 3000
+    """,
+    tags=("timeseries", "incremental", "materialized-view"),
+)
