@@ -243,6 +243,19 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "graph_pagerank_purchases",
     "inc_rollup_merge",
     "merge_upsert_latest_wins",
+    # round-4 TPC-DS fourth tranche + JOB third mini-tranche
+    "tpcds_two_level_having",
+    "tpcds_quarter_seasonality",
+    "tpcds_freq_monetary_matrix",
+    "tpcds_spread_by_group",
+    "tpcds_lagged_share_change",
+    "tpcds_median_vs_mean_gap",
+    "tpcds_first_order_cohort_value",
+    "tpcds_pareto_coverage",
+    "job_nullif_is_null_fence",
+    "job_triple_like_or",
+    "job_count_only_widest",
+    "job_escape_like_dim",
     "cur_balanced_per_class_sample",
     "cur_hash_split_leakfree",
     "cur_source_mixture_budget",

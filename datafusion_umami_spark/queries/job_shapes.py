@@ -708,3 +708,74 @@ register_sql(
     """,
     tags=("job", "aliased-dims", "widest"),
 )
+
+# ---------------------------------------------------------------------------
+# Round-4 third mini-tranche: four idioms still unrepresented.
+# ---------------------------------------------------------------------------
+
+# synthesized-NULL fence: NULLIF turns a sentinel into NULL and the
+# predicate keeps only the nulled rows (imdb's "note IS NULL" shape on
+# a schema without natural NULLs)
+register_sql(
+    "job_nullif_is_null_fence",
+    """
+    SELECT MIN(o_orderdate) AS first_order,
+           COUNT(*) AS matches
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND NULLIF(o_orderpriority, '5-LOW') IS NULL
+      AND l_returnflag = 'A'
+    """,
+    tags=("job", "nullif-fence"),
+)
+
+# three-way LIKE disjunction on one dim column (imdb keyword triples)
+register_sql(
+    "job_triple_like_or",
+    """
+    SELECT MIN(p_name) AS first_part,
+           COUNT(*) AS matches
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND (p_name LIKE 'blue%' OR p_name LIKE 'cold%'
+           OR p_name LIKE '%bolt')
+      AND l_quantity BETWEEN 20 AND 30
+    """,
+    tags=("job", "like-disjunction"),
+)
+
+# COUNT(*)-only output over the full unfiltered 8-relation join — pure
+# join-order/broadcast stress with no selective fence anywhere
+register_sql(
+    "job_count_only_widest",
+    """
+    SELECT COUNT(*) AS matches
+    FROM region r1, nation n1, customer, orders, lineitem,
+         supplier, nation n2, region r2
+    WHERE r1.r_regionkey = n1.n_regionkey
+      AND n1.n_nationkey = c_nationkey
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_suppkey = s_suppkey
+      AND s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey
+    """,
+    tags=("job", "count-only", "unfiltered"),
+)
+
+# LIKE ... ESCAPE on a dimension attribute (imdb escapes literal
+# underscores in company codes; NATION_ names need the same)
+register_sql(
+    "job_escape_like_dim",
+    """
+    SELECT MIN(n_name) AS first_nation,
+           MIN(c_name) AS first_customer,
+           COUNT(*) AS matches
+    FROM nation, customer, orders
+    WHERE n_nationkey = c_nationkey
+      AND c_custkey = o_custkey
+      AND n_name LIKE 'NATION!_2%' ESCAPE '!'
+      AND o_orderstatus <> 'P'
+    """,
+    tags=("job", "like-escape"),
+)

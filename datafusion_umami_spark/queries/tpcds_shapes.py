@@ -903,3 +903,216 @@ register_sql(
     """,
     tags=("tpcds", "return-ratio", "rank"),
 )
+
+# ---------------------------------------------------------------------------
+# Round-4 fourth tranche: eight more idioms, each a combination family
+# not yet represented (aggregates of aggregates, seasonality, quartile
+# cross-tabs, pareto coverage).
+# ---------------------------------------------------------------------------
+
+# aggregate OF an aggregate + HAVING at both levels: nations whose
+# count of frequent customers (>= 5 orders each) exceeds a floor.
+register_sql(
+    "tpcds_two_level_having",
+    """
+    WITH per_cust AS (
+      SELECT c_nationkey, o_custkey, COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey, o_custkey
+      HAVING COUNT(*) >= 5)
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_frequent_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders
+    FROM per_cust JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING COUNT(*) >= 2
+    ORDER BY n_name
+    LIMIT 200
+    """,
+    tags=("tpcds", "two-level-having", "agg-of-agg"),
+)
+
+# quarter-of-year seasonality: each quarter's share of its year's
+# revenue — integer cents, exact int/int division for the share.
+register_sql(
+    "tpcds_quarter_seasonality",
+    """
+    WITH qy AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders
+      GROUP BY EXTRACT(YEAR FROM o_orderdate),
+               EXTRACT(QUARTER FROM o_orderdate)),
+    yt AS (SELECT yr, CAST(SUM(rev_c) AS BIGINT) AS yr_c FROM qy GROUP BY yr)
+    SELECT q.yr, q.qtr,
+           ROUND(CAST(q.rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(q.rev_c AS DOUBLE) / y.yr_c, 6) AS share_of_year
+    FROM qy q JOIN yt y ON q.yr = y.yr
+    ORDER BY q.yr, q.qtr
+    LIMIT 100
+    """,
+    tags=("tpcds", "seasonality", "share"),
+)
+
+# frequency-quartile × monetary-quartile customer cross-tab.
+register_sql(
+    "tpcds_freq_monetary_matrix",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS freq,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_custkey),
+    banded AS (
+      SELECT custkey,
+             NTILE(4) OVER (ORDER BY freq DESC, custkey) AS f_q,
+             NTILE(4) OVER (ORDER BY rev_c DESC, custkey) AS m_q
+      FROM per_cust)
+    SELECT CAST(f_q AS BIGINT) AS f_q, CAST(m_q AS BIGINT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM banded
+    GROUP BY f_q, m_q
+    ORDER BY f_q, m_q
+    """,
+    tags=("tpcds", "cross-tab", "ntile"),
+)
+
+# relative spread per brand: (max - min) / mean net price, exact cents.
+register_sql(
+    "tpcds_spread_by_group",
+    """
+    WITH pc AS (
+      SELECT p_brand,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey)
+    SELECT p_brand,
+           CAST(MIN(price_c) AS BIGINT) AS min_c,
+           CAST(MAX(price_c) AS BIGINT) AS max_c,
+           ROUND(CAST(MAX(price_c) - MIN(price_c) AS DOUBLE) * COUNT(*)
+                 / SUM(price_c), 6) AS rel_spread
+    FROM pc
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 200
+    """,
+    oracle="""
+    WITH pc AS (
+      SELECT p_brand,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey)
+    SELECT p_brand,
+           CAST(MIN(price_c) AS BIGINT) AS min_c,
+           CAST(MAX(price_c) AS BIGINT) AS max_c,
+           ROUND(CAST(MAX(price_c) - MIN(price_c) AS DOUBLE) * COUNT(*)
+                 / CAST(SUM(price_c) AS BIGINT), 6) AS rel_spread
+    FROM pc
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 200
+    """,
+    tags=("tpcds", "spread", "exact-stats"),
+)
+
+# month-over-month change of each month's share of total revenue:
+# a window (share) of a window (LAG) over an aggregate.
+register_sql(
+    "tpcds_lagged_share_change",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY date_trunc('month', o_orderdate)),
+    tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS all_c FROM m),
+    shares AS (
+      SELECT mon, rev_c,
+             ROUND(CAST(rev_c AS DOUBLE) / (SELECT all_c FROM tot), 6)
+               AS share,
+             LAG(rev_c) OVER (ORDER BY mon) AS prev_c
+      FROM m)
+    SELECT mon, rev_c, share,
+           ROUND(CAST(rev_c - COALESCE(prev_c, rev_c) AS DOUBLE)
+                 / (SELECT all_c FROM tot), 6) AS share_change
+    FROM shares
+    ORDER BY mon
+    LIMIT 200
+    """,
+    tags=("tpcds", "share-change", "window-over-agg"),
+)
+
+# exact median vs mean gap per market segment (integer cents).
+register_sql(
+    "tpcds_median_vs_mean_gap",
+    """
+    WITH oc AS (
+      SELECT c_mktsegment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    SELECT c_mktsegment,
+           ROUND(median(price_c) / 100.0, 4) AS median_price,
+           ROUND(CAST(SUM(price_c) AS DOUBLE) / COUNT(*) / 100.0, 4)
+             AS mean_price,
+           ROUND((CAST(SUM(price_c) AS DOUBLE) / COUNT(*)
+                  - median(price_c)) / 100.0, 4) AS mean_minus_median
+    FROM oc
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("tpcds", "median", "exact-stats"),
+)
+
+# first-order value by first-order month (acquisition-cohort economics):
+# ROW_NUMBER to isolate each customer's first order, then one aggregate.
+register_sql(
+    "tpcds_first_order_cohort_value",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS cohort_mon,
+           CAST(COUNT(*) AS BIGINT) AS n_new_customers,
+           ROUND(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) / COUNT(*) / 100.0, 4)
+             AS avg_first_order_value
+    FROM firsts
+    WHERE rn = 1
+    GROUP BY date_trunc('month', o_orderdate)
+    ORDER BY cohort_mon
+    LIMIT 200
+    """,
+    tags=("tpcds", "cohort", "first-order"),
+)
+
+# Pareto coverage: how many top customers cover 80% of revenue —
+# exact integer cumulative sums (cum*5 >= total*4 avoids any float).
+register_sql(
+    "tpcds_pareto_coverage",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT custkey, rev_c,
+             CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_c,
+             CAST(SUM(rev_c) OVER () AS BIGINT) AS total_c,
+             ROW_NUMBER() OVER (ORDER BY rev_c DESC, custkey) AS rn
+      FROM per_cust)
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_customers,
+           CAST(SUM(CASE WHEN (cum_c - rev_c) * 5 < total_c * 4
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS customers_for_80pct,
+           ROUND(CAST(SUM(CASE WHEN (cum_c - rev_c) * 5 < total_c * 4
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS pareto_fraction
+    FROM ranked
+    """,
+    tags=("tpcds", "pareto", "cumulative-window"),
+)
