@@ -256,6 +256,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "job_triple_like_or",
     "job_count_only_widest",
     "job_escape_like_dim",
+    "table_fingerprint_orders",
+    "layout_zorder_tiles",
     "cur_balanced_per_class_sample",
     "cur_hash_split_leakfree",
     "cur_source_mixture_budget",

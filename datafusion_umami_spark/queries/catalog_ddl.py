@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_umami_spark.registry import register
+from datafusion_umami_spark.registry import register, register_sql
 from datafusion_umami_spark.tables import TABLE_NAMES, register_views
 
 
@@ -357,3 +357,118 @@ def ddl_show_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SHOW FUNCTIONS").filter(
         F.col("function").isin("sum", "avg", "concat", "array_sort", "percentile")
     )
+
+
+# --- order-independent table fingerprint -----------------------------------
+# The cross-cluster data-validation primitive a 100 TB migration runs on
+# both sides of a copy: per-row 60-bit hashes of a canonical string
+# encoding, combined with COUNT + SUM (+ min/max) — all commutative, so
+# the fingerprint is independent of partitioning, file order and engine.
+# One linear scan, one scalar aggregate; compare two engines' rows and
+# you have verified a copy without moving data.  The hash sum
+# accumulates in 128-bit exact integers (DECIMAL(38,0) / HUGEINT):
+# ~2^60 per row × 10^12 rows ≈ 10^30 stays far under the 10^38 ceiling,
+# where a BIGINT sum would overflow (ANSI mode rejects it).
+register_sql(
+    "table_fingerprint_orders",
+    """
+    WITH h AS (
+      SELECT CAST(conv(substr(md5(concat_ws('|',
+                 CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+                 o_orderstatus,
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
+                 o_orderpriority)), 1, 15), 16, 10) AS BIGINT) AS rh
+      FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(rh AS DECIMAL(38, 0))) AS STRING) AS hash_sum,
+           CAST(MIN(rh) AS BIGINT) AS hash_min,
+           CAST(MAX(rh) AS BIGINT) AS hash_max
+    FROM h
+    """,
+    oracle="""
+    WITH h AS (
+      SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                 o_orderstatus,
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                 o_orderpriority)), 1, 15)) AS BIGINT) AS rh
+      FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(rh) AS HUGEINT) AS VARCHAR) AS hash_sum,
+           CAST(MIN(rh) AS BIGINT) AS hash_min,
+           CAST(MAX(rh) AS BIGINT) AS hash_max
+    FROM h
+    """,
+    tags=("validation", "fingerprint", "migration"),
+)
+
+
+# --- Z-order (Morton) clustering key --------------------------------------
+# The data-layout primitive for multi-dimensional locality at 100 TB:
+# interleaving the bits of two keys makes every 2^k x 2^k aligned tile a
+# SINGLE contiguous z-range, so sorting files by z turns a 2-D range
+# fence into a handful of contiguous scans (min/max row-group pruning
+# works on BOTH keys at once).  The query computes the interleave in
+# pure portable integer arithmetic (floor-div/mod, exact on both
+# engines) and emits per-tile z-ranges; z_range_in_tile_band proves the
+# layout property that makes z-sorting useful: every 16x16 aligned tile
+# maps into ONE contiguous 256-slot z band (the flag is 1 for every
+# tile, checked by the oracle on both engines).
+register_sql(
+    "layout_zorder_tiles",
+    """
+    WITH keys AS (
+      SELECT DISTINCT l_partkey % 256 AS pk, l_suppkey % 256 AS sk
+      FROM lineitem),
+    z AS (
+      SELECT pk, sk,
+             (CAST(floor(pk / 1.0) AS BIGINT) % 2) * 1
+             + (CAST(floor(sk / 1.0) AS BIGINT) % 2) * 2
+             + (CAST(floor(pk / 2.0) AS BIGINT) % 2) * 4
+             + (CAST(floor(sk / 2.0) AS BIGINT) % 2) * 8
+             + (CAST(floor(pk / 4.0) AS BIGINT) % 2) * 16
+             + (CAST(floor(sk / 4.0) AS BIGINT) % 2) * 32
+             + (CAST(floor(pk / 8.0) AS BIGINT) % 2) * 64
+             + (CAST(floor(sk / 8.0) AS BIGINT) % 2) * 128
+             + (CAST(floor(pk / 16.0) AS BIGINT) % 2) * 256
+             + (CAST(floor(sk / 16.0) AS BIGINT) % 2) * 512
+             + (CAST(floor(pk / 32.0) AS BIGINT) % 2) * 1024
+             + (CAST(floor(sk / 32.0) AS BIGINT) % 2) * 2048
+             + (CAST(floor(pk / 64.0) AS BIGINT) % 2) * 4096
+             + (CAST(floor(sk / 64.0) AS BIGINT) % 2) * 8192
+             + (CAST(floor(pk / 128.0) AS BIGINT) % 2) * 16384
+             + (CAST(floor(sk / 128.0) AS BIGINT) % 2) * 32768
+               AS zval
+      FROM keys),
+    tiles AS (
+      SELECT CAST(floor(pk / 16.0) AS BIGINT) AS tile_p,
+             CAST(floor(sk / 16.0) AS BIGINT) AS tile_s,
+             CAST(MIN(zval) AS BIGINT) AS z_lo,
+             CAST(MAX(zval) AS BIGINT) AS z_hi,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM z GROUP BY CAST(floor(pk / 16.0) AS BIGINT),
+                      CAST(floor(sk / 16.0) AS BIGINT))
+    SELECT tile_p, tile_s, z_lo, z_hi, n_keys,
+           CAST(CASE WHEN z_lo >= 256 * ((CAST(floor(tile_p / 1.0) AS BIGINT) % 2) * 1
+                  + (CAST(floor(tile_s / 1.0) AS BIGINT) % 2) * 2
+                  + (CAST(floor(tile_p / 2.0) AS BIGINT) % 2) * 4
+                  + (CAST(floor(tile_s / 2.0) AS BIGINT) % 2) * 8
+                  + (CAST(floor(tile_p / 4.0) AS BIGINT) % 2) * 16
+                  + (CAST(floor(tile_s / 4.0) AS BIGINT) % 2) * 32
+                  + (CAST(floor(tile_p / 8.0) AS BIGINT) % 2) * 64
+                  + (CAST(floor(tile_s / 8.0) AS BIGINT) % 2) * 128)
+                      AND z_hi <= 256 * ((CAST(floor(tile_p / 1.0) AS BIGINT) % 2) * 1
+                  + (CAST(floor(tile_s / 1.0) AS BIGINT) % 2) * 2
+                  + (CAST(floor(tile_p / 2.0) AS BIGINT) % 2) * 4
+                  + (CAST(floor(tile_s / 2.0) AS BIGINT) % 2) * 8
+                  + (CAST(floor(tile_p / 4.0) AS BIGINT) % 2) * 16
+                  + (CAST(floor(tile_s / 4.0) AS BIGINT) % 2) * 32
+                  + (CAST(floor(tile_p / 8.0) AS BIGINT) % 2) * 64
+                  + (CAST(floor(tile_s / 8.0) AS BIGINT) % 2) * 128) + 255
+                     THEN 1 ELSE 0 END AS BIGINT) AS z_range_in_tile_band
+    FROM tiles
+    ORDER BY tile_p, tile_s
+    LIMIT 1000
+    """,
+    tags=("layout", "zorder", "clustering"),
+)
