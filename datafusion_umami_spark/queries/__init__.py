@@ -175,6 +175,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "udf_grouped_map_topn",
     "udf_map_in_arrow",
     "udf_cogroup_merge",
+    "udf_scalar_iter_amortized",
     # recursive CTEs
     "recursive_fibonacci",
     "recursive_hierarchy_depth",

@@ -22,6 +22,8 @@ table — the registration surface is the point, not the hot path.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -287,3 +289,58 @@ def udf_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge, "c_custkey bigint, n_orders bigint, cents bigint, segment string"
         )
     )
+
+
+# --- iterator-of-batches scalar UDF (amortized per-partition init) ---------
+@register(
+    "udf_scalar_iter_amortized",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                AS BIGINT) AS n_bpe_ish,
+           CAST(1 AS BIGINT) AS init_count
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    tags=("udf", "pandas-udf", "scalar-iter", "arrow"),
+)
+def udf_scalar_iter_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF: the init block runs ONCE per
+    partition/executor, then streams Arrow batches through — the
+    pattern for loading a tokenizer/model once instead of per batch
+    (the decisive shape for LLM pipelines at 1000 executors; a per-call
+    load would dominate runtime).  init_count proves the amortization:
+    it is 1 for every row because the "expensive" init happened once
+    per partition, not once per batch.  Math stays exact (regex token
+    count) so DuckDB hash-matches."""
+    import re
+
+    @F.pandas_udf("n_bpe_ish long, init_count long")
+    def tokenize_iter(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        # amortized init: compile once per partition (stand-in for a
+        # model/tokenizer load)
+        pattern = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+        inits = 1
+        for s in batches:
+            yield pd.DataFrame(
+                {
+                    "n_bpe_ish": s.map(lambda t: len(pattern.findall(t))).astype(
+                        "int64"
+                    ),
+                    "init_count": inits,
+                }
+            )
+
+    d = table(spark, sf_dir, "documents")
+    out = (
+        d.filter(F.col("doc_id") < 200)
+        .select("doc_id", tokenize_iter(F.col("text")).alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.n_bpe_ish").alias("n_bpe_ish"),
+            F.col("r.init_count").alias("init_count"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
