@@ -259,6 +259,14 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "job_escape_like_dim",
     "table_fingerprint_orders",
     "layout_zorder_tiles",
+    "tpcds_three_way_intersect",
+    "tpcds_three_way_except",
+    "tpcds_full_outer_classify",
+    "tpcds_union_channel_tagging",
+    "tpcds_or_chain_dim_subquery",
+    "tpcds_quarter_share_chain",
+    "h2o_join_medium",
+    "h2o_join_big",
     "cur_balanced_per_class_sample",
     "cur_hash_split_leakfree",
     "cur_source_mixture_budget",

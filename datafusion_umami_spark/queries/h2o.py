@@ -151,3 +151,35 @@ register_sql(
     """,
     tags=("h2o", "window", "global-window"),
 )
+
+
+# --- h2o join suite: medium and big joins (reference join.sql j2/j3) -------
+register_sql(
+    "h2o_join_medium",
+    """
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 100
+    """,
+    tags=("h2o", "join", "medium"),
+)
+
+register_sql(
+    "h2o_join_big",
+    """
+    SELECT o_orderstatus, l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus, l_returnflag
+    ORDER BY o_orderstatus, l_returnflag
+    LIMIT 100
+    """,
+    tags=("h2o", "join", "big"),
+)

@@ -1116,3 +1116,142 @@ register_sql(
     """,
     tags=("tpcds", "pareto", "cumulative-window"),
 )
+
+# ---------------------------------------------------------------------------
+# Round-4 fifth tranche: set-operation trios (q38/q87), FULL OUTER
+# classification (q97), channel tagging (q76), OR-chain dim subquery
+# (q41), quarter-share chain (q31).
+# ---------------------------------------------------------------------------
+
+# q38-ish: customers active in ALL THREE segments-of-interest
+# (INTERSECT of three projections).
+register_sql(
+    "tpcds_three_way_intersect",
+    """
+    SELECT COUNT(*) AS n_triple_active FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+    """,
+    tags=("tpcds", "intersect-trio", "set-ops"),
+)
+
+# q87-ish: customers in the first slice but NEITHER of the other two
+# (chained EXCEPT).
+register_sql(
+    "tpcds_three_way_except",
+    """
+    SELECT COUNT(*) AS n_only_first FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t
+    """,
+    tags=("tpcds", "except-chain", "set-ops"),
+)
+
+# q97-ish: FULL OUTER JOIN of two per-customer aggregates, classified
+# into both/left-only/right-only counts in one scan of the join.
+register_sql(
+    "tpcds_full_outer_classify",
+    """
+    WITH urgent AS (
+      SELECT o_custkey AS ck, COUNT(*) AS n
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+    low AS (
+      SELECT o_custkey AS ck, COUNT(*) AS n
+      FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey)
+    SELECT CAST(SUM(CASE WHEN u.ck IS NOT NULL AND l.ck IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS both_priorities,
+           CAST(SUM(CASE WHEN l.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS urgent_only,
+           CAST(SUM(CASE WHEN u.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_only
+    FROM urgent u FULL OUTER JOIN low l ON u.ck = l.ck
+    """,
+    tags=("tpcds", "full-outer", "classification"),
+)
+
+# q76-ish: UNION ALL channels tagged with their source label feeding one
+# aggregation (the "which channel produced this row" audit).
+register_sql(
+    "tpcds_union_channel_tagging",
+    """
+    WITH tagged AS (
+      SELECT 'order' AS channel,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS amount_c
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT 'lineitem' AS channel,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS amount_c
+      FROM lineitem WHERE l_returnflag = 'R')
+    SELECT channel, yr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(amount_c) AS BIGINT) AS cents
+    FROM tagged
+    GROUP BY channel, yr
+    ORDER BY channel, yr
+    LIMIT 100
+    """,
+    tags=("tpcds", "union-tagging", "channels"),
+)
+
+# q41-ish: dimension subquery with a deep OR-chain of attribute
+# combinations, probed with IN.
+register_sql(
+    "tpcds_or_chain_dim_subquery",
+    """
+    SELECT CAST(MIN(l_partkey) AS BIGINT) AS first_partkey,
+           COUNT(*) AS matches
+    FROM lineitem
+    WHERE l_partkey IN (
+      SELECT p_partkey FROM part
+      WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15)
+         OR (p_type = 'ECONOMY' AND p_size BETWEEN 20 AND 35)
+         OR (p_brand IN ('Brand#11', 'Brand#12') AND p_size > 40))
+      AND l_quantity > 25
+    """,
+    oracle="""
+    SELECT CAST(MIN(l_partkey) AS BIGINT) AS first_partkey,
+           COUNT(*) AS matches
+    FROM lineitem
+    WHERE l_partkey IN (
+      SELECT p_partkey FROM part
+      WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15)
+         OR (p_type = 'ECONOMY' AND p_size BETWEEN 20 AND 35)
+         OR (p_brand IN ('Brand#11', 'Brand#12') AND p_size > 40))
+      AND l_quantity > 25
+    """,
+    tags=("tpcds", "or-chain", "in-subquery"),
+)
+
+# q31-ish: quarter-over-quarter share growth compared across two
+# segments via chained equi self-joins of one quarterly aggregate.
+register_sql(
+    "tpcds_quarter_share_chain",
+    """
+    WITH q AS (
+      SELECT c_mktsegment AS seg,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY c_mktsegment, EXTRACT(YEAR FROM o_orderdate),
+               EXTRACT(QUARTER FROM o_orderdate))
+    SELECT a.seg, a.yr, a.qtr,
+           ROUND(CAST(b.rev_c AS DOUBLE) / a.rev_c, 6) AS qoq_growth
+    FROM q a JOIN q b
+      ON a.seg = b.seg AND b.yr = a.yr AND b.qtr = a.qtr + 1
+    WHERE a.qtr < 4
+    ORDER BY a.seg, a.yr, a.qtr
+    LIMIT 200
+    """,
+    tags=("tpcds", "qoq-chain", "self-join"),
+)
