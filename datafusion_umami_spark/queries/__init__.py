@@ -73,6 +73,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "stream_static_join",
     "session_window_agg",
     "stream_multires_cascade",
+    "stream_foreach_batch_upsert",
     # round-1 driver FAILs (canonicalizer crash on list output), fixed
     # locally by stringifying — need a green driver row to close them out
     "agg_array_agg_sorted",
