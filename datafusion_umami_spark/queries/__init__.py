@@ -243,6 +243,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "evt_value_band_histogram",
     # round-4 graph + dataset-curation families
     "graph_pagerank_purchases",
+    "graph_triangle_count",
     "inc_rollup_merge",
     "merge_upsert_latest_wins",
     # round-4 TPC-DS fourth tranche + JOB third mini-tranche

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_umami_spark.registry import register
+from datafusion_umami_spark.registry import register, register_sql
 from datafusion_umami_spark.tables import table
 
 _ITER = 4
@@ -79,3 +79,37 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), "node")
         .limit(50)
     )
+
+
+# --- exact triangle counting ----------------------------------------------
+# Count triangles in the co-purchase graph (suppliers connected when a
+# common part links them).  The oriented-edge formulation — every edge
+# stored once as (lo, hi), the triangle found by joining two oriented
+# edges and closing with a third — is the standard distributed-triangle
+# plan: each triangle is produced EXACTLY once, no post-hoc dedup, and
+# the heavy join is an equi-join on a vertex key.  At 100 TB the
+# refinement is ordering vertices by degree instead of id (same plan
+# shape, bounds the join fan-out by the max low-degree adjacency);
+# id-ordering keeps the oracle twin byte-identical here.
+register_sql(
+    "graph_triangle_count",
+    """
+    WITH pairs AS (
+      -- high-quantity co-purchases only: keeps the graph sparse (the
+      -- unfenced version is complete on this synthetic data, which
+      -- would make every triangle count trivially C(n,3))
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_quantity > 45 AND b.l_quantity > 45),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM pairs e1
+        JOIN pairs e2 ON e1.v = e2.u
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges
+    FROM tri
+    """,
+    tags=("graph", "triangles", "self-join"),
+)

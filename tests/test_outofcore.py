@@ -66,6 +66,10 @@ HEAVY = [
     # integer-exact iterative PageRank: per-round shuffle aggregation
     # must be partition-order independent
     "graph_pagerank_purchases",
+    # associativity-dependent shapes: summary+delta merge must equal the
+    # recompute under any partitioning; exact-integer cumulative window
+    "inc_rollup_merge",
+    "tpcds_pareto_coverage",
 ]
 
 HOSTILE_CONF = {
