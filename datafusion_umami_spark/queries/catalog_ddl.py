@@ -447,9 +447,12 @@ register_sql(
              CAST(MAX(zval) AS BIGINT) AS z_hi,
              CAST(COUNT(*) AS BIGINT) AS n_keys
       FROM z GROUP BY CAST(floor(pk / 16.0) AS BIGINT),
-                      CAST(floor(sk / 16.0) AS BIGINT))
-    SELECT tile_p, tile_s, z_lo, z_hi, n_keys,
-           CAST(CASE WHEN z_lo >= 256 * ((CAST(floor(tile_p / 1.0) AS BIGINT) % 2) * 1
+                      CAST(floor(sk / 16.0) AS BIGINT)),
+    banded AS (
+      -- tile z-band base computed ONCE (the 4-bit interleave of the
+      -- tile coordinates); both bound checks read the same expression
+      SELECT t.*,
+             256 * ((CAST(floor(tile_p / 1.0) AS BIGINT) % 2) * 1
                   + (CAST(floor(tile_s / 1.0) AS BIGINT) % 2) * 2
                   + (CAST(floor(tile_p / 2.0) AS BIGINT) % 2) * 4
                   + (CAST(floor(tile_s / 2.0) AS BIGINT) % 2) * 8
@@ -457,16 +460,13 @@ register_sql(
                   + (CAST(floor(tile_s / 4.0) AS BIGINT) % 2) * 32
                   + (CAST(floor(tile_p / 8.0) AS BIGINT) % 2) * 64
                   + (CAST(floor(tile_s / 8.0) AS BIGINT) % 2) * 128)
-                      AND z_hi <= 256 * ((CAST(floor(tile_p / 1.0) AS BIGINT) % 2) * 1
-                  + (CAST(floor(tile_s / 1.0) AS BIGINT) % 2) * 2
-                  + (CAST(floor(tile_p / 2.0) AS BIGINT) % 2) * 4
-                  + (CAST(floor(tile_s / 2.0) AS BIGINT) % 2) * 8
-                  + (CAST(floor(tile_p / 4.0) AS BIGINT) % 2) * 16
-                  + (CAST(floor(tile_s / 4.0) AS BIGINT) % 2) * 32
-                  + (CAST(floor(tile_p / 8.0) AS BIGINT) % 2) * 64
-                  + (CAST(floor(tile_s / 8.0) AS BIGINT) % 2) * 128) + 255
+               AS tile_z_base
+      FROM tiles t)
+    SELECT tile_p, tile_s, z_lo, z_hi, n_keys,
+           CAST(CASE WHEN z_lo >= tile_z_base
+                      AND z_hi <= tile_z_base + 255
                      THEN 1 ELSE 0 END AS BIGINT) AS z_range_in_tile_band
-    FROM tiles
+    FROM banded
     ORDER BY tile_p, tile_s
     LIMIT 1000
     """,

@@ -23,8 +23,7 @@ from __future__ import annotations
 
 from datafusion_umami_spark.registry import register_sql
 
-SPARK_H64 = "CAST(conv(substr(md5({s}), 1, 15), 16, 10) AS BIGINT)"
-DUCK_H64 = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+from datafusion_umami_spark.queries.hashing import DUCK_H64, SPARK_H64  # noqa: E402
 
 # --- balanced per-class sample --------------------------------------------
 # Equal doc counts per language: rank docs inside each class by a

@@ -21,17 +21,14 @@ Reference parity: the reference engine has no corpus-analysis surface
 functions/src/string/ and functions/src/regex/); this module is
 capability-superset work mandated by the build brief.
 
-Portable 60-bit hash convention (shared with dedup.py / textanalysis.py):
-  spark : CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)
-  duckdb: CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+Portable 60-bit hash convention: queries/hashing.py (single source).
 """
 
 from __future__ import annotations
 
 from datafusion_umami_spark.registry import register_sql
 
-SPARK_H64 = "CAST(conv(substr(md5({s}), 1, 15), 16, 10) AS BIGINT)"
-DUCK_H64 = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+from datafusion_umami_spark.queries.hashing import DUCK_H64, SPARK_H64  # noqa: E402
 
 # --- word 5-gram builders (same degenerate-tail convention as dedup.py's
 # 3-gram shingles: documents shorter than n repeat the last word, which

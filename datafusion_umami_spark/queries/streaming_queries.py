@@ -461,8 +461,6 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest.  Final state hash-matches the batch dedup-latest oracle."""
     import tempfile
 
-    from datafusion_umami_spark.streaming import read_events_stream
-
     ev = read_events_stream(spark, sf_dir)
     state: dict[int, tuple] = {}
 

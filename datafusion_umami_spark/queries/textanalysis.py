@@ -8,17 +8,14 @@ expressions are JVM-side (regexp_count / split / length arithmetic) —
 they run inside whole-stage codegen and scale linearly with no shuffle
 (pure map over `documents`).
 
-Portable 60-bit hash convention (shared with dedup.py):
-  spark : CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)
-  duckdb: CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+Portable 60-bit hash convention: queries/hashing.py (single source).
 """
 
 from __future__ import annotations
 
 from datafusion_umami_spark.registry import register_sql
 
-SPARK_H64 = "CAST(conv(substr(md5({s}), 1, 15), 16, 10) AS BIGINT)"
-DUCK_H64 = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+from datafusion_umami_spark.queries.hashing import DUCK_H64, SPARK_H64  # noqa: E402
 
 register_sql(
     "text_token_stats",

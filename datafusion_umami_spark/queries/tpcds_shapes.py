@@ -1216,17 +1216,6 @@ register_sql(
          OR (p_brand IN ('Brand#11', 'Brand#12') AND p_size > 40))
       AND l_quantity > 25
     """,
-    oracle="""
-    SELECT CAST(MIN(l_partkey) AS BIGINT) AS first_partkey,
-           COUNT(*) AS matches
-    FROM lineitem
-    WHERE l_partkey IN (
-      SELECT p_partkey FROM part
-      WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15)
-         OR (p_type = 'ECONOMY' AND p_size BETWEEN 20 AND 35)
-         OR (p_brand IN ('Brand#11', 'Brand#12') AND p_size > 40))
-      AND l_quantity > 25
-    """,
     tags=("tpcds", "or-chain", "in-subquery"),
 )
 

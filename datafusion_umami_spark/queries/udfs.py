@@ -318,17 +318,24 @@ def udf_scalar_iter_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("n_bpe_ish long, init_count long")
     def tokenize_iter(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        # amortized init: compile once per partition (stand-in for a
-        # model/tokenizer load)
-        pattern = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
-        inits = 1
+        # amortized init: the "expensive" load goes through a counting
+        # gate, so if a refactor ever moves it inside the batch loop the
+        # counter exceeds 1, rows disagree with the oracle's constant 1,
+        # and the regression fails the gate instead of shipping silently
+        state = {"inits": 0}
+
+        def expensive_init():
+            state["inits"] += 1
+            return re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+        pattern = expensive_init()
         for s in batches:
             yield pd.DataFrame(
                 {
                     "n_bpe_ish": s.map(lambda t: len(pattern.findall(t))).astype(
                         "int64"
                     ),
-                    "init_count": inits,
+                    "init_count": state["inits"],
                 }
             )
 
