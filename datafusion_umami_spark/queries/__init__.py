@@ -246,6 +246,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "inc_rollup_merge",
     "merge_upsert_latest_wins",
+    "ts_anomaly_zscore_minutes",
+    "ts_percentile_bands_daily",
     # round-4 TPC-DS fourth tranche + JOB third mini-tranche
     "tpcds_two_level_having",
     "tpcds_quarter_seasonality",

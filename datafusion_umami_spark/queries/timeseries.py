@@ -178,3 +178,100 @@ register_sql(
     """,
     tags=("timeseries", "incremental", "materialized-view"),
 )
+
+
+# --- anomaly detection: exact integer z-score flags ------------------------
+# Flag minutes whose event count deviates > 3 sigma from their day's
+# mean.  The whole test is done in INTEGER arithmetic by squaring the
+# z-score inequality:  |x - mu| > 3*sigma  <=>  (n*x - s1)^2 > 9*(n*s2 - s1^2)
+# with s1 = sum(x), s2 = sum(x^2) over the day's n minutes — no float,
+# no sqrt, so the flag is bit-identical on every engine and partitioning.
+# At 100 TB: minute counts are a rollup (tiny), day stats re-aggregate
+# the rollup, the flag join is day-keyed broadcast.
+register_sql(
+    "ts_anomaly_zscore_minutes",
+    """
+    WITH minutes AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(date_trunc('minute', ts) AS TIMESTAMP_NTZ) AS minute,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events
+      GROUP BY date_trunc('day', ts), date_trunc('minute', ts)),
+    day_stats AS (
+      SELECT day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM minutes GROUP BY day)
+    SELECT m.minute, m.x, d.n AS day_minutes,
+           CAST(CASE WHEN (d.n * m.x - d.s1) * (d.n * m.x - d.s1)
+                          > 9 * (d.n * d.s2 - d.s1 * d.s1)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM minutes m JOIN day_stats d ON m.day = d.day
+    WHERE (d.n * m.x - d.s1) * (d.n * m.x - d.s1)
+          > 9 * (d.n * d.s2 - d.s1 * d.s1)
+    ORDER BY m.minute
+    LIMIT 2000
+    """,
+    oracle="""
+    WITH minutes AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events
+      GROUP BY 1, 2),
+    day_stats AS (
+      SELECT day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM minutes GROUP BY day)
+    SELECT m.minute, m.x, d.n AS day_minutes,
+           CAST(1 AS BIGINT) AS is_anomaly
+    FROM minutes m JOIN day_stats d ON m.day = d.day
+    WHERE (d.n * m.x - d.s1) * (d.n * m.x - d.s1)
+          > 9 * (d.n * d.s2 - d.s1 * d.s1)
+    ORDER BY m.minute
+    LIMIT 2000
+    """,
+    tags=("timeseries", "anomaly", "exact-zscore"),
+)
+
+# --- daily latency-style percentile bands ----------------------------------
+# p50/p95/p99 of event value per day.  Both engines linearly interpolate
+# ((1-g)*lo + g*hi over integer cents); results round to 4 decimals to
+# absorb the last-ulp difference interpolation can produce.
+register_sql(
+    "ts_percentile_bands_daily",
+    """
+    WITH vals AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events)
+    SELECT day,
+           ROUND(percentile(v_c, 0.5) / 100.0, 4) AS p50,
+           ROUND(percentile(v_c, 0.95) / 100.0, 4) AS p95,
+           ROUND(percentile(v_c, 0.99) / 100.0, 4) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM vals
+    GROUP BY day
+    ORDER BY day
+    LIMIT 200
+    """,
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events)
+    SELECT day,
+           ROUND(quantile_cont(v_c, 0.5) / 100.0, 4) AS p50,
+           ROUND(quantile_cont(v_c, 0.95) / 100.0, 4) AS p95,
+           ROUND(quantile_cont(v_c, 0.99) / 100.0, 4) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM vals
+    GROUP BY day
+    ORDER BY day
+    LIMIT 200
+    """,
+    tags=("timeseries", "percentile-bands", "observability"),
+)
