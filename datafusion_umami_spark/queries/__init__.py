@@ -248,6 +248,10 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "merge_upsert_latest_wins",
     "ts_anomaly_zscore_minutes",
     "ts_percentile_bands_daily",
+    "tpcds_buy_return_rebuy",
+    "tpcds_or_of_ands_bands",
+    "tpcds_within_pct_two_channels",
+    "cur_token_budget_greedy",
     # round-4 TPC-DS fourth tranche + JOB third mini-tranche
     "tpcds_two_level_having",
     "tpcds_quarter_seasonality",

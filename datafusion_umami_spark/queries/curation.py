@@ -210,3 +210,57 @@ register_sql(
     + _CURR_BODY,
     tags=("curation", "curriculum", "llm-pipeline"),
 )
+
+# --- token-budget-constrained greedy selection ----------------------------
+# Select documents by quality-per-token value until a 10k-token budget
+# is spent: rank by (quality desc, doc_id), take docs while the
+# cumulative token count of STRICTLY better docs stays under budget.
+# Exact integers end-to-end (quality scaled to micro-units); one sort +
+# one running-sum window — the greedy knapsack every data-mix bake-off
+# runs.
+_BUDGET_BODY = """
+    ranked AS (
+      SELECT doc_id, n_toks, q_micro,
+             CAST(SUM(n_toks) OVER (ORDER BY q_micro DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS toks_before
+      FROM scored)
+    SELECT doc_id, n_toks, q_micro,
+           COALESCE(toks_before, 0) AS toks_before
+    FROM ranked
+    WHERE COALESCE(toks_before, 0) < 10000
+    ORDER BY q_micro DESC, doc_id
+    LIMIT 2000
+"""
+
+register_sql(
+    "cur_token_budget_greedy",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+             CAST(round(
+               (least(size(split(trim(text), '\\s+')) / 50.0, 1.0) * 0.6
+                + (1.0 - least(CAST(regexp_count(text, '[^a-z0-9 ]') AS DOUBLE)
+                               / greatest(length(text), 1) * 10.0, 1.0)) * 0.4)
+               * 1000000) AS BIGINT) AS q_micro
+      FROM documents),
+    """
+    + _BUDGET_BODY,
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_toks,
+             CAST(round(
+               (least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0)
+                  * 0.6
+                + (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]'))
+                                    AS DOUBLE)
+                               / greatest(length(text), 1) * 10.0, 1.0)) * 0.4)
+               * 1000000) AS BIGINT) AS q_micro
+      FROM documents),
+    """
+    + _BUDGET_BODY,
+    tags=("curation", "token-budget", "llm-pipeline"),
+)

@@ -1244,3 +1244,82 @@ register_sql(
     """,
     tags=("tpcds", "qoq-chain", "self-join"),
 )
+
+# q25/q29-ish triple-fact chain: bought, returned, bought again later —
+# three instances of the fact joined on (customer via order, part) with
+# event ordering enforced by ship dates.
+register_sql(
+    "tpcds_buy_return_rebuy",
+    """
+    WITH buys AS (
+      -- per (customer, brand, day) at most one row per role: collapsing
+      -- to first/last dates per role keeps the three-way join linear in
+      -- |customer x brand| instead of fanning out per lineitem
+      SELECT o_custkey AS ck, p_brand AS bk,
+             MIN(CASE WHEN l_returnflag <> 'R' THEN l_shipdate END)
+               AS first_buy,
+             MAX(CASE WHEN l_returnflag <> 'R' THEN l_shipdate END)
+               AS last_buy,
+             MIN(CASE WHEN l_returnflag = 'R' THEN l_shipdate END)
+               AS first_ret,
+             MAX(CASE WHEN l_returnflag = 'R' THEN l_shipdate END)
+               AS last_ret
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+      GROUP BY o_custkey, p_brand)
+    SELECT CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_rebuy_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_chains
+    FROM buys
+    WHERE first_buy IS NOT NULL AND first_ret IS NOT NULL
+      AND first_ret > first_buy AND last_buy > first_ret
+    """,
+    tags=("tpcds", "triple-fact", "buy-return-rebuy"),
+)
+
+# q13-ish OR-of-ANDs: disjoint demographic band conjunctions united by
+# OR, each band pairing a dimension filter with a fact range.
+register_sql(
+    "tpcds_or_of_ands_bands",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE (c_mktsegment = 'BUILDING'
+           AND o_totalprice BETWEEN 10000 AND 120000
+           AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+       OR (c_mktsegment = 'MACHINERY'
+           AND o_totalprice BETWEEN 120000 AND 240000
+           AND o_orderpriority = '3-MEDIUM')
+       OR (c_mktsegment = 'AUTOMOBILE'
+           AND o_totalprice > 240000)
+    """,
+    tags=("tpcds", "or-of-ands", "bands"),
+)
+
+# q58-ish: parts whose revenue in two "channels" (return-flagged vs
+# clean lineitems) is within 10% of each other.
+register_sql(
+    "tpcds_within_pct_two_channels",
+    """
+    WITH clean AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_partkey),
+    flagged AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey)
+    SELECT c.pk AS partkey,
+           ROUND(CAST(c.rev_c AS DOUBLE) / 100.0, 2) AS clean_rev,
+           ROUND(CAST(f.rev_c AS DOUBLE) / 100.0, 2) AS flagged_rev
+    FROM clean c JOIN flagged f ON c.pk = f.pk
+    WHERE c.rev_c * 10 BETWEEN f.rev_c * 9 AND f.rev_c * 11
+    ORDER BY partkey
+    LIMIT 1000
+    """,
+    tags=("tpcds", "within-pct", "two-channel"),
+)
