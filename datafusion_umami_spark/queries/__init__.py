@@ -168,6 +168,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "ctas_temp_view",
     "dynamic_partition_overwrite",
     "csv_malformed_modes",
+    "csv_custom_delim_quote",
     # UDF surface (all Arrow-based)
     "udf_pandas_scalar",
     "udf_pandas_grouped_agg",

@@ -517,3 +517,74 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- CSV dialect torture: custom delimiter, quotes, embedded specials ------
+@register(
+    "csv_custom_delim_quote",
+    # The oracle rebuilds the same decorated strings directly — if any
+    # write/read option (sep, quote, escape, nullValue) mangled a value
+    # with embedded delimiters/quotes/newlines, the min-string or count
+    # diverges.
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS cnt,
+           MIN(concat(c_name, '|tricky, "quoted" value')) AS first_decorated,
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("source", "sink", "csv", "dialect"),
+)
+def csv_custom_delim_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference CSV options parity (datasource-csv/src/file_format.rs:
+    delimiter/quote/escape/null handling): pipe-delimited files whose
+    values embed the delimiter, commas and double quotes, plus a custom
+    nullValue token — written and read back with the same dialect.
+    Negative balances are nulled on write (nullValue '\\\\N') and
+    counted after the roundtrip, proving null tokens survive."""
+    path = _sink_dir(sf_dir, "customer_dialect_csv")
+    src = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit('|tricky, "quoted" value')).alias(
+            "decorated"
+        ),
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal").cast("decimal(12,2)"))
+        .alias("bal_or_null"),
+    )
+    (
+        src.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", "|")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(
+            "c_custkey bigint, decorated string, c_mktsegment string, "
+            "bal_or_null decimal(12,2)"
+        )
+        .option("header", True)
+        .option("sep", "|")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("decorated").alias("first_decorated"),
+            F.sum(
+                F.when(F.col("bal_or_null").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_null_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
