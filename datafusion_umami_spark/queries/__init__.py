@@ -169,6 +169,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "dynamic_partition_overwrite",
     "csv_malformed_modes",
     "csv_custom_delim_quote",
+    "parquet_codec_roundtrip",
     # UDF surface (all Arrow-based)
     "udf_pandas_scalar",
     "udf_pandas_grouped_agg",
@@ -249,6 +250,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "merge_upsert_latest_wins",
     "ts_anomaly_zscore_minutes",
     "ts_percentile_bands_daily",
+    "ts_rolling_median_weekly",
     "tpcds_buy_return_rebuy",
     "tpcds_or_of_ands_bands",
     "tpcds_within_pct_two_channels",

@@ -588,3 +588,51 @@ def csv_custom_delim_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- parquet compression codecs round-trip ---------------------------------
+@register(
+    "parquet_codec_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("source", "sink", "parquet", "codec"),
+)
+def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec coverage (reference datasource-parquet compression options):
+    the same slice written with zstd AND snappy, read back and unioned —
+    identical aggregates prove codec choice never alters data.  At
+    100 TB codec selection is a real throughput/size lever (zstd for
+    cold storage, snappy/lz4 for hot shuffle-adjacent tables); this
+    pins the invariant that it is ONLY a lever, never a semantic."""
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    )
+    paths = {}
+    for codec in ("zstd", "snappy"):
+        p = _sink_dir(sf_dir, f"lineitem_{codec}")
+        src.write.mode("overwrite").option("compression", codec).parquet(p)
+        paths[codec] = p
+    z = spark.read.parquet(paths["zstd"])
+    sn = spark.read.parquet(paths["snappy"])
+    # the two halves must agree; aggregate the zstd copy after asserting
+    # the snappy copy reproduces the same per-flag aggregates
+    agg = lambda df: df.groupBy("l_returnflag").agg(  # noqa: E731
+        F.count("*").alias("cnt"),
+        F.sum((F.col("price") * 100).cast("bigint")).cast("bigint").alias(
+            "price_cents"
+        ),
+    )
+    za, sa = agg(z), agg(sn)
+    mismatch = za.join(sa, "l_returnflag").filter(
+        (za.cnt != sa.cnt) | (za.price_cents != sa.price_cents)
+    )
+    assert mismatch.count() == 0, "codec changed data"
+    return za.orderBy("l_returnflag")

@@ -275,3 +275,42 @@ register_sql(
     """,
     tags=("timeseries", "percentile-bands", "observability"),
 )
+
+
+# --- rolling weekly median (percentile over a moving frame) ----------------
+# Exact-interpolation percentile as a WINDOW aggregate over a 7-row
+# trailing frame of daily revenue — the robust-trend line dashboards
+# draw.  Input values are integer cents (deterministic); interpolation
+# rounds to 4 decimals to absorb last-ulp drift between engines.
+register_sql(
+    "ts_rolling_median_weekly",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY date_trunc('day', o_orderdate))
+    SELECT d, rev_c,
+           ROUND(percentile(rev_c, 0.5) OVER (ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 4)
+             AS med7
+    FROM daily
+    ORDER BY d
+    LIMIT 2000
+    """,
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY date_trunc('day', o_orderdate))
+    SELECT d, rev_c,
+           ROUND(quantile_cont(rev_c, 0.5) OVER (ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 4)
+             AS med7
+    FROM daily
+    ORDER BY d
+    LIMIT 2000
+    """,
+    tags=("timeseries", "rolling-median", "window-percentile"),
+)
