@@ -440,3 +440,69 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("n").alias("doc_id"), "cluster_id"
     )
+
+
+# --- cluster-size profile: how much of the corpus is duplicated -------------
+@register(
+    "dedup_cluster_size_profile",
+    # Same min-label fixpoint as dedup_connected_components, rolled up to
+    # the histogram a dedup run reports: cluster sizes, cluster counts,
+    # and how many documents would be DROPPED keeping one per cluster.
+    oracle=f"""
+    WITH RECURSIVE p AS (
+      SELECT da, db FROM ({_DU_MINHASH_PAIRS}) q WHERE est_jaccard >= 0.5),
+    edges AS (SELECT da, db FROM p UNION ALL SELECT db, da FROM p),
+    nodes AS (SELECT DISTINCT da AS n FROM edges),
+    prop(n, l) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.db, pr.l FROM prop pr JOIN edges e ON pr.n = e.da
+      WHERE pr.l < e.db),
+    labels AS (SELECT n, MIN(l) AS cluster_id FROM prop GROUP BY n),
+    sizes AS (SELECT cluster_id, COUNT(*) AS csize
+              FROM labels GROUP BY cluster_id)
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(csize) AS BIGINT) AS n_docs,
+           CAST(SUM(csize - 1) AS BIGINT) AS n_dropped_dedup
+    FROM sizes
+    GROUP BY csize
+    ORDER BY cluster_size
+    LIMIT 500
+    """,
+    tags=("dedup", "clustering", "profile", "llm-pipeline"),
+)
+def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-run report card: distribution of near-dup cluster sizes
+    from the star-contraction components, with the docs-dropped count a
+    keep-one-per-cluster policy implies.  At 100 TB this histogram is
+    what tells you whether banding thresholds are tuned (a handful of
+    10^6-member clusters = boilerplate leakage; all size-2 = thresholds
+    too tight)."""
+    from datafusion_umami_spark.operators.connected_components import (
+        connected_components,
+    )
+    from datafusion_umami_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql(
+        f"SELECT da, db FROM ({_SP_MINHASH_PAIRS}) p WHERE est_jaccard >= 0.5"
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("csize"))
+    return (
+        sizes.groupBy("csize")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("csize").cast("bigint").alias("n_docs"),
+            F.sum(F.col("csize") - 1).cast("bigint").alias("n_dropped_dedup"),
+        )
+        .select(
+            F.col("csize").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            "n_dropped_dedup",
+        )
+        .orderBy("cluster_size")
+        .limit(500)
+    )
