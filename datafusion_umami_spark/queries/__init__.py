@@ -255,6 +255,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "tpcds_or_of_ands_bands",
     "tpcds_within_pct_two_channels",
     "cur_token_budget_greedy",
+    "dedup_cluster_size_profile",
     # round-4 TPC-DS fourth tranche + JOB third mini-tranche
     "tpcds_two_level_having",
     "tpcds_quarter_seasonality",
