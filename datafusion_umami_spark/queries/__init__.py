@@ -256,6 +256,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "tpcds_within_pct_two_channels",
     "cur_token_budget_greedy",
     "dedup_cluster_size_profile",
+    "ann_recall_eval",
     # round-4 TPC-DS fourth tranche + JOB third mini-tranche
     "tpcds_two_level_having",
     "tpcds_quarter_seasonality",

@@ -71,6 +71,37 @@ def _du_bucket_expr(vec: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+
+def _sp_bucket4_expr(vec: str) -> str:
+    """4-plane (16-bucket) coarse variant for the recall eval — the
+    12-bit production bucket is so selective on this corpus that
+    single-bucket recall would be vacuously ~0."""
+    bits = []
+    for i, p in enumerate(_PLANES[:4]):
+        dot = (
+            f"aggregate(zip_with({vec}, {_sp_plane(p)}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        bits.append(
+            f"CASE WHEN {dot} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            "ELSE 0 END"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def _du_bucket4_expr(vec: str) -> str:
+    bits = []
+    for i, p in enumerate(_PLANES[:4]):
+        dot = (
+            f"list_sum(list_transform(list_zip({vec}, {_du_plane(p)}), "
+            "z -> z[1] * z[2]))"
+        )
+        bits.append(
+            f"CASE WHEN {dot} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
 _SP_V = "transform(embedding, x -> CAST(x AS DOUBLE))"
 _DU_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
@@ -411,4 +442,75 @@ register_sql(
     LIMIT 5
     """,
     tags=("ann", "ivf", "kmeans", "llm-pipeline"),
+)
+
+
+# --- recall evaluation: coarse-LSH candidates vs exact top-10 ---------------
+register_sql(
+    "ann_recall_eval",
+    # The tuning signal an ANN deployment actually watches: for 10 query
+    # vectors, recall@10 of a single-bucket coarse-LSH probe (4 planes,
+    # 16 buckets) against the exact brute-force top-10.  Exact side: one
+    # cross join + per-query WindowGroupLimit (rounded cosine, id
+    # tie-break).  Candidate side: the bucket equi-join.  At 100 TB the
+    # eval runs on a sample; the recall it reports is what decides
+    # bucket bits / multi-probe count.
+    f"""
+    WITH e AS (SELECT vec_id, {_SP_V} AS v FROM embeddings),
+    normed AS (
+      SELECT vec_id, v,
+             sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
+                            (acc, x) -> acc + x)) AS nrm,
+             {_sp_bucket4_expr("v")} AS bucket
+      FROM e),
+    q AS (SELECT vec_id AS qid, v, nrm, bucket FROM normed WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, a.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+                                ORDER BY ROUND({_SP_COS}, 6) DESC, a.vec_id)
+               AS rn
+      FROM normed a CROSS JOIN q
+      WHERE a.vec_id <> q.qid),
+    exact AS (SELECT qid, vec_id FROM scored WHERE rn <= 10),
+    cands AS (
+      SELECT q.qid, a.vec_id
+      FROM normed a JOIN q ON a.bucket = q.bucket
+      WHERE a.vec_id <> q.qid)
+    SELECT x.qid,
+           CAST(COUNT(c.vec_id) AS BIGINT) AS n_hit,
+           ROUND(CAST(COUNT(c.vec_id) AS DOUBLE) / 10.0, 2) AS recall_at_10
+    FROM exact x LEFT JOIN cands c
+      ON x.qid = c.qid AND x.vec_id = c.vec_id
+    GROUP BY x.qid
+    ORDER BY x.qid
+    """,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DU_V} AS v FROM embeddings),
+    normed AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             {_du_bucket4_expr("v")} AS bucket
+      FROM e),
+    q AS (SELECT vec_id AS qid, v, nrm, bucket FROM normed WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, a.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+                                ORDER BY ROUND({_DU_COS}, 6) DESC, a.vec_id)
+               AS rn
+      FROM normed a CROSS JOIN q
+      WHERE a.vec_id <> q.qid),
+    exact AS (SELECT qid, vec_id FROM scored WHERE rn <= 10),
+    cands AS (
+      SELECT q.qid, a.vec_id
+      FROM normed a JOIN q ON a.bucket = q.bucket
+      WHERE a.vec_id <> q.qid)
+    SELECT x.qid,
+           CAST(COUNT(c.vec_id) AS BIGINT) AS n_hit,
+           ROUND(CAST(COUNT(c.vec_id) AS DOUBLE) / 10.0, 2) AS recall_at_10
+    FROM exact x LEFT JOIN cands c
+      ON x.qid = c.qid AND x.vec_id = c.vec_id
+    GROUP BY x.qid
+    ORDER BY x.qid
+    """,
+    tags=("ann", "recall", "evaluation", "llm-pipeline"),
 )
