@@ -276,3 +276,35 @@ register_sql(
     """,
     tags=("window", "range-frame", "event-time", "interval"),
 )
+
+
+# --- COUNT(DISTINCT) OVER workaround ---------------------------------------
+# Spark (like most engines) rejects COUNT(DISTINCT) as a window
+# function; the standard workaround is MAX(DENSE_RANK) within the
+# partition: rank the distinct-key space, then the running/total
+# distinct count is a plain MAX over the rank.  Exercised as "distinct
+# parts each customer ever ordered", attached to every order row.
+register_sql(
+    "window_count_distinct_emulated",
+    """
+    WITH base AS (
+      SELECT o_custkey AS ck, o_orderkey, l_partkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    ranked AS (
+      SELECT ck, o_orderkey, l_partkey,
+             DENSE_RANK() OVER (PARTITION BY ck ORDER BY l_partkey) AS dr
+      FROM base),
+    counted AS (
+      SELECT ck, o_orderkey,
+             MAX(dr) OVER (PARTITION BY ck) AS n_distinct_parts
+      FROM ranked)
+    SELECT ck AS custkey,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(MAX(n_distinct_parts) AS BIGINT) AS n_distinct_parts
+    FROM counted
+    GROUP BY ck
+    ORDER BY ck
+    LIMIT 2000
+    """,
+    tags=("window", "count-distinct-over", "workaround"),
+)
