@@ -258,6 +258,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_size_profile",
     "ann_recall_eval",
     "window_count_distinct_emulated",
+    "window_exclude_current_emulated",
     # round-4 TPC-DS fourth tranche + JOB third mini-tranche
     "tpcds_two_level_having",
     "tpcds_quarter_seasonality",

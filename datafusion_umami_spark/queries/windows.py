@@ -308,3 +308,46 @@ register_sql(
     """,
     tags=("window", "count-distinct-over", "workaround"),
 )
+
+
+# --- EXCLUDE CURRENT ROW frame (emulated; native on the oracle side) -------
+# Spark has no frame-exclusion clause (SQL:2011 EXCLUDE CURRENT ROW);
+# the exact emulation is frame-aggregate minus the current row's
+# contribution: avg_others = (SUM(frame) - x) / (COUNT(frame) - 1).
+# DuckDB runs the REAL `EXCLUDE CURRENT ROW` clause, so this is an
+# emulation checked against a native implementation, not against
+# itself.  Integer-cents input keeps both sides exact; single-row
+# frames yield NULL on both (0/0 guarded vs native empty frame).
+register_sql(
+    "window_exclude_current_emulated",
+    """
+    WITH o AS (
+      SELECT o_custkey AS ck, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c
+      FROM orders)
+    SELECT ck, o_orderkey,
+           ROUND(CAST((SUM(rev_c) OVER w) - rev_c AS DOUBLE)
+                 / nullif((COUNT(*) OVER w) - 1, 0) / 100.0, 4)
+             AS avg_other_orders
+    FROM o
+    WINDOW w AS (PARTITION BY ck ORDER BY o_orderkey
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ORDER BY ck, o_orderkey
+    LIMIT 2000
+    """,
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS ck, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c
+      FROM orders)
+    SELECT ck, o_orderkey,
+           ROUND(AVG(rev_c) OVER (PARTITION BY ck ORDER BY o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                   EXCLUDE CURRENT ROW) / 100.0, 4)
+             AS avg_other_orders
+    FROM o
+    ORDER BY ck, o_orderkey
+    LIMIT 2000
+    """,
+    tags=("window", "frame-exclusion", "emulation"),
+)
