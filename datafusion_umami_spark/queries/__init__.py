@@ -259,6 +259,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "ann_recall_eval",
     "window_count_distinct_emulated",
     "window_exclude_current_emulated",
+    "window_qualify_emulated",
+    "window_filter_clause_emulated",
     # round-4 TPC-DS fourth tranche + JOB third mini-tranche
     "tpcds_two_level_having",
     "tpcds_quarter_seasonality",

@@ -351,3 +351,76 @@ register_sql(
     """,
     tags=("window", "frame-exclusion", "emulation"),
 )
+
+
+# --- QUALIFY clause (emulated; native on the oracle side) ------------------
+# Spark has no QUALIFY; the emulation is the textbook subquery-then-
+# filter on the window column.  DuckDB runs a REAL QUALIFY clause.
+register_sql(
+    "window_qualify_emulated",
+    """
+    SELECT ck, o_orderkey, revenue
+    FROM (
+      SELECT o_custkey AS ck, o_orderkey,
+             ROUND(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                   / 100.0, 2)
+               AS revenue,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 2
+    ORDER BY ck, o_orderkey
+    LIMIT 2000
+    """,
+    oracle="""
+    SELECT o_custkey AS ck, o_orderkey,
+           ROUND(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                   / 100.0, 2)
+             AS revenue
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    ORDER BY ck, o_orderkey
+    LIMIT 2000
+    """,
+    tags=("window", "qualify", "emulation"),
+)
+
+
+# --- FILTER clause on a window aggregate (emulated vs native) --------------
+# Spark rejects `agg(x) FILTER (WHERE ...) OVER w`; the exact emulation
+# pushes the predicate into a CASE inside the aggregate.  DuckDB runs
+# the native windowed FILTER.
+register_sql(
+    "window_filter_clause_emulated",
+    """
+    WITH o AS (
+      SELECT o_custkey AS ck, o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c
+      FROM orders)
+    SELECT ck, o_orderkey,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN rev_c ELSE 0 END)
+                  OVER (PARTITION BY ck ORDER BY o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS urgent_running_c
+    FROM o
+    ORDER BY ck, o_orderkey
+    LIMIT 2000
+    """,
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS ck, o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c
+      FROM orders)
+    SELECT ck, o_orderkey,
+           CAST(COALESCE(SUM(rev_c) FILTER (WHERE o_orderpriority = '1-URGENT')
+                  OVER (PARTITION BY ck ORDER BY o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                AS BIGINT) AS urgent_running_c
+    FROM o
+    ORDER BY ck, o_orderkey
+    LIMIT 2000
+    """,
+    tags=("window", "filter-clause", "emulation"),
+)
