@@ -261,6 +261,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "window_exclude_current_emulated",
     "window_qualify_emulated",
     "window_filter_clause_emulated",
+    "fn_greatest_least_null_semantics",
     # round-4 TPC-DS fourth tranche + JOB third mini-tranche
     "tpcds_two_level_having",
     "tpcds_quarter_seasonality",

@@ -541,3 +541,26 @@ register_sql(
     """,
     tags=("scalar", "string", "transform"),
 )
+
+
+# --- greatest/least NULL semantics -----------------------------------------
+# Both Spark and DuckDB SKIP NULL arguments in greatest/least (returning
+# NULL only when every argument is NULL) — a deliberate divergence from
+# PostgreSQL-style any-NULL-poisons semantics that silently changes
+# outlier fencing if assumed wrong.  This pins the contract: NULLIF
+# fabricates NULL arguments from real data and the outputs hash-match.
+register_sql(
+    "fn_greatest_least_null_semantics",
+    """
+    SELECT c_custkey,
+           greatest(NULLIF(c_acctbal, 0.0), -1000.0, NULL) AS g_skipnull,
+           least(NULLIF(c_acctbal, 0.0), 10000.0, NULL) AS l_skipnull,
+           greatest(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)) AS g_allnull,
+           CAST(CASE WHEN greatest(NULLIF(c_acctbal, 0.0), NULL) IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS was_zero_bal
+    FROM customer
+    ORDER BY c_custkey
+    LIMIT 2000
+    """,
+    tags=("scalar", "greatest-least", "null-semantics"),
+)
