@@ -28,7 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datafusion_umami_spark.registry import bench_queries
 from datafusion_umami_spark.session import get_spark
 
-N_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+# Best-of-3 by default: per-query wall times on this host are
+# heavy-tailed (up to 2.5x iteration spread on identical plans — see
+# SCALE.md "bench regression root cause"); best-of-N with N=3 converges
+# to the true plan cost where N=2 still carries ~10% aggregate noise.
+N_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
 
 def main() -> None:
