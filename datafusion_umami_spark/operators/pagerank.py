@@ -11,7 +11,9 @@ the same checkpoint hygiene.
 Determinism contract: ranks are micro-units (node mass starts at
 1_000_000) and every update is integer arithmetic only —
 `pr DIV outdeg` contributions and `(850_000 * mass) DIV 1_000_000`
-damping — so the result is bit-identical regardless of partitioning,
+damping (the product accumulated in DECIMAL(38,0) so hub mass on
+billion-node graphs cannot overflow BIGINT under ANSI mode) — so the
+result is bit-identical regardless of partitioning,
 merge order, or engine (integer truncating division is associative-
 safe here because each quotient is computed from fully-aggregated
 BIGINT sums; no float ever appears).  Truncation loses a few micro-
@@ -74,7 +76,17 @@ def pagerank(
                 "node",
                 (
                     F.lit(TELEPORT)
-                    + F.expr(f"({DAMP_NUM} * coalesce(mass, 0L)) DIV {MICRO}")
+                    # Damping product in DECIMAL(38,0): mass at a hub is
+                    # bounded by total graph mass (|V| * 1e6), so the
+                    # BIGINT product 850_000 * mass would overflow past
+                    # ~1e7 nodes under ANSI.  DECIMAL keeps exactness to
+                    # ~1e31; FLOOR == DIV for the nonnegative operands.
+                    # (DuckDB side is already safe: SUM(BIGINT) yields
+                    # HUGEINT there, so its product never overflows.)
+                    + F.expr(
+                        f"CAST(FLOOR((CAST({DAMP_NUM} AS DECIMAL(38,0))"
+                        f" * coalesce(mass, 0L)) / {MICRO}) AS BIGINT)"
+                    )
                 ).cast("long").alias("pr"),
             )
         )

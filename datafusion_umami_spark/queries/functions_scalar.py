@@ -544,9 +544,10 @@ register_sql(
 
 
 # --- greatest/least NULL semantics -----------------------------------------
-# Both Spark and DuckDB SKIP NULL arguments in greatest/least (returning
-# NULL only when every argument is NULL) — a deliberate divergence from
-# PostgreSQL-style any-NULL-poisons semantics that silently changes
+# Both Spark and DuckDB (>=1.1; older DuckDB propagated NULL) SKIP NULL
+# arguments in greatest/least, returning NULL only when every argument
+# is NULL — matching PostgreSQL, and diverging from the
+# MySQL/SQL Server any-NULL-poisons semantics that silently change
 # outlier fencing if assumed wrong.  This pins the contract: NULLIF
 # fabricates NULL arguments from real data and the outputs hash-match.
 register_sql(

@@ -453,16 +453,32 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production sink pattern Structured Streaming deployments run
     against warehouses without MERGE support: foreachBatch receives each
     micro-batch as a plain DataFrame and applies an idempotent
-    latest-wins upsert into a keyed state table.  Here the state lives
-    in a driver dict keyed by user (the stand-in for a JDBC/Delta
-    MERGE target); per batch the arriving rows are reduced map-side to
-    one row per key BEFORE the upsert, so the sink write is |keys|-sized
-    regardless of batch volume — the property that matters at 100 TB
-    ingest.  Final state hash-matches the batch dedup-latest oracle."""
+    latest-wins upsert into a keyed state table.  The state is a keyed
+    parquet table (the stand-in for a JDBC/Delta MERGE target); per
+    batch the arriving rows are reduced map-side to one row per key,
+    then FULL OUTER JOIN-merged into the state table executor-side —
+    the same relational MERGE shape as `merge_upsert_latest_wins`
+    (dataframe_ops.py).  The driver holds only the current state PATH:
+    state size is bounded by |keys| on executors/storage, never driver
+    memory, so the pattern survives 10^9-key ingest where a driver-side
+    dict would OOM.  Cents are computed in Spark SQL (half-up round,
+    matching the oracle) before the merge.  Final state hash-matches
+    the batch dedup-latest oracle."""
+    import os
+    import shutil
     import tempfile
 
     ev = read_events_stream(spark, sf_dir)
-    state: dict[int, tuple] = {}
+
+    # Deterministic per-(sf, query) scratch root, cleared at query start:
+    # reruns overwrite instead of leaking one orphan tempdir per sweep.
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(
+        tempfile.gettempdir(), "dus_scratch", "stream_upsert", sf_tag
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    state_path: list[str] = []  # driver keeps a path, never rows
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         reduced = (
@@ -475,20 +491,48 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .filter(F.col("rn") == 1)
-            .select("user_id", "ts", "event_id", "event_type", "value")
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.col("event_type").alias("last_type"),
+                F.round(F.col("value") * 100).cast("bigint").alias("last_value_c"),
+            )
         )
-        for row in reduced.collect():
-            cur = state.get(row.user_id)
-            key = (row.ts, row.event_id)
-            if cur is None or key > (cur[0], cur[1]):
-                state[row.user_id] = (
-                    row.ts,
-                    row.event_id,
-                    row.event_type,
-                    int(round(row.value * 100)),
+        if state_path:
+            prev = batch_df.sparkSession.read.parquet(state_path[-1])
+            # Latest-wins merge: keep whichever side has the greater
+            # (ts, event_id); struct comparison gives the tuple order.
+            merged = (
+                prev.alias("s")
+                .join(reduced.alias("b"), on="user_id", how="full_outer")
+                .select(
+                    "user_id",
+                    *(
+                        F.when(
+                            F.col("b.ts").isNull()
+                            | (
+                                F.col("s.ts").isNotNull()
+                                & (
+                                    F.struct("s.ts", "s.event_id")
+                                    > F.struct("b.ts", "b.event_id")
+                                )
+                            ),
+                            F.col(f"s.{c}"),
+                        )
+                        .otherwise(F.col(f"b.{c}"))
+                        .alias(c)
+                        for c in ("ts", "event_id", "last_type", "last_value_c")
+                    ),
                 )
+            )
+        else:
+            merged = reduced
+        out_path = os.path.join(root, f"state_v{batch_id}")
+        merged.write.mode("overwrite").parquet(out_path)
+        state_path.append(out_path)
 
-    checkpoint = tempfile.mkdtemp(prefix="dus_stream_upsert_")
+    checkpoint = os.path.join(root, "checkpoint")
     q = (
         ev.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint)
@@ -497,10 +541,11 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    rows = [
-        (uid, typ, val) for uid, (_ts, _eid, typ, val) in sorted(state.items())
-    ]
-    out = spark.createDataFrame(
-        rows, "user_id long, last_type string, last_value_c long"
+    if not state_path:
+        return spark.createDataFrame(
+            [], "user_id long, last_type string, last_value_c long"
+        )
+    out = spark.read.parquet(state_path[-1]).select(
+        "user_id", "last_type", "last_value_c"
     )
     return out.orderBy("user_id").limit(2000)

@@ -326,7 +326,10 @@ def udf_scalar_iter_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def expensive_init():
             state["inits"] += 1
-            return re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+            # re.ASCII pins \s to [ \t\n\r\f\v]: Python's default \s is
+            # Unicode-aware while the DuckDB oracle's RE2 \s is ASCII —
+            # NBSP etc. in a document would otherwise diverge the count.
+            return re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]", re.ASCII)
 
         pattern = expensive_init()
         for s in batches:
