@@ -53,6 +53,7 @@ def _oracle_pagerank() -> str:
     "graph_pagerank_purchases",
     oracle=_oracle_pagerank(),
     tags=("graph", "pagerank", "iterative", "llm-pipeline"),
+    bench=True,
 )
 def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank on the bipartite customer↔supplier purchase graph
@@ -84,32 +85,60 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact triangle counting ----------------------------------------------
 # Count triangles in the co-purchase graph (suppliers connected when a
 # common part links them).  The oriented-edge formulation — every edge
-# stored once as (lo, hi), the triangle found by joining two oriented
-# edges and closing with a third — is the standard distributed-triangle
-# plan: each triangle is produced EXACTLY once, no post-hoc dedup, and
-# the heavy join is an equi-join on a vertex key.  At 100 TB the
-# refinement is ordering vertices by degree instead of id (same plan
-# shape, bounds the join fan-out by the max low-degree adjacency);
-# id-ordering keeps the oracle twin byte-identical here.
-register_sql(
-    "graph_triangle_count",
+# stored once, the triangle found by joining two oriented edges and
+# closing with a third — is the standard distributed-triangle plan:
+# each triangle is produced EXACTLY once, no post-hoc dedup, and the
+# heavy join is an equi-join on a vertex key.  Edges are oriented by
+# DEGREE (low-degree endpoint first, id tiebreak), not id: the two-hop
+# wedge generation fans out only from each edge's LOWER-degree endpoint,
+# so a skewed hub of degree d produces O(sum of its neighbors' small
+# degrees) wedges instead of O(d^2) — the bound that keeps the plan
+# alive on power-law co-purchase graphs at 100 TB.  The SQL template is
+# shared verbatim by Spark and DuckDB (and by the skewed-graph stress
+# test, tests/test_stress.py).
+
+
+def triangle_count_sql(pairs_cte: str) -> str:
+    """Degree-oriented exact triangle count over `pairs_cte` — a CTE
+    body yielding one row per undirected edge as (u, v) with u < v.
+    Pure equi-joins after the orientation step; ANSI, engine-portable."""
+    return f"""
+    WITH pairs AS ({pairs_cte}),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM pairs
+            UNION ALL SELECT v AS node FROM pairs) t
+      GROUP BY node),
+    oriented AS (
+      -- low (degree, id) endpoint first; u < v already, so on a degree
+      -- tie the id order is preserved and no flip is needed
+      SELECT CASE WHEN dv.d < du.d THEN p.v ELSE p.u END AS u,
+             CASE WHEN dv.d < du.d THEN p.u ELSE p.v END AS v
+      FROM pairs p
+        JOIN deg du ON p.u = du.node
+        JOIN deg dv ON p.v = dv.node),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM oriented e1
+        JOIN oriented e2 ON e1.v = e2.u
+        JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges
+    FROM tri
     """
-    WITH pairs AS (
+
+
+_COPURCHASE_PAIRS = """
       -- high-quantity co-purchases only: keeps the graph sparse (the
       -- unfenced version is complete on this synthetic data, which
       -- would make every triangle count trivially C(n,3))
       SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
-      WHERE a.l_quantity > 45 AND b.l_quantity > 45),
-    tri AS (
-      SELECT e1.u AS x, e1.v AS y, e2.v AS z
-      FROM pairs e1
-        JOIN pairs e2 ON e1.v = e2.u
-        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
-           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges
-    FROM tri
-    """,
+      WHERE a.l_quantity > 45 AND b.l_quantity > 45"""
+
+register_sql(
+    "graph_triangle_count",
+    triangle_count_sql(_COPURCHASE_PAIRS),
     tags=("graph", "triangles", "self-join"),
 )

@@ -447,4 +447,5 @@ register_sql(
     LIMIT 2000
     """,
     tags=("text", "pipeline", "c4-style", "llm-pipeline"),
+    bench=True,
 )

@@ -56,6 +56,7 @@ register_sql(
     LIMIT 500
     """,
     tags=("tpcds", "rollup", "window", "multi-join"),
+    bench=True,
 )
 
 # q36-ish: nation revenue as a share of its region's total + in-region rank.

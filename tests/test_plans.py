@@ -294,3 +294,44 @@ def test_balanced_sample_uses_window_group_limit(spark, sf_dir):
     plan = plan_str(q("cur_balanced_per_class_sample", spark, sf_dir), "simple")
     assert "WindowGroupLimit" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+# --- round-5 bench promotions (r4 verdict item 7) --------------------------
+def test_pagerank_bench_plan_equi_joins_topk(spark, sf_dir):
+    """graph_pagerank_purchases: every per-iteration step must plan as
+    equi-joins over the checkpointed frames (no cartesian/BNLJ fallback
+    from the CASE/DECIMAL damping expression), and the final top-50 must
+    fuse into TakeOrderedAndProject, not a global sort."""
+    plan = plan_str(q("graph_pagerank_purchases", spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_c4_pipeline_pushes_gates_to_scan(spark, sf_dir):
+    """pipeline_c4_style_filter: the language and length gates are plain
+    column predicates and must reach the parquet scan as pushed filters
+    — at 100 TB the gates run during the scan, and the only exchange
+    carries (content_hash, doc_id) aggregate state."""
+    df = q("pipeline_c4_style_filter", spark, sf_dir)
+    plan = plan_str(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any(
+        "In(lang" in ln and "GreaterThanOrEqual(n_chars" in ln for ln in pushed
+    ), plan
+    simple = plan_str(df, "simple")
+    assert "BatchEvalPython" not in simple, simple
+    assert "CartesianProduct" not in simple, simple
+
+
+def test_tpcds_rollup_rank_expands_and_broadcasts(spark, sf_dir):
+    """tpcds_rollup_rank: ROLLUP must plan as a single Expand over one
+    aggregated pass (not one scan per grouping set), the dimension arms
+    (customer/nation) must broadcast against the fact, and the window
+    runs on the already-aggregated rollup output."""
+    plan = plan_str(q("tpcds_rollup_rank", spark, sf_dir), "simple")
+    assert "Expand" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -362,3 +362,40 @@ def test_pagerank_frees_round_checkpoints(spark):
     assert stored() <= before + 1, (
         f"checkpoint leak: {before} before, {stored()} after"
     )
+
+
+def test_triangle_count_degree_ordering_on_skewed_graph(spark, duck):
+    """Degree-oriented triangle counting must stay exact on the graph
+    shape the ordering exists for: a power-law-ish hub.  Wheel graph —
+    hub h adjacent to spokes 1..N, spokes chained i—(i+1) — has exactly
+    N-1 triangles {h, i, i+1}.  The hub id is placed BETWEEN the spoke
+    ids so a naive id-ordering would split its edges into in- and
+    out-sets (the d^2/4 wedge blowup); degree ordering orients every
+    hub edge inward, so the hub generates zero wedges.  Same SQL text
+    runs on Spark and DuckDB."""
+    from datafusion_umami_spark.queries.graph_algos import triangle_count_sql
+
+    n = 120
+    hub = n // 2  # mid-range id: the adversarial placement for id order
+    spokes = [i for i in range(n + 1) if i != hub]
+    edges = [(min(hub, s), max(hub, s)) for s in spokes]
+    edges += [
+        (min(a, b), max(a, b))
+        for a, b in zip(spokes, spokes[1:])
+    ]
+    values = ", ".join(f"({u}, {v})" for u, v in sorted(set(edges)))
+    sql = triangle_count_sql(
+        f"SELECT u, v FROM (VALUES {values}) AS t(u, v)"
+    )
+    got = spark.sql(sql).collect()[0]
+    assert (got.n_triangles, got.n_edges) == (n - 1, 2 * n - 1)
+    oracle = duck.execute(sql).df()
+    assert (int(oracle.n_triangles[0]), int(oracle.n_edges[0])) == (
+        n - 1,
+        2 * n - 1,
+    )
+    # pure equi-join plan: the degree orientation must not smuggle in a
+    # cartesian/theta join
+    plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
