@@ -57,6 +57,10 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     windows,
     bucketing,
     asof,
+    # Imported LAST deliberately: round-5 additions must queue BEHIND
+    # the existing never-swept backlog so the driver sweep spends its
+    # budget on the projected front-50 (prove-down round contract).
+    job_shapes_t3,
 )
 
 # Explicit front of the sweep queue (only names not yet proven green are

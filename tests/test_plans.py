@@ -335,3 +335,18 @@ def test_tpcds_rollup_rank_expands_and_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["job_full_clique_preds_10way", "job_three_like_fences_chain"]
+)
+def test_job_tranche3_bench_broadcasts_no_cartesian(name, spark, sf_dir):
+    """Tranche-3 bench promotions: the full-clique 10-way must collapse
+    the redundant pairwise join predicates into one equi-join tree with
+    broadcast dimension arms (never a cartesian or a repeated join of
+    the same pair), and the fenced deep chain must broadcast its LIKE-
+    filtered dims."""
+    plan = plan_str(q(name, spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast of dims\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ\n{plan}"
