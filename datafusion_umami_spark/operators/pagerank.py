@@ -55,25 +55,37 @@ def pagerank(
     ).distinct()
     e = e.localCheckpoint(eager=True)
 
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # The node universe IS deg's key set (every node appears as a src by
+    # contract), so one aggregate doubles as node list + out-degrees —
+    # computed and checkpointed ONCE.  The iterated state carries
+    # (node, outdeg, pr) so each round is exactly one equi-join against
+    # the edges, one keyed aggregate, and one left join back to deg;
+    # recomputing nodes/deg lazily per round would add two shuffles and
+    # a join to every iteration.
+    deg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .withColumnRenamed("src", "node")
+    )
+    deg_ck = deg.localCheckpoint(eager=True)
+    deg = deg_ck.toDF(*deg_ck.columns)
 
-    pr = nodes.withColumn("pr", F.lit(MICRO).cast("long"))
-    pr_ck = pr.localCheckpoint(eager=True)
-    pr = pr_ck.toDF(*pr_ck.columns)
+    state = deg.withColumn("pr", F.lit(MICRO).cast("long"))
+    st_ck = state.localCheckpoint(eager=True)
+    state = st_ck.toDF(*st_ck.columns)
 
     for i in range(iterations):
         contribs = (
-            e.join(pr, e.src == pr.node)
-            .join(deg, "src")
+            e.join(state, e.src == state.node)
             .select("dst", F.expr("pr DIV outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("mass"))
         )
         nxt = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            deg.join(contribs, deg.node == contribs.dst, "left")
             .select(
                 "node",
+                "outdeg",
                 (
                     F.lit(TELEPORT)
                     # Damping product in DECIMAL(38,0): mass at a hub is
@@ -91,11 +103,12 @@ def pagerank(
             )
         )
         nxt_ck = nxt.localCheckpoint(eager=True)
-        _free_checkpoint(pr_ck)
-        pr_ck = nxt_ck
-        pr = pr_ck.toDF(*pr_ck.columns)
+        _free_checkpoint(st_ck)
+        st_ck = nxt_ck
+        state = st_ck.toDF(*st_ck.columns)
 
     if stats is not None:
         stats["iterations"] = iterations
     _free_checkpoint(e)
-    return pr
+    _free_checkpoint(deg_ck)
+    return state.select("node", "pr")
