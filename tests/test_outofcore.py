@@ -70,6 +70,15 @@ HEAVY = [
     # recompute under any partitioning; exact-integer cumulative window
     "inc_rollup_merge",
     "tpcds_pareto_coverage",
+    # round-5 additions: the full-clique 10-way and the 11-relation
+    # role-play star are now the widest join states in the corpus (with
+    # broadcast disabled every dim arm becomes a shuffle join); the
+    # double-bridge self-join shares two keys; degree-oriented triangle
+    # counting chains three self-equi-joins over the oriented edge set
+    "job_full_clique_preds_10way",
+    "job_eleven_rel_roleplay_star",
+    "job_double_bridge_clique",
+    "graph_triangle_count",
 ]
 
 HOSTILE_CONF = {
