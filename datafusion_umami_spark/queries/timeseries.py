@@ -19,40 +19,25 @@ Both are pure DataFrame/SQL (no UDFs); the spine generator is
 
 from __future__ import annotations
 
-from datafusion_umami_spark.registry import register_sql
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_umami_spark.registry import register, register_sql
+from datafusion_umami_spark.tables import table
 
 # Cascade: minute → hour → day, each level re-aggregating the previous.
-register_sql(
-    "ts_multires_rollup",
-    """
-    WITH minute AS (
-        SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP_NTZ) AS bucket,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        FROM events
-        GROUP BY date_trunc('minute', ts)
-    ),
-    hour AS (
-        SELECT CAST(date_trunc('hour', bucket) AS TIMESTAMP_NTZ) AS bucket,
-               CAST(SUM(n) AS BIGINT) AS n,
-               CAST(SUM(cents) AS BIGINT) AS cents
-        FROM minute
-        GROUP BY date_trunc('hour', bucket)
-    ),
-    day AS (
-        SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP_NTZ) AS bucket,
-               CAST(SUM(n) AS BIGINT) AS n,
-               CAST(SUM(cents) AS BIGINT) AS cents
-        FROM hour
-        GROUP BY date_trunc('day', bucket)
-    )
-    SELECT 'hour' AS resolution, bucket, n, cents FROM hour
-    UNION ALL
-    SELECT 'day' AS resolution, bucket, n, cents FROM day
-    ORDER BY resolution, bucket
-    LIMIT 2000
-    """,
-    oracle="""
+# Expressed as DataFrame code (not SQL text) because Spark INLINES
+# deterministic CTEs: the SQL formulation physically scanned the fact
+# table twice (once per UNION branch) — exactly the rescans the cascade
+# exists to avoid.  An eager localCheckpoint pins the hour grain so both
+# the hour output and the day re-aggregation read the materialized
+# ≪raw-rows frame: ONE fact scan regardless of how many resolutions the
+# cascade emits.  The superseded checkpoint is freed on the next
+# invocation (caller-holds-one, the pagerank/connected-components
+# hygiene pattern).
+_CASCADE_CK: dict[str, DataFrame] = {}
+
+_TS_MULTIRES_ORACLE = """
     WITH minute AS (
         SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket,
                COUNT(*) AS n,
@@ -79,10 +64,68 @@ register_sql(
     SELECT 'day' AS resolution, bucket, n, cents FROM day
     ORDER BY resolution, bucket
     LIMIT 2000
-    """,
+    """
+
+
+@register(
+    "ts_multires_rollup",
+    oracle=_TS_MULTIRES_ORACLE,
     tags=("timeseries", "rollup", "multi-resolution"),
     bench=True,
 )
+def ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup, one fact scan: minute grain aggregated
+    from events, hour re-aggregated from minute, the hour frame eagerly
+    checkpointed so the day level and the hour output share ONE
+    materialization (see module docstring; the SQL-text version was
+    double-scanned by CTE inlining)."""
+    from datafusion_umami_spark.operators.connected_components import (
+        _free_checkpoint,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", F.col("bucket")).alias("bucket"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    hour_ck = hour.localCheckpoint(eager=True)
+    prev = _CASCADE_CK.pop("ts_multires_rollup", None)
+    if prev is not None:
+        _free_checkpoint(prev)
+    _CASCADE_CK["ts_multires_rollup"] = hour_ck
+    hour_df = hour_ck.toDF(*hour_ck.columns)
+    day = (
+        hour_df.groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+
+    def lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("resolution"),
+            F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+            "n",
+            "cents",
+        )
+
+    return (
+        lvl(hour_df, "hour")
+        .unionAll(lvl(day, "day"))
+        .orderBy("resolution", "bucket")
+        .limit(2000)
+    )
+
 
 # Calendar spine LEFT JOIN + COALESCE(0): empty days become zero rows.
 register_sql(
