@@ -1,0 +1,52 @@
+"""Shared-subtree materialization: the CTE-inlining countermeasure.
+
+Spark INLINES deterministic CTEs (InlineCTE, no public conf to force
+materialization), so a WITH-clause subtree referenced k times executes
+k times — and reference counts MULTIPLY down a CTE chain: the SQL-text
+triangle count executed its `pairs` CTE 32 times; minhash-LSH computed
+the signature matrix 4 times.  Exchange reuse never rescues these
+because the consuming branches differ above the exchange.
+
+`materialize_once` eagerly localCheckpoints a DataFrame so every
+downstream reference reads ONE materialization, freeing the previous
+checkpoint registered under the same key (caller-holds-one hygiene, as
+operators/connected_components.py / pagerank.py).
+
+100 TB rule of thumb encoded here: only materialize REDUCED
+intermediates — aggregates, distinct edge sets, per-doc signatures,
+bucketed candidates — whose size is ≪ the fact table.  A raw filtered
+fact scan used twice should stay a double scan (parquet pushdown makes
+re-scanning cheap; checkpointing ~fact-sized data trades a columnar
+scan for a full write+read).  What must never happen is the
+multiplicative re-execution of a reduced subtree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from datafusion_umami_spark.operators.connected_components import _free_checkpoint
+
+_LIVE: dict[str, DataFrame] = {}
+
+
+def materialize_once(key: str, df: DataFrame) -> DataFrame:
+    """Eagerly checkpoint `df`; free the checkpoint previously held
+    under `key`.  Returns a frame with fresh attribute ids (toDF), so
+    re-joining materializations of related lineage is safe (Spark 4.1
+    optimizer attribute-id gotcha, CLAUDE.md)."""
+    ck = df.localCheckpoint(eager=True)
+    prev = _LIVE.pop(key, None)
+    if prev is not None:
+        _free_checkpoint(prev)
+    _LIVE[key] = ck
+    return ck.toDF(*ck.columns)
+
+
+def materialize_view(key: str, df: DataFrame, view: str) -> DataFrame:
+    """materialize_once + register the result as a temp view so a
+    follow-up spark.sql() text can reference the single materialization
+    by name (the split-SQL pattern for de-inlining a WITH clause)."""
+    out = materialize_once(key, df)
+    out.createOrReplaceTempView(view)
+    return out

@@ -63,10 +63,10 @@ register_sql(
 # engines identically). Output is capped deterministically for the
 # driver hash: full ORDER BY (jaccard DESC, da, db) then LIMIT.
 _JACCARD_BODY = """
-    n AS (SELECT doc_id, COUNT(*) AS n_words FROM w GROUP BY doc_id),
+    n AS (SELECT doc_id, COUNT(*) AS n_words FROM __W__ GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+      FROM __W__ a JOIN __W__ b ON a.word = b.word AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT da, db,
            ROUND(CAST(c AS DOUBLE) / (na.n_words + nb.n_words - c), 6) AS jaccard
@@ -78,18 +78,21 @@ _JACCARD_BODY = """
     LIMIT 500
 """
 
-register_sql(
+# Spark-side pruned word set: ONE pass — the document-frequency guard
+# is a COUNT(*) OVER (PARTITION BY word) window instead of the
+# wdf-join, so the distinct doc-word set is computed once (the join
+# formulation re-executed the corpus explode per reference: 8 scans).
+_JACCARD_W_SQL = r"""
+    SELECT doc_id, word FROM (
+      SELECT doc_id, word, COUNT(*) OVER (PARTITION BY word) AS df
+      FROM (SELECT DISTINCT doc_id, word
+            FROM (SELECT doc_id, explode(split(trim(text), '\\s+')) AS word
+                  FROM documents)))
+    WHERE df <= 50"""
+
+
+@register(
     "dedup_jaccard_words",
-    r"""
-    WITH w0 AS (
-      SELECT DISTINCT doc_id, word
-      FROM (SELECT doc_id, explode(split(trim(text), '\\s+')) AS word
-            FROM documents)),
-    wdf AS (SELECT word, COUNT(*) AS df FROM w0 GROUP BY word),
-    w AS (SELECT w0.doc_id, w0.word
-          FROM w0 JOIN wdf ON w0.word = wdf.word WHERE wdf.df <= 50),
-"""
-    + _JACCARD_BODY,
     oracle=r"""
     WITH w0 AS (
       SELECT DISTINCT doc_id, word
@@ -99,9 +102,20 @@ register_sql(
     w AS (SELECT w0.doc_id, w0.word
           FROM w0 JOIN wdf ON w0.word = wdf.word WHERE wdf.df <= 50),
 """
-    + _JACCARD_BODY,
+    + _JACCARD_BODY.replace("__W__", "w"),
     tags=("dedup", "jaccard", "llm-pipeline"),
 )
+def dedup_jaccard_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-word Jaccard near-dup with the pruned doc-word set (df <= 50
+    window guard, _JACCARD_W_SQL) materialized ONCE: the corpus is
+    exploded and deduped in a single pass instead of the 8 scans the
+    inlined CTE chain produced (operators/materialize.py)."""
+    from datafusion_umami_spark.operators.materialize import materialize_view
+    from datafusion_umami_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    materialize_view("jac_w", spark.sql(_JACCARD_W_SQL), "jac_w_m")
+    return spark.sql("WITH " + _JACCARD_BODY.replace("__W__", "jac_w_m"))
 
 # --- MinHash + LSH banding -------------------------------------------------
 _SP_SHINGLES = r"""
@@ -137,23 +151,30 @@ _DU_MH = ", ".join(
     f"MIN(({2 * s + 1} * h + {s * 12_582_917}) % {_P31})" for s in range(8)
 )
 
-# Full candidate-pair SELECTs, shared by dedup_minhash_lsh and the
-# connected-components clustering query below.
-_SP_MINHASH_PAIRS = f"""
+# Spark side is split at the signature matrix: sigs (|docs| rows of 8
+# ints, the REDUCED intermediate) is materialized once, then banding,
+# the candidate equi-join, and the two signature re-joins all read the
+# one checkpoint — the single-statement inlined form re-ran the whole
+# shingle scan per reference (4 corpus scans).  The DuckDB twin keeps
+# the single statement (DuckDB materializes shared CTEs).
+_SP_MINHASH_SIGS = f"""
     WITH shingles AS ({_SP_SHINGLES}),
     hashes AS (
       -- no DISTINCT: MIN over duplicate shingles equals MIN over the set,
       -- so the dedup shuffle would be pure waste
       SELECT doc_id, {_sp_h("shingle")} % {_P31} AS h
-      FROM shingles),
-    sigs AS (
-      SELECT doc_id, array({_SP_MH}) AS mhs
-      FROM hashes GROUP BY doc_id),
-    bands AS (
+      FROM shingles)
+    SELECT doc_id, array({_SP_MH}) AS mhs
+    FROM hashes GROUP BY doc_id
+"""
+
+# __SIGS__ = relation holding the materialized signature matrix.
+_SP_MINHASH_PAIRS_FROM_SIGS = """
+    WITH bands AS (
       SELECT doc_id, band,
              concat(CAST(element_at(mhs, 2 * band + 1) AS STRING), ':',
                     CAST(element_at(mhs, 2 * band + 2) AS STRING)) AS band_sig
-      FROM sigs LATERAL VIEW explode(sequence(0, 3)) t AS band),
+      FROM __SIGS__ LATERAL VIEW explode(sequence(0, 3)) t AS band),
     candidates AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM bands a JOIN bands b
@@ -163,9 +184,21 @@ _SP_MINHASH_PAIRS = f"""
                     i -> element_at(sa.mhs, i) = element_at(sb.mhs, i))) / 8.0, 4)
                 AS DOUBLE) AS est_jaccard
     FROM candidates c
-      JOIN sigs sa ON sa.doc_id = c.da
-      JOIN sigs sb ON sb.doc_id = c.db
+      JOIN __SIGS__ sa ON sa.doc_id = c.da
+      JOIN __SIGS__ sb ON sb.doc_id = c.db
 """
+
+
+def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs + estimated Jaccard with the signature matrix
+    materialized once; shared by dedup_minhash_lsh and both
+    connected-components consumers."""
+    from datafusion_umami_spark.operators.materialize import materialize_view
+    from datafusion_umami_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    materialize_view("mh_sigs", spark.sql(_SP_MINHASH_SIGS), "mh_sigs_m")
+    return spark.sql(_SP_MINHASH_PAIRS_FROM_SIGS.replace("__SIGS__", "mh_sigs_m"))
 
 _DU_MINHASH_PAIRS = f"""
     WITH shingles AS ({_DU_SHINGLES}),
@@ -193,13 +226,17 @@ _DU_MINHASH_PAIRS = f"""
       JOIN sigs sb ON sb.doc_id = c.db
 """
 
-register_sql(
+@register(
     "dedup_minhash_lsh",
-    _SP_MINHASH_PAIRS,
     oracle=_DU_MINHASH_PAIRS,
     tags=("dedup", "minhash", "lsh", "llm-pipeline"),
     bench=True,
 )
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs — one linear shingle scan
+    into a materialized signature matrix, banded equi-join candidates,
+    signature-estimated Jaccard (see _SP_MINHASH_SIGS notes)."""
+    return _minhash_pairs_df(spark, sf_dir)
 
 # --- SimHash ---------------------------------------------------------------
 # Banded candidate generation (pigeonhole): the 16-bit simhash is split
@@ -210,9 +247,10 @@ register_sql(
 # This is the plan that survives 100 TB (the r1 all-pairs version was a
 # BroadcastNestedLoopJoin — O(n^2)); tests/test_plans.py asserts the
 # plan has no nested-loop join.
-register_sql(
-    "dedup_simhash",
-    f"""
+# Split at the 16-bit signature (|docs| rows): materialized once, read
+# by banding and by both sides of the hamming verification — the
+# inlined form re-ran the word-explode chain 4×.
+_SP_SIMHASH_SIG = f"""
     WITH w AS (
       SELECT DISTINCT doc_id, word
       FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS word
@@ -222,17 +260,19 @@ register_sql(
       SELECT doc_id, b,
              SUM(CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
       FROM hashes LATERAL VIEW explode(sequence(0, 15)) bt AS b
-      GROUP BY doc_id, b),
-    sig AS (
-      SELECT doc_id,
-             SUM(CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END) AS simhash
-      FROM bits GROUP BY doc_id),
-    bands AS (
+      GROUP BY doc_id, b)
+    SELECT doc_id,
+           SUM(CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+"""
+
+_SP_SIMHASH_PAIRS_FROM_SIG = """
+    WITH bands AS (
       SELECT doc_id, simhash, band,
              CASE band WHEN 0 THEN simhash & 63
                        WHEN 1 THEN shiftright(simhash, 6) & 31
                        ELSE shiftright(simhash, 11) & 31 END AS band_bits
-      FROM sig LATERAL VIEW explode(sequence(0, 2)) t AS band),
+      FROM __SIG__ LATERAL VIEW explode(sequence(0, 2)) t AS band),
     cand AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM bands a JOIN bands b
@@ -240,12 +280,16 @@ register_sql(
     SELECT c.da, c.db,
            CAST(bit_count(sa.simhash ^ sb.simhash) AS BIGINT) AS hamming
     FROM cand c
-      JOIN sig sa ON sa.doc_id = c.da
-      JOIN sig sb ON sb.doc_id = c.db
+      JOIN __SIG__ sa ON sa.doc_id = c.da
+      JOIN __SIG__ sb ON sb.doc_id = c.db
     WHERE bit_count(sa.simhash ^ sb.simhash) <= 2
     ORDER BY hamming, da, db
     LIMIT 500
-    """,
+    """
+
+
+@register(
+    "dedup_simhash",
     oracle=f"""
     WITH w AS (
       SELECT DISTINCT doc_id, word
@@ -282,6 +326,15 @@ register_sql(
     """,
     tags=("dedup", "simhash", "llm-pipeline"),
 )
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup via 3-band pigeonhole equi-join, signature
+    materialized once (see _SP_SIMHASH_SIG notes)."""
+    from datafusion_umami_spark.operators.materialize import materialize_view
+    from datafusion_umami_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    materialize_view("sh_sig", spark.sql(_SP_SIMHASH_SIG), "sh_sig_m")
+    return spark.sql(_SP_SIMHASH_PAIRS_FROM_SIG.replace("__SIG__", "sh_sig_m"))
 
 # --- embedding-cosine near-dup --------------------------------------------
 # Scalable shape: candidates come from an equi-join on random-hyperplane
@@ -296,9 +349,12 @@ register_sql(
 # joins against the exploded embeddings; nothing here is all-pairs.
 _EMB_DIM = 64  # embeddings.parquet fixed dim (TESTDATA.md)
 
-register_sql(
-    "dedup_embedding_cosine",
-    f"""
+# Split at the LSH bucket table (|vecs|×3 rows, the reduced
+# intermediate): materialized once, read by both sides of the candidate
+# equi-join.  The `normed` vectors stay a map-only re-scan of the
+# embeddings parquet (materialize.py rule: don't checkpoint ~input-sized
+# map output; a pushed-down columnar re-scan is cheaper).
+_SP_COSINE_BUCKETS = f"""
     WITH e AS (
       SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
@@ -315,21 +371,24 @@ register_sql(
     proj AS (
       SELECT m.vec_id, p.band, p.plane, SUM(m.xs * p.sgn) AS dot
       FROM dims m JOIN planes p ON m.d = p.d
-      GROUP BY m.vec_id, p.band, p.plane),
-    buckets AS (
-      SELECT vec_id, band,
-             SUM(CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), plane)
-                      ELSE CAST(0 AS BIGINT) END) AS bucket
-      FROM proj GROUP BY vec_id, band),
-    cand AS (
+      GROUP BY m.vec_id, p.band, p.plane)
+    SELECT vec_id, band,
+           SUM(CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), plane)
+                    ELSE CAST(0 AS BIGINT) END) AS bucket
+    FROM proj GROUP BY vec_id, band
+"""
+
+_SP_COSINE_FROM_BUCKETS = """
+    WITH cand AS (
       SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-      FROM buckets a JOIN buckets b
+      FROM __B__ a JOIN __B__ b
         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
     normed AS (
       SELECT vec_id, v,
              sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
                             (acc, x) -> acc + x)) AS nrm
-      FROM e)
+      FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings))
     SELECT c.ia, c.ib,
            ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
                            (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS cosine
@@ -340,7 +399,11 @@ register_sql(
                     (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3
     ORDER BY cosine DESC, ia, ib
     LIMIT 500
-    """,
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -387,6 +450,16 @@ register_sql(
     """,
     tags=("dedup", "embedding", "cosine", "llm-pipeline"),
 )
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup: bucket table materialized
+    once, candidates from the bucket equi-join, cosine verified on
+    candidates only (see _SP_COSINE_BUCKETS notes)."""
+    from datafusion_umami_spark.operators.materialize import materialize_view
+    from datafusion_umami_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    materialize_view("cos_buckets", spark.sql(_SP_COSINE_BUCKETS), "cos_buckets_m")
+    return spark.sql(_SP_COSINE_FROM_BUCKETS.replace("__B__", "cos_buckets_m"))
 
 
 # --- connected-components cluster assignment over near-dup pairs ------------
@@ -431,12 +504,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_umami_spark.operators.connected_components import (
         connected_components,
     )
-    from datafusion_umami_spark.tables import register_views
 
-    register_views(spark, sf_dir)
-    pairs = spark.sql(
-        f"SELECT da, db FROM ({_SP_MINHASH_PAIRS}) p WHERE est_jaccard >= 0.5"
-    )
+    pairs = _minhash_pairs_df(spark, sf_dir).filter(
+        F.col("est_jaccard") >= 0.5
+    ).select("da", "db")
     return connected_components(pairs).select(
         F.col("n").alias("doc_id"), "cluster_id"
     )
@@ -482,12 +553,10 @@ def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_umami_spark.operators.connected_components import (
         connected_components,
     )
-    from datafusion_umami_spark.tables import register_views
 
-    register_views(spark, sf_dir)
-    pairs = spark.sql(
-        f"SELECT da, db FROM ({_SP_MINHASH_PAIRS}) p WHERE est_jaccard >= 0.5"
-    )
+    pairs = _minhash_pairs_df(spark, sf_dir).filter(
+        F.col("est_jaccard") >= 0.5
+    ).select("da", "db")
     labels = connected_components(pairs)
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("csize"))
     return (

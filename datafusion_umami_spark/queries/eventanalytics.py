@@ -21,7 +21,9 @@ capability-superset work from the build brief.
 
 from __future__ import annotations
 
-from datafusion_umami_spark.registry import register_sql
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_umami_spark.registry import register, register_sql
 
 # --- day-cohort retention matrix ------------------------------------------
 # Users cohorted by first-seen day; n_active = distinct users of cohort
@@ -75,29 +77,58 @@ register_sql(
 # stage's MIN — the standard "ordered funnel" semantics (a click before
 # the first view does not count).  Stage tables are per-user aggregates
 # (broadcastable); no window over raw events is needed.
-register_sql(
-    "evt_funnel_ordered",
-    """
-    WITH v AS (
+_FUNNEL_V = """
       SELECT user_id, MIN(ts) AS t_view
-      FROM events WHERE event_type = 'view' GROUP BY user_id),
-    c AS (
+      FROM events WHERE event_type = 'view' GROUP BY user_id"""
+_FUNNEL_C = """
       SELECT e.user_id, MIN(e.ts) AS t_click
-      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
-      WHERE e.event_type = 'click' GROUP BY e.user_id),
-    p AS (
+      FROM events e JOIN {v} v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id"""
+_FUNNEL_P = """
       SELECT e.user_id, MIN(e.ts) AS t_purchase
-      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
-      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
-    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
-           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
-           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel,
-           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
-                 / greatest((SELECT COUNT(*) FROM v), 1), 6)
+      FROM events e JOIN {c} c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id"""
+_FUNNEL_OUT = """
+    SELECT CAST((SELECT COUNT(*) FROM {v}) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM {c}) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM {p}) AS BIGINT) AS n_full_funnel,
+           ROUND(CAST((SELECT COUNT(*) FROM {p}) AS DOUBLE)
+                 / greatest((SELECT COUNT(*) FROM {v}), 1), 6)
              AS conversion_rate
-    """,
+    """
+
+
+@register(
+    "evt_funnel_ordered",
+    # single-statement twin for DuckDB (which materializes shared CTEs)
+    oracle=(
+        f"WITH v AS ({_FUNNEL_V}),\n"
+        f"c AS ({_FUNNEL_C.format(v='v')}),\n"
+        f"p AS ({_FUNNEL_P.format(c='c')})\n"
+        f"{_FUNNEL_OUT.format(v='v', c='c', p='p')}"
+    ),
     tags=("events", "funnel", "analytics"),
 )
+def evt_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with per-stage materialization: each |users|-sized
+    stage aggregate is checkpointed once, so events is scanned exactly
+    three times (once per stage, each with its event_type pushed) —
+    the inlined single-statement SQL re-executed the stage chain per
+    reference and scanned events 10× (operators/materialize.py)."""
+    from datafusion_umami_spark.operators.materialize import materialize_view
+    from datafusion_umami_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    materialize_view("funnel_v", spark.sql(_FUNNEL_V), "funnel_v_m")
+    materialize_view(
+        "funnel_c", spark.sql(_FUNNEL_C.format(v="funnel_v_m")), "funnel_c_m"
+    )
+    materialize_view(
+        "funnel_p", spark.sql(_FUNNEL_P.format(c="funnel_c_m")), "funnel_p_m"
+    )
+    return spark.sql(
+        _FUNNEL_OUT.format(v="funnel_v_m", c="funnel_c_m", p="funnel_p_m")
+    )
 
 # --- RFM quartile segmentation --------------------------------------------
 # Recency/Frequency/Monetary per user, each NTILE(4)-banded with a full

@@ -98,33 +98,49 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test, tests/test_stress.py).
 
 
+def oriented_edges_sql(pairs_rel: str) -> str:
+    """Degree-orient the undirected edge relation `pairs_rel` (one row
+    per edge, u < v): low (degree, id) endpoint first — u < v already,
+    so on a degree tie the id order is preserved and no flip is
+    needed.  `deg` is |V|-sized; fine to reference twice."""
+    return f"""
+    WITH deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM {pairs_rel}
+            UNION ALL SELECT v AS node FROM {pairs_rel}) t
+      GROUP BY node)
+    SELECT CASE WHEN dv.d < du.d THEN p.v ELSE p.u END AS u,
+           CASE WHEN dv.d < du.d THEN p.u ELSE p.v END AS v
+    FROM {pairs_rel} p
+      JOIN deg du ON p.u = du.node
+      JOIN deg dv ON p.v = dv.node"""
+
+
+def triangle_close_sql(oriented_rel: str, pairs_rel: str) -> str:
+    """Close triangles over the oriented edge relation: two out-edge
+    hops joined by the closing third edge — pure equi-joins.  Subquery
+    form (no WITH) so it composes after an outer WITH clause."""
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM {pairs_rel}) AS BIGINT) AS n_edges
+    FROM (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM {oriented_rel} e1
+        JOIN {oriented_rel} e2 ON e1.v = e2.u
+        JOIN {oriented_rel} e3 ON e3.u = e1.u AND e3.v = e2.v) tri
+    """
+
+
 def triangle_count_sql(pairs_cte: str) -> str:
-    """Degree-oriented exact triangle count over `pairs_cte` — a CTE
-    body yielding one row per undirected edge as (u, v) with u < v.
-    Pure equi-joins after the orientation step; ANSI, engine-portable."""
+    """Single-statement composition of the two stages over a `pairs`
+    CTE body — the engine-portable ANSI text used by the DuckDB oracle
+    and the skewed-graph stress test.  NOTE: executing this text on
+    Spark inlines the CTE chain multiplicatively (pairs ran 32×); the
+    registered Spark query materializes each stage instead."""
     return f"""
     WITH pairs AS ({pairs_cte}),
-    deg AS (
-      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
-      FROM (SELECT u AS node FROM pairs
-            UNION ALL SELECT v AS node FROM pairs) t
-      GROUP BY node),
-    oriented AS (
-      -- low (degree, id) endpoint first; u < v already, so on a degree
-      -- tie the id order is preserved and no flip is needed
-      SELECT CASE WHEN dv.d < du.d THEN p.v ELSE p.u END AS u,
-             CASE WHEN dv.d < du.d THEN p.u ELSE p.v END AS v
-      FROM pairs p
-        JOIN deg du ON p.u = du.node
-        JOIN deg dv ON p.v = dv.node),
-    tri AS (
-      SELECT e1.u AS x, e1.v AS y, e2.v AS z
-      FROM oriented e1
-        JOIN oriented e2 ON e1.v = e2.u
-        JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
-           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges
-    FROM tri
+    oriented AS ({oriented_edges_sql("pairs")})
+    {triangle_close_sql("oriented", "pairs")}
     """
 
 
@@ -137,8 +153,27 @@ _COPURCHASE_PAIRS = """
         ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
       WHERE a.l_quantity > 45 AND b.l_quantity > 45"""
 
-register_sql(
+
+@register(
     "graph_triangle_count",
-    triangle_count_sql(_COPURCHASE_PAIRS),
+    oracle=triangle_count_sql(_COPURCHASE_PAIRS),
     tags=("graph", "triangles", "self-join"),
 )
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle count with per-stage materialization:
+    the edge set (DISTINCT co-purchase pairs, ≪ lineitem) and the
+    oriented edges are each checkpointed ONCE, so the fact table is
+    scanned exactly twice (the self-join arms) instead of the 32 scans
+    the inlined single-statement SQL produced — the multiplicative-CTE
+    countermeasure (operators/materialize.py)."""
+    from datafusion_umami_spark.operators.materialize import materialize_view
+    from datafusion_umami_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    materialize_view("tri_pairs", spark.sql(_COPURCHASE_PAIRS), "tri_pairs_m")
+    materialize_view(
+        "tri_oriented",
+        spark.sql(oriented_edges_sql("tri_pairs_m")),
+        "tri_oriented_m",
+    )
+    return spark.sql(triangle_close_sql("tri_oriented_m", "tri_pairs_m"))

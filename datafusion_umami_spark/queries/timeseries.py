@@ -29,13 +29,10 @@ from datafusion_umami_spark.tables import table
 # Expressed as DataFrame code (not SQL text) because Spark INLINES
 # deterministic CTEs: the SQL formulation physically scanned the fact
 # table twice (once per UNION branch) — exactly the rescans the cascade
-# exists to avoid.  An eager localCheckpoint pins the hour grain so both
-# the hour output and the day re-aggregation read the materialized
+# exists to avoid.  materialize_once pins the hour grain so both the
+# hour output and the day re-aggregation read the materialized
 # ≪raw-rows frame: ONE fact scan regardless of how many resolutions the
-# cascade emits.  The superseded checkpoint is freed on the next
-# invocation (caller-holds-one, the pagerank/connected-components
-# hygiene pattern).
-_CASCADE_CK: dict[str, DataFrame] = {}
+# cascade emits (see operators/materialize.py for the general rule).
 
 _TS_MULTIRES_ORACLE = """
     WITH minute AS (
@@ -79,9 +76,7 @@ def ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed so the day level and the hour output share ONE
     materialization (see module docstring; the SQL-text version was
     double-scanned by CTE inlining)."""
-    from datafusion_umami_spark.operators.connected_components import (
-        _free_checkpoint,
-    )
+    from datafusion_umami_spark.operators.materialize import materialize_once
 
     ev = table(spark, sf_dir, "events")
     minute = ev.groupBy(
@@ -97,12 +92,7 @@ def ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("cents"),
         )
     )
-    hour_ck = hour.localCheckpoint(eager=True)
-    prev = _CASCADE_CK.pop("ts_multires_rollup", None)
-    if prev is not None:
-        _free_checkpoint(prev)
-    _CASCADE_CK["ts_multires_rollup"] = hour_ck
-    hour_df = hour_ck.toDF(*hour_ck.columns)
+    hour_df = materialize_once("ts_multires_hour", hour)
     day = (
         hour_df.groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket"))
         .agg(

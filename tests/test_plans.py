@@ -146,10 +146,11 @@ def test_jaccard_prunes_high_df_words(spark, sf_dir):
     oracle both filter words through `wdf.df <= 50` BEFORE the candidate
     join, and the full corpus genuinely contains words above the cap
     (so the guard is not vacuous)."""
+    from datafusion_umami_spark.queries.dedup import _JACCARD_W_SQL
     from datafusion_umami_spark.tables import register_views
 
     spec = REGISTRY["dedup_jaccard_words"]
-    assert "wdf.df <= 50" in (spec.fn.__doc__ or ""), "pruning join removed from Spark side"
+    assert "df <= 50" in _JACCARD_W_SQL, "pruning guard removed from Spark side"
     assert "wdf.df <= 50" in spec.oracle, "pruning join removed from oracle side"
     register_views(spark, sf_dir)
     over_cap = spark.sql(
