@@ -50,3 +50,33 @@ def materialize_view(key: str, df: DataFrame, view: str) -> DataFrame:
     out = materialize_once(key, df)
     out.createOrReplaceTempView(view)
     return out
+
+
+def register_split_sql(
+    name: str,
+    stages: list[tuple[str, str]],
+    final_sql: str,
+    oracle: str,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> None:
+    """Register a query whose Spark side materializes each (sql, view)
+    stage once, then runs `final_sql` over the views — for the common
+    "reduced aggregate referenced twice" shape where the inlined WITH
+    clause would re-execute the aggregation shuffle per reference.  The
+    DuckDB oracle stays the single ANSI statement (DuckDB materializes
+    shared CTEs natively)."""
+    from datafusion_umami_spark.registry import register
+    from datafusion_umami_spark.tables import register_views
+
+    def fn(spark, sf_dir):  # type: ignore[no-untyped-def]
+        register_views(spark, sf_dir)
+        for stage_sql, view in stages:
+            materialize_view(f"{name}:{view}", spark.sql(stage_sql), view)
+        return spark.sql(final_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = "\n-- stage: materialized once --\n".join(
+        [s for s, _ in stages] + [final_sql]
+    )
+    register(name, oracle=oracle, tags=tags, bench=bench)(fn)

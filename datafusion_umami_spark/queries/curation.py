@@ -21,6 +21,7 @@ selection are capability-superset work from the build brief.
 
 from __future__ import annotations
 
+from datafusion_umami_spark.operators.materialize import register_split_sql
 from datafusion_umami_spark.registry import register_sql
 
 from datafusion_umami_spark.queries.hashing import DUCK_H64, SPARK_H64  # noqa: E402
@@ -136,15 +137,21 @@ _MIX_BODY = """
     ORDER BY r.source
 """
 
-register_sql(
+register_split_sql(
     "cur_source_mixture_budget",
-    r"""
-    WITH src AS (
+    # |sources|-row token-sum aggregate materialized once: inlined, the
+    # corpus-wide SUM shuffle re-ran for every downstream reference
+    # (4 documents scans).
+    stages=[
+        (
+            r"""
       SELECT source,
              CAST(SUM(size(split(trim(text), '\\s+'))) AS BIGINT) AS toks
-      FROM documents GROUP BY source),
-    """
-    + _MIX_BODY,
+      FROM documents GROUP BY source""",
+            "mix_src_m",
+        )
+    ],
+    final_sql="WITH " + _MIX_BODY.replace("FROM src", "FROM mix_src_m"),
     oracle=r"""
     WITH src AS (
       SELECT source,

@@ -352,9 +352,16 @@ _SP_DIST = (
 )
 _DU_DIST = "list_sum(list_transform(list_zip({a}, {b}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
 
-register_sql(
-    "ann_ivf_trained",
-    f"""
+# Spark side split at the two REDUCED k-means intermediates: the
+# trained centroid table c1 (8 rows) and the final assignment a2.
+# Inlined, the single statement re-ran the whole train+assign chain for
+# each of `nrmed`'s two consumers — 6 embeddings scans and a DOUBLED
+# full-corpus assignment window.  Materializing c1 makes round 2 read
+# 8 trained centroids; materializing a2 makes the corpus-wide argmin
+# window run exactly once per round (Lloyd's inherent cost).  At 100 TB
+# a real pipeline persists exactly these two tables (the coarse
+# quantizer and the assignment column).
+_SP_IVF_C1 = f"""
     WITH e AS (SELECT vec_id, {_SP_V} AS v FROM embeddings),
     seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
     a1 AS (
@@ -372,34 +379,43 @@ register_sql(
                   AS BIGINT) AS sx,
              COUNT(*) AS n
       FROM a1 CROSS JOIN (SELECT explode(sequence(1, 64)) AS i) idx
-      GROUP BY cid, idx.i),
-    c1 AS (
-      SELECT cid,
-             transform(array_sort(collect_list(named_struct(
-                 'i', i, 'cx', CAST(sx AS DOUBLE) / (10000.0 * n)))),
-               p -> p.cx) AS cv
-      FROM m1 GROUP BY cid),
-    a2 AS (
-      SELECT vec_id, v, cid FROM (
-        SELECT e.vec_id, e.v, c.cid,
-               ROW_NUMBER() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY round({_SP_DIST.format(a="e.v", b="c.cv")}, 9), c.cid
-               ) AS rn
-        FROM e CROSS JOIN c1 c) t
-      WHERE rn = 1),
-    nrmed AS (
+      GROUP BY cid, idx.i)
+    SELECT cid,
+           transform(array_sort(collect_list(named_struct(
+               'i', i, 'cx', CAST(sx AS DOUBLE) / (10000.0 * n)))),
+             p -> p.cx) AS cv
+    FROM m1 GROUP BY cid
+"""
+
+_SP_IVF_A2 = f"""
+    WITH e AS (SELECT vec_id, {_SP_V} AS v FROM embeddings)
+    SELECT vec_id, v, cid FROM (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_SP_DIST.format(a="e.v", b="c.cv")}, 9), c.cid
+             ) AS rn
+      FROM e CROSS JOIN __C1__ c) t
+    WHERE rn = 1
+"""
+
+_SP_IVF_FINAL = f"""
+    WITH nrmed AS (
       SELECT vec_id, v, cid,
              sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
                             (acc, x) -> acc + x)) AS nrm
-      FROM a2),
+      FROM __A2__),
     q AS (SELECT v, nrm, cid FROM nrmed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_SP_COS}, 6) AS cosine
     FROM nrmed a JOIN q ON a.cid = q.cid
     WHERE a.vec_id <> 0
     ORDER BY cosine DESC, a.vec_id
     LIMIT 5
-    """,
+    """
+
+
+@register(
+    "ann_ivf_trained",
     oracle=f"""
     WITH e AS (SELECT vec_id, {_DU_V} AS v FROM embeddings),
     seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
@@ -443,6 +459,18 @@ register_sql(
     """,
     tags=("ann", "ivf", "kmeans", "llm-pipeline"),
 )
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-centroid IVF probe with the centroid table and final
+    assignment materialized once (see _SP_IVF_C1 notes)."""
+    from datafusion_umami_spark.operators.materialize import materialize_view
+    from datafusion_umami_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    materialize_view("ivf_c1", spark.sql(_SP_IVF_C1), "ivf_c1_m")
+    materialize_view(
+        "ivf_a2", spark.sql(_SP_IVF_A2.replace("__C1__", "ivf_c1_m")), "ivf_a2_m"
+    )
+    return spark.sql(_SP_IVF_FINAL.replace("__A2__", "ivf_a2_m"))
 
 
 # --- recall evaluation: coarse-LSH candidates vs exact top-10 ---------------

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datafusion_umami_spark.operators.materialize import register_split_sql
 from datafusion_umami_spark.registry import register, register_sql
 from datafusion_umami_spark.tables import table
 
@@ -221,31 +222,37 @@ register_sql(
 # no sqrt, so the flag is bit-identical on every engine and partitioning.
 # At 100 TB: minute counts are a rollup (tiny), day stats re-aggregate
 # the rollup, the flag join is day-keyed broadcast.
-register_sql(
-    "ts_anomaly_zscore_minutes",
-    """
-    WITH minutes AS (
+# The minute rollup is referenced by day_stats AND the flag join;
+# inlined that re-runs the events aggregation shuffle, so the Spark
+# side materializes the rollup once (split-SQL; oracle unchanged).
+_ZSCORE_MINUTES = """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(date_trunc('minute', ts) AS TIMESTAMP_NTZ) AS minute,
              CAST(COUNT(*) AS BIGINT) AS x
       FROM events
-      GROUP BY date_trunc('day', ts), date_trunc('minute', ts)),
-    day_stats AS (
+      GROUP BY date_trunc('day', ts), date_trunc('minute', ts)"""
+_ZSCORE_FINAL = """
+    WITH day_stats AS (
       SELECT day,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS s1,
              CAST(SUM(x * x) AS BIGINT) AS s2
-      FROM minutes GROUP BY day)
+      FROM {m} GROUP BY day)
     SELECT m.minute, m.x, d.n AS day_minutes,
            CAST(CASE WHEN (d.n * m.x - d.s1) * (d.n * m.x - d.s1)
                           > 9 * (d.n * d.s2 - d.s1 * d.s1)
                      THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-    FROM minutes m JOIN day_stats d ON m.day = d.day
+    FROM {m} m JOIN day_stats d ON m.day = d.day
     WHERE (d.n * m.x - d.s1) * (d.n * m.x - d.s1)
           > 9 * (d.n * d.s2 - d.s1 * d.s1)
     ORDER BY m.minute
     LIMIT 2000
-    """,
+    """
+
+register_split_sql(
+    "ts_anomaly_zscore_minutes",
+    stages=[(_ZSCORE_MINUTES, "zscore_minutes_m")],
+    final_sql=_ZSCORE_FINAL.format(m="zscore_minutes_m"),
     oracle="""
     WITH minutes AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -29,6 +29,7 @@ keys AFTER aggregation so the window input is already tiny.
 
 from __future__ import annotations
 
+from datafusion_umami_spark.operators.materialize import register_split_sql
 from datafusion_umami_spark.registry import register_sql
 
 # q67-ish: revenue rollup over a 4-way join, ranked within each nation.
@@ -208,9 +209,35 @@ register_sql(
 
 # q59-ish: period-over-period via equi self-join of the SAME aggregate
 # at two period offsets (the join-based sibling of the LAG variant).
-register_sql(
+register_split_sql(
     "tpcds_period_self_join",
-    """
+    # monthly (reduced aggregate) is referenced twice; materialized
+    # once on the Spark side so its shuffle runs once (split-SQL;
+    # oracle keeps the single statement).
+    stages=[
+        (
+            """
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders
+        GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+                 CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+    """,
+            "monthly_m",
+        )
+    ],
+    final_sql="""
+    SELECT cur.yr, cur.mo, cur.rev_cents,
+           prev.rev_cents AS prev_year_cents,
+           ROUND(CAST(cur.rev_cents AS DOUBLE) / prev.rev_cents, 6) AS yoy
+    FROM monthly_m cur
+    JOIN monthly_m prev ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+    ORDER BY cur.yr, cur.mo
+    LIMIT 500
+    """,
+    oracle="""
     WITH monthly AS (
         SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
                CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
@@ -233,32 +260,38 @@ register_sql(
 
 # q1/q30-ish: entities exceeding 1.2× their group's average — two-level
 # aggregate, the group average broadcast-joined back onto the detail.
-register_sql(
-    "tpcds_above_group_avg",
-    """
-    WITH per_cust AS (
+_AGA_STAGE = """
         SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
                CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
                     AS BIGINT) AS spend_cents
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
-        GROUP BY c.c_nationkey, o.o_custkey
-    ),
-    per_nation AS (
+        GROUP BY c.c_nationkey, o.o_custkey"""
+_AGA_FINAL = """
+    WITH per_nation AS (
         SELECT nationkey,
                CAST(SUM(spend_cents) AS BIGINT) AS total_cents,
                COUNT(*) AS n_cust
-        FROM per_cust
+        FROM {pc}
         GROUP BY nationkey
     )
     SELECT p.nationkey, p.custkey, p.spend_cents
-    FROM per_cust p
+    FROM {pc} p
     JOIN per_nation n ON p.nationkey = n.nationkey
     WHERE CAST(p.spend_cents AS DOUBLE)
           > 1.2 * (CAST(n.total_cents AS DOUBLE) / n.n_cust)
     ORDER BY p.nationkey, p.spend_cents DESC, p.custkey
     LIMIT 500
-    """,
+    """
+
+register_split_sql(
+    "tpcds_above_group_avg",
+    # per_cust is referenced by per_nation AND the final probe;
+    # materialized once (split-SQL; oracle keeps the single statement).
+    stages=[(_AGA_STAGE, "per_cust_m")],
+    final_sql=_AGA_FINAL.replace("{pc}", "per_cust_m"),
+    oracle='\n    WITH per_cust AS (' + _AGA_STAGE + '),'
+    + _AGA_FINAL.replace("{pc}", "per_cust").lstrip().removeprefix("WITH"),
     tags=("tpcds", "above-average", "two-level-agg"),
 )
 
@@ -710,9 +743,33 @@ register_sql(
 
 # q11-ish consecutive-period growth: customers whose spend in year Y+1
 # exceeds year Y — equi self-join of one per-(customer, year) aggregate.
-register_sql(
+register_split_sql(
     "tpcds_consecutive_year_growth",
-    """
+    # cy (reduced aggregate) is referenced twice; materialized
+    # once on the Spark side so its shuffle runs once (split-SQL;
+    # oracle keeps the single statement).
+    stages=[
+        (
+            """
+      SELECT o_custkey AS custkey,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)""",
+            "cy_m",
+        )
+    ],
+    final_sql="""
+    SELECT a.custkey, a.yr AS yr1,
+           ROUND(CAST(a.rev_c AS DOUBLE) / 100.0, 2) AS rev1,
+           ROUND(CAST(b.rev_c AS DOUBLE) / 100.0, 2) AS rev2,
+           ROUND(CAST(b.rev_c AS DOUBLE) / a.rev_c, 6) AS growth
+    FROM cy_m a JOIN cy_m b ON a.custkey = b.custkey AND b.yr = a.yr + 1
+    WHERE b.rev_c > a.rev_c
+    ORDER BY a.custkey, a.yr
+    LIMIT 2000
+    """,
+    oracle="""
     WITH cy AS (
       SELECT o_custkey AS custkey,
              CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
@@ -935,18 +992,30 @@ register_sql(
 
 # quarter-of-year seasonality: each quarter's share of its year's
 # revenue — integer cents, exact int/int division for the share.
-register_sql(
-    "tpcds_quarter_seasonality",
-    """
-    WITH qy AS (
+_QY_STAGE = """
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
              CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS rev_c
       FROM orders
       GROUP BY EXTRACT(YEAR FROM o_orderdate),
-               EXTRACT(QUARTER FROM o_orderdate)),
-    yt AS (SELECT yr, CAST(SUM(rev_c) AS BIGINT) AS yr_c FROM qy GROUP BY yr)
+               EXTRACT(QUARTER FROM o_orderdate)"""
+
+register_split_sql(
+    "tpcds_quarter_seasonality",
+    # qy (quarter rollup) feeds the year total AND the share join;
+    # materialized once (split-SQL; oracle keeps the single statement).
+    stages=[(_QY_STAGE, "qy_m")],
+    final_sql="""
+    WITH yt AS (SELECT yr, CAST(SUM(rev_c) AS BIGINT) AS yr_c FROM qy_m GROUP BY yr)
+    SELECT q.yr, q.qtr,
+           ROUND(CAST(q.rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(q.rev_c AS DOUBLE) / y.yr_c, 6) AS share_of_year
+    FROM qy_m q JOIN yt y ON q.yr = y.yr
+    ORDER BY q.yr, q.qtr
+    LIMIT 100
+    """,
+    oracle='\n    WITH qy AS (' + _QY_STAGE + '),\n    yt AS' + """ (SELECT yr, CAST(SUM(rev_c) AS BIGINT) AS yr_c FROM qy GROUP BY yr)
     SELECT q.yr, q.qtr,
            ROUND(CAST(q.rev_c AS DOUBLE) / 100.0, 2) AS revenue,
            ROUND(CAST(q.rev_c AS DOUBLE) / y.yr_c, 6) AS share_of_year
@@ -1018,28 +1087,35 @@ register_sql(
 
 # month-over-month change of each month's share of total revenue:
 # a window (share) of a window (LAG) over an aggregate.
-register_sql(
-    "tpcds_lagged_share_change",
-    """
-    WITH m AS (
+_LSC_STAGE = """
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS rev_c
-      FROM orders GROUP BY date_trunc('month', o_orderdate)),
-    tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS all_c FROM m),
+      FROM orders GROUP BY date_trunc('month', o_orderdate)"""
+_LSC_FINAL = """
+    WITH tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS all_c FROM {m}),
     shares AS (
       SELECT mon, rev_c,
              ROUND(CAST(rev_c AS DOUBLE) / (SELECT all_c FROM tot), 6)
                AS share,
              LAG(rev_c) OVER (ORDER BY mon) AS prev_c
-      FROM m)
+      FROM {m})
     SELECT mon, rev_c, share,
            ROUND(CAST(rev_c - COALESCE(prev_c, rev_c) AS DOUBLE)
                  / (SELECT all_c FROM tot), 6) AS share_change
     FROM shares
     ORDER BY mon
     LIMIT 200
-    """,
+    """
+
+register_split_sql(
+    "tpcds_lagged_share_change",
+    # the monthly rollup m feeds the grand total AND the share window;
+    # materialized once (split-SQL; oracle keeps the single statement).
+    stages=[(_LSC_STAGE, "lsc_m")],
+    final_sql=_LSC_FINAL.replace("{m}", "lsc_m"),
+    oracle='\n    WITH m AS (' + _LSC_STAGE + '),'
+    + _LSC_FINAL.replace("{m}", "m").lstrip().removeprefix("WITH"),
     tags=("tpcds", "share-change", "window-over-agg"),
 )
 
@@ -1222,10 +1298,7 @@ register_sql(
 
 # q31-ish: quarter-over-quarter share growth compared across two
 # segments via chained equi self-joins of one quarterly aggregate.
-register_sql(
-    "tpcds_quarter_share_chain",
-    """
-    WITH q AS (
+_QSC_STAGE = """
       SELECT c_mktsegment AS seg,
              CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
              CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
@@ -1234,15 +1307,24 @@ register_sql(
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
       GROUP BY c_mktsegment, EXTRACT(YEAR FROM o_orderdate),
-               EXTRACT(QUARTER FROM o_orderdate))
+               EXTRACT(QUARTER FROM o_orderdate)"""
+_QSC_FINAL = """
     SELECT a.seg, a.yr, a.qtr,
            ROUND(CAST(b.rev_c AS DOUBLE) / a.rev_c, 6) AS qoq_growth
-    FROM q a JOIN q b
+    FROM {q} a JOIN {q} b
       ON a.seg = b.seg AND b.yr = a.yr AND b.qtr = a.qtr + 1
     WHERE a.qtr < 4
     ORDER BY a.seg, a.yr, a.qtr
     LIMIT 200
-    """,
+    """
+
+register_split_sql(
+    "tpcds_quarter_share_chain",
+    # the quarter rollup q is self-joined; materialized once (split-SQL).
+    stages=[(_QSC_STAGE, "qsc_m")],
+    final_sql=_QSC_FINAL.replace("{q}", "qsc_m"),
+    oracle='\n    WITH q AS (' + _QSC_STAGE + ')'
+    + _QSC_FINAL.replace("{q}", "q"),
     tags=("tpcds", "qoq-chain", "self-join"),
 )
 

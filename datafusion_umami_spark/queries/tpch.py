@@ -196,6 +196,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by construction. Shapes mirror reference benchmarks/queries/q2.sql-q22.sql.
 # ---------------------------------------------------------------------------
 
+from datafusion_umami_spark.operators.materialize import register_split_sql
 from datafusion_umami_spark.registry import register_sql
 
 DEC_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
@@ -391,20 +392,28 @@ register_sql(
     tags=("join", "agg", "case"),
 )
 
-register_sql(
-    "tpch_q15",
-    f"""
-    WITH revenue AS (
+# q15's revenue view is referenced twice (join + MAX subquery); inlined
+# that re-runs the lineitem aggregation shuffle, so the Spark side
+# materializes the |suppliers|-row aggregate once (oracle unchanged).
+_Q15_REVENUE = f"""
       SELECT l_suppkey AS supplier_no, SUM({SQL_MONEY}) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-      GROUP BY l_suppkey)
+      GROUP BY l_suppkey"""
+_Q15_FINAL = """
     SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
-    FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    FROM supplier JOIN {rev} ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM {rev})
     ORDER BY s_suppkey
-    """,
+    """
+
+register_split_sql(
+    "tpch_q15",
+    stages=[(_Q15_REVENUE, "q15_revenue_m")],
+    final_sql=_Q15_FINAL.format(rev="q15_revenue_m"),
+    oracle=f"WITH revenue AS ({_Q15_REVENUE})"
+    + _Q15_FINAL.format(rev="revenue"),
     tags=("cte", "subquery", "agg"),
 )
 
