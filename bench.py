@@ -35,9 +35,21 @@ from datafusion_umami_spark.session import get_spark
 N_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
 
+def _steal_jiffies() -> int | None:
+    """Cumulative hypervisor CPU-steal (jiffies) from /proc/stat — the
+    delta across the run attributes slow totals to host contention
+    (SCALE.md: bench regression root cause).  None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    steal0 = _steal_jiffies()
     spark = get_spark("bench")
 
     specs = bench_queries()
@@ -65,6 +77,11 @@ def main() -> None:
         "query_iters": iters,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    steal1 = _steal_jiffies()
+    if steal0 is not None and steal1 is not None:
+        # >0.5% of one core's jiffies during the run ⇒ treat the totals
+        # as contaminated when comparing round over round
+        out["steal_jiffies"] = steal1 - steal0
     print(json.dumps(out))
 
 

@@ -351,3 +351,44 @@ def test_job_tranche3_bench_broadcasts_no_cartesian(name, spark, sf_dir):
     assert "BroadcastHashJoin" in plan, f"{name}: no broadcast of dims\n{plan}"
     assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
     assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ\n{plan}"
+
+
+# --- round-5 CTE-materialization gates (SCALE.md audit) --------------------
+# Spark inlines deterministic CTEs; these queries were re-executing
+# shuffle-bearing subtrees once per reference (triangle count: 32
+# lineitem scans). After the materialize.py split, the FINAL stage must
+# read checkpoints — at most `cap` scans of the big fact tables, the
+# deliberate map-only/point-lookup re-scans documented in SCALE.md.
+@pytest.mark.parametrize(
+    "name,cap",
+    [
+        ("graph_triangle_count", 0),
+        ("evt_funnel_ordered", 0),
+        ("dedup_jaccard_words", 0),
+        ("dedup_minhash_lsh", 0),
+        ("dedup_simhash", 0),
+        ("dedup_embedding_cosine", 2),   # normed: map-only re-scans
+        ("ann_ivf_trained", 0),
+        ("cur_source_mixture_budget", 0),
+        ("tpch_q15", 0),
+        ("ts_anomaly_zscore_minutes", 0),
+        ("ts_multires_rollup", 0),
+        ("tpcds_above_group_avg", 0),
+        ("tpcds_consecutive_year_growth", 0),
+        ("tpcds_lagged_share_change", 0),
+        ("tpcds_period_self_join", 0),
+        ("tpcds_quarter_seasonality", 0),
+        ("tpcds_quarter_share_chain", 0),
+    ],
+)
+def test_materialized_queries_do_not_rescan_facts(name, cap, spark, sf_dir):
+    import re as _re
+
+    df = q(name, spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    big = {"lineitem", "orders", "events", "documents", "embeddings"}
+    scans = [t for t in _re.findall(r"file:\S*?/(\w+)\.parquet", plan) if t in big]
+    assert len(scans) <= cap, (
+        f"{name}: final stage re-scans facts {scans} (cap {cap}) — the "
+        "CTE materialization regressed (see operators/materialize.py)"
+    )
