@@ -54,7 +54,19 @@ def stream_to_memory(
     """Run a streaming DataFrame to completion (AvailableNow) into an
     in-memory sink table and return it as a batch DataFrame."""
     spark = sdf.sparkSession
-    checkpoint = tempfile.mkdtemp(prefix=f"dus_stream_{name}_")
+    # Deterministic per-query checkpoint root, CLEARED at start: reruns
+    # overwrite instead of leaking one orphan tempdir per invocation.
+    # Clearing (not reusing) is load-bearing — a stale checkpoint would
+    # make the restarted query skip already-committed source files while
+    # the fresh memory sink starts empty, silently losing rows.
+    import os
+    import shutil
+
+    checkpoint = os.path.join(
+        tempfile.gettempdir(), "dus_scratch", "stream", name
+    )
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    os.makedirs(checkpoint, exist_ok=True)
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
