@@ -299,6 +299,14 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_audio_window_rms",
     "mm_image_resize_pool",
+    # ---- round-5: pull the judge-named tail stragglers inside the
+    # two-sweep horizon (they otherwise queue at positions 186-198,
+    # behind module-order bulk a 50-row/round budget reaches only in
+    # round 8+) — r4 verdict item 4.
+    "orc_scan_roundtrip",
+    "prepared_statement_params",
+    "pivot_wide_agg",
+    "stream_dedup_within_watermark",
 )
 
 
