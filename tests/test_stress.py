@@ -399,3 +399,26 @@ def test_triangle_count_degree_ordering_on_skewed_graph(spark, duck):
     plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_materialize_once_frees_superseded_checkpoints(spark, sf_dir):
+    """operators/materialize.py holds at most ONE live checkpoint per
+    key: re-invoking a split-materialized query must unpersist the
+    previous round's frames, so a long-lived driver (sweep, bench
+    loop) stays at O(keys) storage, not O(invocations)."""
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+
+    def stored() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    fn = REGISTRY["dedup_minhash_lsh"].fn
+    fn(spark, sf_dir).collect()
+    after_first = stored()
+    for _ in range(3):
+        fn(spark, sf_dir).collect()
+    assert stored() <= after_first, (
+        f"checkpoint leak: {after_first} after first run, {stored()} "
+        "after three more"
+    )
