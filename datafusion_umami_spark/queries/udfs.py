@@ -34,6 +34,17 @@ from datafusion_umami_spark.registry import register
 from datafusion_umami_spark.tables import table
 
 
+def _round_half_away(s: "pd.Series") -> "pd.Series":
+    """SQL-round semantics (half away from zero) for pandas/numpy data:
+    pandas .round() is banker's (half-to-even), which diverges from the
+    DuckDB oracle's round() exactly on representable .5 boundaries —
+    the ADVICE-class bug that only surfaces at sf>=0.01."""
+    import numpy as np
+
+    return np.sign(s) * np.floor(np.abs(s) + 0.5)
+
+
+
 # --- scalar pandas UDF (Arrow-batched) --------------------------------------
 @register(
     "udf_pandas_scalar",
@@ -85,11 +96,11 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(LongType())
     def cents_sum(p: pd.Series) -> int:
-        return int(p.mul(100).round().astype("int64").sum())
+        return int(_round_half_away(p.mul(100)).astype("int64").sum())
 
     @F.pandas_udf(LongType())
     def round_max(p: pd.Series) -> int:
-        return int(p.round().astype("int64").max())
+        return int(_round_half_away(p).astype("int64").max())
 
     li = table(spark, sf_dir, "lineitem")
     # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates
@@ -119,7 +130,7 @@ def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(LongType())
     def cents_sum(p: pd.Series) -> int:
-        return int(p.mul(100).round().astype("int64").sum())
+        return int(_round_half_away(p.mul(100)).astype("int64").sum())
 
     s = table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 60)
     n = table(spark, sf_dir, "nation")
@@ -223,7 +234,12 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     def double_price(batches):
         for batch in batches:
             cents = pc.cast(
-                pc.round(pc.multiply(batch.column("o_totalprice"), 200.0)),
+                pc.round(
+                    pc.multiply(batch.column("o_totalprice"), 200.0),
+                    # SQL half-away-from-zero; pyarrow defaults to
+                    # half_to_even (banker's), diverging from the oracle
+                    round_mode="half_towards_infinity",
+                ),
                 pa.int64(),
             )
             yield pa.RecordBatch.from_arrays(
@@ -272,7 +288,7 @@ def udf_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["c_custkey", "n_orders", "cents", "segment"]
             )
-        cents = int(round(right["o_totalprice"] * 100).sum()) if len(right) else 0
+        cents = int(_round_half_away(right["o_totalprice"] * 100).sum()) if len(right) else 0
         return pd.DataFrame(
             {
                 "c_custkey": [int(left["c_custkey"].iloc[0])],
