@@ -49,19 +49,25 @@ def _steal_jiffies() -> int | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    steal0 = _steal_jiffies()
     spark = get_spark("bench")
 
     specs = bench_queries()
     times: dict[str, float] = {}
     iters: dict[str, list[float]] = {}
+    steal_timed = 0  # steal during TIMED iterations only — contention
+    # during startup/warmup cannot affect the reported best-of-N minima
+    # and must not flag a clean comparison as contaminated
     for name, spec in sorted(specs.items()):
         spec.fn(spark, sf_dir).toPandas()  # warmup, untimed
         runs: list[float] = []
         for _ in range(N_ITERS):
+            s0 = _steal_jiffies()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).toPandas()
             runs.append(round(time.perf_counter() - t0, 4))
+            s1 = _steal_jiffies()
+            if s0 is not None and s1 is not None:
+                steal_timed += s1 - s0
         times[name] = min(runs)
         iters[name] = runs
         spread = max(runs) - min(runs)
@@ -77,11 +83,11 @@ def main() -> None:
         "query_iters": iters,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    steal1 = _steal_jiffies()
-    if steal0 is not None and steal1 is not None:
-        # >0.5% of one core's jiffies during the run ⇒ treat the totals
-        # as contaminated when comparing round over round
-        out["steal_jiffies"] = steal1 - steal0
+    if _steal_jiffies() is not None:
+        # steal accumulated across the timed windows only; a
+        # non-trivial value ⇒ treat the totals as contaminated when
+        # comparing round over round
+        out["steal_jiffies"] = steal_timed
     print(json.dumps(out))
 
 

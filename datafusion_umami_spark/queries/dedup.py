@@ -189,16 +189,20 @@ _SP_MINHASH_PAIRS_FROM_SIGS = """
 """
 
 
-def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_pairs_df(spark: SparkSession, sf_dir: str, consumer: str) -> DataFrame:
     """Candidate pairs + estimated Jaccard with the signature matrix
     materialized once; shared by dedup_minhash_lsh and both
-    connected-components consumers."""
+    connected-components consumers.  `consumer` namespaces the
+    checkpoint key and view: a shared key would let building query B
+    unpersist query A's still-unconsumed checkpoint blocks (localCheck-
+    point lineage is truncated, so the blocks are the only copy)."""
     from datafusion_umami_spark.operators.materialize import materialize_view
     from datafusion_umami_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    materialize_view("mh_sigs", spark.sql(_SP_MINHASH_SIGS), "mh_sigs_m")
-    return spark.sql(_SP_MINHASH_PAIRS_FROM_SIGS.replace("__SIGS__", "mh_sigs_m"))
+    view = f"mh_sigs_{consumer}_m"
+    materialize_view(f"{consumer}:mh_sigs", spark.sql(_SP_MINHASH_SIGS), view)
+    return spark.sql(_SP_MINHASH_PAIRS_FROM_SIGS.replace("__SIGS__", view))
 
 _DU_MINHASH_PAIRS = f"""
     WITH shingles AS ({_DU_SHINGLES}),
@@ -236,7 +240,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup pairs — one linear shingle scan
     into a materialized signature matrix, banded equi-join candidates,
     signature-estimated Jaccard (see _SP_MINHASH_SIGS notes)."""
-    return _minhash_pairs_df(spark, sf_dir)
+    return _minhash_pairs_df(spark, sf_dir, "lsh")
 
 # --- SimHash ---------------------------------------------------------------
 # Banded candidate generation (pigeonhole): the 16-bit simhash is split
@@ -505,7 +509,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    pairs = _minhash_pairs_df(spark, sf_dir).filter(
+    pairs = _minhash_pairs_df(spark, sf_dir, "cc").filter(
         F.col("est_jaccard") >= 0.5
     ).select("da", "db")
     return connected_components(pairs).select(
@@ -554,7 +558,7 @@ def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    pairs = _minhash_pairs_df(spark, sf_dir).filter(
+    pairs = _minhash_pairs_df(spark, sf_dir, "profile").filter(
         F.col("est_jaccard") >= 0.5
     ).select("da", "db")
     labels = connected_components(pairs)

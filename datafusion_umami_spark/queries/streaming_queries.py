@@ -466,18 +466,15 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch dedup-latest oracle."""
     import os
     import shutil
-    import tempfile
+
+    from datafusion_umami_spark.streaming.runner import scratch_dir
 
     ev = read_events_stream(spark, sf_dir)
 
-    # Deterministic per-(sf, query) scratch root, cleared at query start:
-    # reruns overwrite instead of leaking one orphan tempdir per sweep.
+    # Per-(app, sf, query) scratch root, cleared at query start (see
+    # scratch_dir: session-deterministic, process/user-isolated).
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(
-        tempfile.gettempdir(), "dus_scratch", "stream_upsert", sf_tag
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
+    root = scratch_dir(spark, "stream_upsert", sf_tag)
     state_path: list[str] = []  # driver keeps a path, never rows
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -531,6 +528,11 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_path = os.path.join(root, f"state_v{batch_id}")
         merged.write.mode("overwrite").parquet(out_path)
         state_path.append(out_path)
+        if len(state_path) > 1:
+            # the new version is durably written; the superseded one is
+            # unreferenced — prune so disk stays O(|keys|), not
+            # O(batches × |keys|)
+            shutil.rmtree(state_path.pop(0), ignore_errors=True)
 
     checkpoint = os.path.join(root, "checkpoint")
     q = (

@@ -342,10 +342,12 @@ def udf_scalar_iter_amortized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def expensive_init():
             state["inits"] += 1
-            # re.ASCII pins \s to [ \t\n\r\f\v]: Python's default \s is
-            # Unicode-aware while the DuckDB oracle's RE2 \s is ASCII —
-            # NBSP etc. in a document would otherwise diverge the count.
-            return re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]", re.ASCII)
+            # Explicit whitespace class matching RE2's \s EXACTLY
+            # ([\t\n\f\r ] — no \v, no Unicode): Python's default \s is
+            # Unicode-aware and even re.ASCII \s still includes \v,
+            # either of which would diverge the token count from the
+            # DuckDB oracle on NBSP / vertical-tab bytes.
+            return re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\t\n\f\r ]")
 
         pattern = expensive_init()
         for s in batches:

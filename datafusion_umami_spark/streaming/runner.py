@@ -11,9 +11,31 @@ Structured Streaming design point.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def scratch_dir(spark: SparkSession, *parts: str) -> str:
+    """Deterministic WITHIN a Spark application, isolated ACROSS
+    processes and users: reruns in one session overwrite (no
+    per-invocation tempdir leak) while a concurrent sweep/pytest pair
+    cannot rmtree each other's in-flight streaming checkpoints, and a
+    shared /tmp never hits another user's 0755 parent.  Clearing (not
+    reusing) at start is load-bearing — a stale checkpoint would make
+    a restarted query skip already-committed source files while the
+    fresh sink starts empty, silently losing rows."""
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"dus_scratch_{os.getuid()}",
+        spark.sparkContext.applicationId,
+        *parts,
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
 
 _EVENTS_SCHEMA_NS = (
     "event_id bigint, ts bigint, user_id bigint, "
@@ -54,19 +76,7 @@ def stream_to_memory(
     """Run a streaming DataFrame to completion (AvailableNow) into an
     in-memory sink table and return it as a batch DataFrame."""
     spark = sdf.sparkSession
-    # Deterministic per-query checkpoint root, CLEARED at start: reruns
-    # overwrite instead of leaking one orphan tempdir per invocation.
-    # Clearing (not reusing) is load-bearing — a stale checkpoint would
-    # make the restarted query skip already-committed source files while
-    # the fresh memory sink starts empty, silently losing rows.
-    import os
-    import shutil
-
-    checkpoint = os.path.join(
-        tempfile.gettempdir(), "dus_scratch", "stream", name
-    )
-    shutil.rmtree(checkpoint, ignore_errors=True)
-    os.makedirs(checkpoint, exist_ok=True)
+    checkpoint = scratch_dir(spark, "stream", name)
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)

@@ -422,3 +422,18 @@ def test_materialize_once_frees_superseded_checkpoints(spark, sf_dir):
         f"checkpoint leak: {after_first} after first run, {stored()} "
         "after three more"
     )
+
+
+def test_materialize_keys_are_per_consumer(spark, sf_dir):
+    """Two queries sharing a materialized stage must namespace their
+    checkpoint keys: building query B must NOT unpersist query A's
+    still-unconsumed checkpoint (localCheckpoint lineage is truncated,
+    so the blocks are the only copy of A's data)."""
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    a = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    b = REGISTRY["dedup_connected_components"].fn(spark, sf_dir)
+    rows_a = a.collect()  # would raise 'checkpoint block not found' on aliased keys
+    rows_b = b.collect()
+    assert len(rows_a) >= 0 and len(rows_b) >= 0
