@@ -79,4 +79,9 @@ def register_split_sql(
     fn.__doc__ = "\n-- stage: materialized once --\n".join(
         [s for s, _ in stages] + [final_sql]
     )
+    # exposed for the split-vs-inlined equivalence gate
+    # (tests/test_fuzz.py): naming each stage CTE by its view name makes
+    # `WITH <view> AS (<stage>) <final>` a valid inlined composition.
+    fn._split_stages = list(stages)
+    fn._split_final = final_sql
     register(name, oracle=oracle, tags=tags, bench=bench)(fn)

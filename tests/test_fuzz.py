@@ -414,3 +414,38 @@ def test_recursive_closure_matches_python_bfs(edges, spark):
             reach |= frontier
         want |= {(n, m) for m in reach}
     assert got == want
+
+
+def test_split_sql_equals_inlined_composition(spark, sf_dir):
+    """Every register_split_sql query must produce the same rows as the
+    single-statement inlined composition of its OWN Spark-dialect parts
+    (`WITH <view> AS (<stage>) <final>`) — a direct check that the
+    de-inlining splice surgery (operators/materialize.py) changed the
+    execution strategy, never the semantics."""
+    from datafusion_umami_spark.oracle import canonical_rows
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+    from datafusion_umami_spark.tables import register_views
+
+    _load_all()
+    register_views(spark, sf_dir)
+    split_specs = [
+        (name, spec)
+        for name, spec in REGISTRY.items()
+        if hasattr(spec.fn, "_split_stages")
+    ]
+    assert split_specs, "no split-registered queries found"
+    for name, spec in split_specs:
+        ctes = ",\n".join(
+            f"{view} AS ({stage})" for stage, view in spec.fn._split_stages
+        )
+        final = spec.fn._split_final
+        inlined = (
+            # splice into the final statement's own WITH list if it has
+            # one; otherwise prepend a WITH clause
+            "WITH " + ctes + ",\n" + final.lstrip()[4:].lstrip()
+            if final.lstrip().upper().startswith("WITH")
+            else "WITH " + ctes + "\n" + final
+        )
+        got = canonical_rows(spec.fn(spark, sf_dir).toPandas())
+        want = canonical_rows(spark.sql(inlined).toPandas())
+        assert got == want, f"{name}: split result != inlined composition"
