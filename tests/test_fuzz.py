@@ -449,3 +449,36 @@ def test_split_sql_equals_inlined_composition(spark, sf_dir):
         got = canonical_rows(spec.fn(spark, sf_dir).toPandas())
         want = canonical_rows(spark.sql(inlined).toPandas())
         assert got == want, f"{name}: split result != inlined composition"
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 17), st.integers(0, 17)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_triangle_count_matches_bruteforce(edges, spark):
+    """Degree-oriented triangle counting on random graphs (incl. skew
+    and degree ties) must equal the itertools brute force — the wheel
+    stress test pins one adversarial shape; this pins the orientation's
+    exactly-once property in general."""
+    from itertools import combinations
+
+    from datafusion_umami_spark.queries.graph_algos import triangle_count_sql
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    values = ", ".join(f"({u}, {v})" for u, v in sorted(und))
+    got = spark.sql(
+        triangle_count_sql(f"SELECT u, v FROM (VALUES {values}) AS t(u, v)")
+    ).collect()[0]
+    nodes = sorted({n for e in und for n in e})
+    want = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if {(a, b), (a, c), (b, c)} <= und
+    )
+    assert (got.n_triangles, got.n_edges) == (want, len(und))
