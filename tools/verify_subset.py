@@ -1,0 +1,101 @@
+"""Driver-mirror verification CLI — the verify-skill recipe as a tool.
+
+Runs queries() vs oracle_sql() through DuckDB exactly like the driver's
+t2 gate, from a clean consumer import of __spark_entry__.py.
+
+Usage:
+  PYTHONPATH=/root/repo python tools/verify_subset.py [names...]
+      [--sf-dir /root/testdata/sf0.01] [--hostile] [--threads 8]
+
+  names...   query names to check (default: ALL registered queries)
+  --hostile  3 shuffle partitions, broadcast disabled, AQE off — the
+             out-of-core parity config (results must be identical)
+  --rerun    run each query twice and compare the SECOND result (pins
+             scratch/checkpoint idempotence for streaming sinks)
+
+Exit code 0 iff every checked query passes (hash-match, or executes
+with a stable schema for oracle-less entries).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--hostile", action="store_true")
+    ap.add_argument("--rerun", action="store_true")
+    ap.add_argument("--threads", type=int, default=8)
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(repo, "__spark_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master(f"local[{args.threads}]")
+        .config("spark.sql.shuffle.partitions", str(args.threads))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if args.hostile:
+        b = (
+            b.config("spark.sql.shuffle.partitions", "3")
+            .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+            .config("spark.sql.adaptive.enabled", "false")
+        )
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from datafusion_umami_spark.oracle import compare_frames, duckdb_connect
+
+    con = duckdb_connect(args.sf_dir)
+    qs = m.queries()
+    osql = m.oracle_sql()
+    names = args.names or list(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print("unknown queries:", unknown)
+        return 2
+
+    bad = []
+    t0 = time.time()
+    for name in names:
+        try:
+            spdf = qs[name](spark, args.sf_dir).toPandas()
+            if args.rerun:
+                spdf = qs[name](spark, args.sf_dir).toPandas()
+            if name in osql:
+                r = compare_frames(name, spdf, con.execute(osql[name]).df())
+                status = "OK" if r.ok else f"FAIL {r.detail}"
+                if not r.ok:
+                    bad.append(name)
+            else:
+                assert len(spdf.columns) > 0
+                status = f"rows-only {len(spdf)}"
+        except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+            status = f"ERR {type(e).__name__}: {e}"
+            bad.append(name)
+        print(f"{name}: {status}"[:200], flush=True)
+    print(
+        f"{len(names)} queries in {time.time() - t0:.0f}s — "
+        + ("FAILED: " + ", ".join(bad) if bad else "ALL OK")
+    )
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
