@@ -29,6 +29,30 @@ from datafusion_umami_spark.operators.connected_components import _free_checkpoi
 
 _LIVE: dict[str, DataFrame] = {}
 
+# The big fact tables of the driver schema — single source of truth for
+# the CTE-inlining detector (tools/audit_scans.py) and its pinning gate
+# (tests/test_plans.py::test_materialized_queries_do_not_rescan_facts).
+FACT_TABLES = frozenset(
+    {"lineitem", "orders", "events", "documents", "embeddings"}
+)
+
+
+def fact_scan_counts(df: DataFrame) -> dict[str, int]:
+    """Count parquet scans of each fact table in the FINAL stage's
+    executed plan — a value above the SQL's textual reference count
+    means a shared subtree is re-executed per reference."""
+    import re
+    from collections import Counter
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return dict(
+        Counter(
+            t
+            for t in re.findall(r"file:\S*?/(\w+)\.parquet", plan)
+            if t in FACT_TABLES
+        )
+    )
+
 
 def materialize_once(key: str, df: DataFrame) -> DataFrame:
     """Eagerly checkpoint `df`; free the checkpoint previously held

@@ -439,11 +439,17 @@ def test_split_sql_equals_inlined_composition(spark, sf_dir):
             f"{view} AS ({stage})" for stage, view in spec.fn._split_stages
         )
         final = spec.fn._split_final
+        head = final.lstrip()
+        # the splice assumes a final statement starting with either a
+        # bare `WITH <name> AS` list or a non-WITH statement — reject
+        # shapes it would mangle (leading comments, WITH RECURSIVE)
+        assert not head.startswith("--"), f"{name}: comment-led final_sql"
+        assert not head.upper().startswith("WITH RECURSIVE"), name
         inlined = (
             # splice into the final statement's own WITH list if it has
             # one; otherwise prepend a WITH clause
-            "WITH " + ctes + ",\n" + final.lstrip()[4:].lstrip()
-            if final.lstrip().upper().startswith("WITH")
+            "WITH " + ctes + ",\n" + head[4:].lstrip()
+            if head.upper().startswith("WITH")
             else "WITH " + ctes + "\n" + final
         )
         got = canonical_rows(spec.fn(spark, sf_dir).toPandas())

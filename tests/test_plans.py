@@ -382,13 +382,10 @@ def test_job_tranche3_bench_broadcasts_no_cartesian(name, spark, sf_dir):
     ],
 )
 def test_materialized_queries_do_not_rescan_facts(name, cap, spark, sf_dir):
-    import re as _re
+    from datafusion_umami_spark.operators.materialize import fact_scan_counts
 
-    df = q(name, spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    big = {"lineitem", "orders", "events", "documents", "embeddings"}
-    scans = [t for t in _re.findall(r"file:\S*?/(\w+)\.parquet", plan) if t in big]
-    assert len(scans) <= cap, (
+    scans = fact_scan_counts(q(name, spark, sf_dir))
+    assert sum(scans.values()) <= cap, (
         f"{name}: final stage re-scans facts {scans} (cap {cap}) — the "
         "CTE materialization regressed (see operators/materialize.py)"
     )
