@@ -24,8 +24,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Each callable first frees checkpoints pinned by PREVIOUS queries'
+    split-materializations (operators/materialize.py): the driver runs
+    build → collect → next sequentially, so at next-build time the prior
+    results are consumed and holding their blocks would grow storage
+    O(all keys ever materialized) over a 50-query sweep.  `shared:`
+    keys (signature matrices reused across consumers) and the building
+    query's own keys are kept."""
+    from datafusion_umami_spark.operators.materialize import release_except
+
+    def wrap(name: str, fn: Callable) -> Callable:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_except(("shared:", f"{name}:"))
+            return fn(spark, sf_dir)
+
+        run.__name__ = name
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: wrap(name, fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -25,6 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from datafusion_umami_spark.operators.materialize import release_all
 from datafusion_umami_spark.registry import bench_queries
 from datafusion_umami_spark.session import get_spark
 
@@ -58,9 +59,16 @@ def main() -> None:
     # during startup/warmup cannot affect the reported best-of-N minima
     # and must not flag a clean comparison as contaminated
     for name, spec in sorted(specs.items()):
+        release_all()  # free prior query's pinned checkpoints (hook per
+        # operators/materialize.py: sequential runner = O(one query) held
+        # storage, not O(all keys ever materialized))
         spec.fn(spark, sf_dir).toPandas()  # warmup, untimed
         runs: list[float] = []
         for _ in range(N_ITERS):
+            # each timed iteration pays the FULL cost: a shared/once
+            # materialization left live by the previous iteration would
+            # otherwise let later runs skip the build stage entirely
+            release_all()
             s0 = _steal_jiffies()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).toPandas()

@@ -54,6 +54,56 @@ def fact_scan_counts(df: DataFrame) -> dict[str, int]:
     )
 
 
+def release(key: str) -> None:
+    """Free the checkpoint held under `key` (no-op if absent) — the
+    hook a sweep/bench runner calls once a query's result is collected,
+    so aggregate held storage stays O(live pipeline), not O(all keys
+    ever materialized across the session)."""
+    prev = _LIVE.pop(key, None)
+    if prev is not None:
+        _free_checkpoint(prev)
+
+
+def release_all() -> None:
+    """Free every held checkpoint (sequential runners call this between
+    queries; the next build simply re-materializes what it needs)."""
+    for key in list(_LIVE):
+        release(key)
+
+
+def release_except(keep_prefixes: tuple[str, ...]) -> None:
+    """Free every held checkpoint whose key matches none of
+    `keep_prefixes` — the start-of-next-query hook: a sequential runner
+    (driver sweep via __spark_entry__) frees the previous query's keys
+    when the next build begins, keeping `shared:`-prefixed
+    materializations (reused across consumers) and the building query's
+    own keys alive."""
+    for key in list(_LIVE):
+        if not any(key.startswith(p) for p in keep_prefixes):
+            release(key)
+
+
+def materialize_view_shared(key: str, view: str, build) -> DataFrame:
+    """Generation-tagged SHARED materialization: sequential consumers of
+    the same reduced intermediate (e.g. the MinHash signature matrix read
+    by dedup_minhash_lsh, dedup_connected_components, and the cluster
+    profile) reuse ONE live checkpoint instead of each recomputing and
+    separately pinning it.  `key` must embed the inputs' identity
+    (sf_dir) — a hit returns the existing checkpoint untouched, so a
+    prior consumer's still-unconsumed plan is never unpersisted (the
+    use-after-free the old per-consumer namespacing guarded against).
+    Nothing is freed implicitly; call release()/release_all() when the
+    pipeline is done.  `build` is a zero-arg DataFrame factory, invoked
+    only on a miss."""
+    df = _LIVE.get(key)
+    if df is None:
+        df = build().localCheckpoint(eager=True)
+        _LIVE[key] = df
+    out = df.toDF(*df.columns)
+    out.createOrReplaceTempView(view)
+    return out
+
+
 def materialize_once(key: str, df: DataFrame) -> DataFrame:
     """Eagerly checkpoint `df`; free the checkpoint previously held
     under `key`.  Returns a frame with fresh attribute ids (toDF), so

@@ -189,19 +189,26 @@ _SP_MINHASH_PAIRS_FROM_SIGS = """
 """
 
 
-def _minhash_pairs_df(spark: SparkSession, sf_dir: str, consumer: str) -> DataFrame:
-    """Candidate pairs + estimated Jaccard with the signature matrix
-    materialized once; shared by dedup_minhash_lsh and both
-    connected-components consumers.  `consumer` namespaces the
-    checkpoint key and view: a shared key would let building query B
-    unpersist query A's still-unconsumed checkpoint blocks (localCheck-
-    point lineage is truncated, so the blocks are the only copy)."""
-    from datafusion_umami_spark.operators.materialize import materialize_view
+def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs + estimated Jaccard over ONE shared signature
+    matrix checkpoint: dedup_minhash_lsh, dedup_connected_components,
+    and dedup_cluster_size_profile all read the same generation-tagged
+    materialization (keyed by sf_dir), so a sequential sweep computes
+    the shingle scan once and pins one copy, not three.  A cache hit
+    never unpersists a prior consumer's checkpoint, so interleaved
+    build-then-collect across consumers stays safe (the hazard the old
+    per-consumer key namespacing guarded against)."""
+    import re
+
+    from datafusion_umami_spark.operators.materialize import materialize_view_shared
     from datafusion_umami_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    view = f"mh_sigs_{consumer}_m"
-    materialize_view(f"{consumer}:mh_sigs", spark.sql(_SP_MINHASH_SIGS), view)
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    view = f"mh_sigs_{tag}_m"
+    materialize_view_shared(
+        f"shared:mh_sigs:{sf_dir}", view, lambda: spark.sql(_SP_MINHASH_SIGS)
+    )
     return spark.sql(_SP_MINHASH_PAIRS_FROM_SIGS.replace("__SIGS__", view))
 
 _DU_MINHASH_PAIRS = f"""
@@ -240,7 +247,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup pairs — one linear shingle scan
     into a materialized signature matrix, banded equi-join candidates,
     signature-estimated Jaccard (see _SP_MINHASH_SIGS notes)."""
-    return _minhash_pairs_df(spark, sf_dir, "lsh")
+    return _minhash_pairs_df(spark, sf_dir)
 
 # --- SimHash ---------------------------------------------------------------
 # Banded candidate generation (pigeonhole): the 16-bit simhash is split
@@ -509,7 +516,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    pairs = _minhash_pairs_df(spark, sf_dir, "cc").filter(
+    pairs = _minhash_pairs_df(spark, sf_dir).filter(
         F.col("est_jaccard") >= 0.5
     ).select("da", "db")
     return connected_components(pairs).select(
@@ -558,7 +565,7 @@ def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    pairs = _minhash_pairs_df(spark, sf_dir, "profile").filter(
+    pairs = _minhash_pairs_df(spark, sf_dir).filter(
         F.col("est_jaccard") >= 0.5
     ).select("da", "db")
     labels = connected_components(pairs)

@@ -2,11 +2,14 @@
 decode / feature-extraction / frame-sampling as Arrow-batched pandas
 UDFs over mapInPandas.
 
-Part of the LLM-data-pipeline surface. The container has no image/audio
-libraries, so the *decode* step is a deterministic fake behind
-`_decode_image_stub` (clearly marked; a real deployment swaps in
-PIL/torchvision there — the Spark-side plumbing (schema, batch shape,
-partitioning) is identical either way and is what these queries prove.
+Part of the LLM-data-pipeline surface. `mm_decode_features` runs a REAL
+container codec: a pure-numpy RIFF/WAVE writer builds genuine WAV files
+(PCM, 8- and 16-bit variants, extra chunks, word-aligned) into a binary
+column, and an independent chunk-walking parser decodes them back —
+no audio library needed, and the decode step is load-bearing (corrupt a
+header byte and the query fails). The frame-sample / RMS / resize-pool
+queries treat payload bytes as raw samples (headerless PCM / raster)
+since their point is the 1-row→N-rows and pooling shapes, not parsing.
 
 Scale notes: binary payloads ride in ordinary parquet BINARY columns —
 vectorized scan, no driver materialization; mapInPandas streams Arrow
@@ -17,6 +20,7 @@ a 1000-executor cluster).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -61,63 +65,159 @@ register_sql(
 )
 
 
-def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """STUB decode: deterministic fake 'pixels' from the raw bytes.
+_WAV_RATE = 8000
 
-    A real pipeline would do `PIL.Image.open(io.BytesIO(payload))` here;
-    that library is absent in this container, so we expose the bytes as a
-    uint8 vector — same shape contract (H*W flattening), fully
-    deterministic, lets the downstream plumbing be tested for real.
-    """
-    return np.frombuffer(payload, dtype=np.uint8)
+
+def _encode_wav(doc_id: int, pcm_source: bytes) -> bytes:
+    """Pure-python RIFF/WAVE writer: a REAL, spec-conformant container.
+
+    Samples come from the source bytes (pure-ASCII driver documents, so
+    each byte is a known code the oracle can reproduce).  Even doc_ids
+    get 8-bit unsigned PCM (samples = the bytes); odd doc_ids get 16-bit
+    signed little-endian PCM (sample = code*256 - 32768).  Every third
+    file also carries an unknown odd-sized chunk before `data` (with the
+    RIFF word-alignment pad byte) so the decoder's chunk walk is
+    genuinely exercised, not a fixed-offset read."""
+    bits = 8 if doc_id % 2 == 0 else 16
+    if bits == 8:
+        data = pcm_source
+    else:
+        codes = np.frombuffer(pcm_source, dtype=np.uint8).astype(np.int32)
+        data = (codes * 256 - 32768).astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * (bits // 8), bits // 8, bits
+    )
+    chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
+    if doc_id % 3 == 0:
+        # odd-sized unknown chunk + required pad byte (RIFF word alignment)
+        chunks.append(b"JUNK" + struct.pack("<I", 5) + b"abcde" + b"\x00")
+    chunks.append(
+        b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Pure-numpy WAV parser: validates RIFF/WAVE magic, walks chunks
+    (honoring word alignment, skipping unknown ids) to find `fmt ` and
+    `data`, and materializes PCM samples per the declared sample width.
+    Returns (sample_rate, n_channels, bits_per_sample, samples)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    riff_len = struct.unpack("<I", payload[4:8])[0]
+    pos, end = 12, 8 + riff_len
+    fmt = data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"not PCM: format {audio_format}")
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    else:
+        raise ValueError(f"unsupported sample width {bits}")
+    return rate, n_channels, bits, samples
 
 
 @register(
     "mm_decode_features",
     # the driver-generated documents are pure ASCII (verified at every SF),
-    # so byte intensities == character codes and DuckDB can recompute the
-    # stub-decoded features exactly — a FULL oracle for the UDF plumbing.
+    # so the PCM samples the real WAV codec round-trips are arithmetic in
+    # the character codes — DuckDB recomputes header fields + sample stats
+    # exactly: a FULL oracle over a genuine encode→parse→features chain.
     oracle="""
     WITH b AS (
       SELECT doc_id, length(text) AS n,
              list_transform(range(1, length(text) + 1),
-                            i -> ascii(substr(text, CAST(i AS INT), 1))) AS codes
+                            i -> ascii(substr(text, CAST(i AS INT), 1))) AS codes,
+             CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bits
       FROM documents)
     SELECT doc_id,
-           CAST(n AS BIGINT) AS n_bytes,
-           CASE WHEN n > 0 THEN list_sum(codes) / CAST(n AS DOUBLE) ELSE 0.0 END
-             AS mean_intensity,
-           CAST(CASE WHEN n > 0 THEN list_max(codes) ELSE 0 END AS BIGINT)
-             AS max_intensity,
-           CAST(CASE WHEN n > 0 THEN codes[1] ELSE -1 END AS BIGINT) AS first_byte
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(bits AS BIGINT) AS bits_per_sample,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(COALESCE(CASE WHEN bits = 8 THEN list_sum(codes)
+                              ELSE 256 * list_sum(codes) - 32768 * n END, 0)
+                AS BIGINT) AS sample_sum,
+           CAST(CASE WHEN n = 0 THEN NULL
+                     WHEN bits = 8 THEN list_max(codes)
+                     ELSE 256 * list_max(codes) - 32768 END AS BIGINT) AS max_sample,
+           CAST(CASE WHEN n = 0 THEN NULL
+                     WHEN bits = 8 THEN codes[1]
+                     ELSE 256 * codes[1] - 32768 END AS BIGINT) AS first_sample
     FROM b
     """,
-    tags=("multimodal", "pandas-udf", "llm-pipeline"),
+    tags=("multimodal", "pandas-udf", "wav", "llm-pipeline"),
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary payloads via mapInPandas; the
-    decode is the documented stub above. Arrow batches in, Arrow batches
-    out — no per-row serde."""
+    """Real-codec decode: stage 1 writes genuine WAV containers into a
+    binary column (mapInPandas, Arrow-batched); stage 2 — a separate
+    Arrow pass over only (doc_id, payload) — parses them back with the
+    chunk-walking decoder and emits header fields + PCM sample stats.
+    Cites reference multimedia-free surface: the engine itself never
+    interprets binaries (datasource/src/source.rs treats bytes opaquely);
+    this query proves the Spark-side plumbing AND a load-bearing parser."""
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+        "doc_id", F.encode("text", "UTF-8").alias("pcm")
     )
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pixels = pdf["payload"].map(_decode_image_stub)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pixels.map(len).astype("int64"),
-                    "mean_intensity": pixels.map(lambda a: float(a.mean()) if len(a) else 0.0),
-                    "max_intensity": pixels.map(lambda a: int(a.max()) if len(a) else 0),
-                    "first_byte": pixels.map(lambda a: int(a[0]) if len(a) else -1),
+                    "payload": [
+                        _encode_wav(int(d), bytes(p))
+                        for d, p in zip(pdf["doc_id"], pdf["pcm"])
+                    ],
                 }
             )
 
-    return docs.mapInPandas(
-        extract,
-        schema="doc_id long, n_bytes long, mean_intensity double, max_intensity long, first_byte long",
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_channels": [],
+                "bits_per_sample": [], "n_samples": [], "sample_sum": [],
+                "max_sample": [], "first_sample": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, n_ch, bits, samples = _decode_wav(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["bits_per_sample"].append(bits)
+                out["n_samples"].append(len(samples))
+                out["sample_sum"].append(int(samples.sum()))
+                out["max_sample"].append(int(samples.max()) if len(samples) else None)
+                out["first_sample"].append(int(samples[0]) if len(samples) else None)
+            yield pd.DataFrame(
+                {
+                    k: (pd.array(v, dtype="Int64")
+                        if k in ("max_sample", "first_sample") else v)
+                    for k, v in out.items()
+                }
+            )
+
+    encoded = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return encoded.mapInPandas(
+        decode,
+        schema="doc_id long, sample_rate long, n_channels long, "
+        "bits_per_sample long, n_samples long, sample_sum long, "
+        "max_sample long, first_sample long",
     )
 
 

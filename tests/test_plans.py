@@ -389,3 +389,24 @@ def test_materialized_queries_do_not_rescan_facts(name, cap, spark, sf_dir):
         f"{name}: final stage re-scans facts {scans} (cap {cap}) — the "
         "CTE materialization regressed (see operators/materialize.py)"
     )
+
+
+def test_fact_scan_counts_positive_control(spark, sf_dir):
+    """fact_scan_counts silently returns {} if its plan-string path
+    pattern (<table>.parquet) drifts — which would make every cap-0
+    assertion above pass vacuously.  A bare fact scan must register as
+    exactly one scan, so regex/layout drift fails HERE, loudly."""
+    from datafusion_umami_spark.operators.materialize import fact_scan_counts
+    from datafusion_umami_spark.tables import table
+
+    scans = fact_scan_counts(table(spark, sf_dir, "lineitem").select("l_orderkey"))
+    assert scans.get("lineitem") == 1, (
+        f"detector disarmed: bare lineitem scan counted as {scans} — "
+        "fact_scan_counts' plan-string pattern no longer matches"
+    )
+    both = fact_scan_counts(
+        table(spark, sf_dir, "lineitem").unionByName(
+            table(spark, sf_dir, "lineitem")
+        )
+    )
+    assert both.get("lineitem") == 2

@@ -424,16 +424,28 @@ def test_materialize_once_frees_superseded_checkpoints(spark, sf_dir):
     )
 
 
-def test_materialize_keys_are_per_consumer(spark, sf_dir):
-    """Two queries sharing a materialized stage must namespace their
-    checkpoint keys: building query B must NOT unpersist query A's
-    still-unconsumed checkpoint (localCheckpoint lineage is truncated,
-    so the blocks are the only copy of A's data)."""
+def test_shared_signature_checkpoint_is_reused_and_safe(spark, sf_dir):
+    """The three MinHash consumers share ONE generation-tagged signature
+    checkpoint (keyed by sf_dir): building query B after query A must
+    (a) not add a second copy of the signature matrix to block-manager
+    storage, and (b) never unpersist A's still-unconsumed checkpoint —
+    interleaved build-then-collect must stay correct (localCheckpoint
+    lineage is truncated, so the blocks are the only copy of the data)."""
+    from datafusion_umami_spark.operators import materialize as M
     from datafusion_umami_spark.registry import REGISTRY, _load_all
 
     _load_all()
+    M.release_all()
+
     a = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    sig_keys = [k for k in M._LIVE if k.startswith("shared:mh_sigs")]
+    assert len(sig_keys) == 1
+    sig_ck = M._LIVE[sig_keys[0]]
     b = REGISTRY["dedup_connected_components"].fn(spark, sf_dir)
-    rows_a = a.collect()  # would raise 'checkpoint block not found' on aliased keys
+    assert M._LIVE[sig_keys[0]] is sig_ck, "second consumer re-materialized sigs"
+    rows_a = a.collect()  # would raise 'checkpoint block not found' if B freed it
     rows_b = b.collect()
     assert len(rows_a) >= 0 and len(rows_b) >= 0
+    # the release hook a sequential sweep/bench runner calls between queries
+    M.release_all()
+    assert sig_keys[0] not in M._LIVE

@@ -51,7 +51,7 @@ def main() -> int:
                 flagged += 1
                 print(f"{name}: {scans}", flush=True)
         except Exception as e:  # noqa: BLE001 — report, keep auditing
-            print(f"{name}: ERR {type(e).__name__}", flush=True)
+            print(f"{name}: ERR {type(e).__name__}: {e}"[:200], flush=True)
     print(f"# {flagged} of {len(names)} at >= {args.min} scans of one fact table")
     return 0
 
