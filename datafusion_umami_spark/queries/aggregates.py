@@ -223,31 +223,82 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- approx aggregates: algorithm-specific → rows-only checks -------------
-@register("agg_approx_distinct", oracle=None, tags=("agg", "approx", "hll"))
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct = reference approx_distinct HLL
-    (functions-aggregate/src/hyperloglog.rs). Sketch values differ by
-    implementation → rows-only; exactness is checked separately via
-    agg_basic_stats' COUNT(DISTINCT)."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-    )
+# --- approx aggregates: TOLERANCE-BANDED oracles ---------------------------
+# Sketch values differ by implementation, so a raw hash can't match —
+# but the ACCURACY CONTRACT can be hash-checked: output the exact value
+# plus an in-band flag computed Spark-side, with the oracle asserting
+# the flag.  A Spark sketch drifting out of its published error bound
+# now FAILS the driver hash instead of sliding through a rows-only
+# check.  Mirrors the reference's own accuracy tests (hyperloglog.rs
+# error tests; approx_percentile_cont.rs): HLL with rsd=0.02 has
+# standard error 2% → 3σ band 6%; percentile_approx at accuracy=10000
+# has rank error ≤ 1e-4 → a 2% value band is generous at every SF.
+register_sql(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(CASE WHEN abs(CAST(approx_count_distinct(l_partkey, 0.02) AS DOUBLE)
+                              - COUNT(DISTINCT l_partkey))
+                          <= 0.06 * COUNT(DISTINCT l_partkey)
+                THEN 1 ELSE 0 END AS BIGINT) AS hll_in_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(1 AS BIGINT) AS hll_in_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "hll"),
+)
 
-
-@register("agg_approx_percentile", oracle=None, tags=("agg", "approx", "tdigest"))
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile_cont (reference t-digest approx_percentile_cont.rs).
-    Scalar p25/p50/p75 columns (not one array column) — array output is not
-    portable through the driver's canonicalizer."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("p25"),
-        F.percentile_approx("l_extendedprice", 0.50, 10000).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("p75"),
-    )
+register_sql(
+    "agg_approx_percentile",
+    # integer-cents domain for the EXACT side (order-independent,
+    # CLAUDE.md float determinism rule); the approx estimate is compared
+    # against the same exact interpolated percentile, per quantile.
+    """
+    WITH c AS (SELECT l_linestatus,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem)
+    SELECT l_linestatus,
+           ROUND(percentile(cents, 0.25) / 100.0, 4) AS p25_exact,
+           ROUND(percentile(cents, 0.50) / 100.0, 4) AS p50_exact,
+           ROUND(percentile(cents, 0.75) / 100.0, 4) AS p75_exact,
+           CAST(CASE WHEN abs(percentile_approx(cents, 0.25, 10000)
+                              - percentile(cents, 0.25))
+                          <= 0.02 * percentile(cents, 0.25)
+                THEN 1 ELSE 0 END AS BIGINT) AS p25_in_band,
+           CAST(CASE WHEN abs(percentile_approx(cents, 0.50, 10000)
+                              - percentile(cents, 0.50))
+                          <= 0.02 * percentile(cents, 0.50)
+                THEN 1 ELSE 0 END AS BIGINT) AS p50_in_band,
+           CAST(CASE WHEN abs(percentile_approx(cents, 0.75, 10000)
+                              - percentile(cents, 0.75))
+                          <= 0.02 * percentile(cents, 0.75)
+                THEN 1 ELSE 0 END AS BIGINT) AS p75_in_band
+    FROM c
+    GROUP BY l_linestatus
+    """,
+    oracle="""
+    WITH c AS (SELECT l_linestatus,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem)
+    SELECT l_linestatus,
+           ROUND(quantile_cont(cents, 0.25) / 100.0, 4) AS p25_exact,
+           ROUND(quantile_cont(cents, 0.50) / 100.0, 4) AS p50_exact,
+           ROUND(quantile_cont(cents, 0.75) / 100.0, 4) AS p75_exact,
+           CAST(1 AS BIGINT) AS p25_in_band,
+           CAST(1 AS BIGINT) AS p50_in_band,
+           CAST(1 AS BIGINT) AS p75_in_band
+    FROM c
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "approx", "tdigest"),
+)
 
 
 # --- weighted percentile (reference approx_percentile_cont_with_weight.rs:
