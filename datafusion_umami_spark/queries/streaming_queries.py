@@ -398,6 +398,10 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     LIMIT 2000
     """,
     tags=("streaming", "cascade", "multi-resolution", "event-time"),
+    # bench-flagged (r5 verdict item 5): the one untimed subsystem was
+    # state-store cost — this entry times the full two-level stateful
+    # cascade (watermark + chained window aggs) end-to-end at sf0.1.
+    bench=True,
 )
 def stream_multires_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming sibling of ts_multires_rollup: two CHAINED stateful

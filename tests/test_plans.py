@@ -353,6 +353,27 @@ def test_job_tranche3_bench_broadcasts_no_cartesian(name, spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ\n{plan}"
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "job_triple_bridge_three_chains",
+        "job_five_alias_fact_clique",
+        "tpcds_twice_joined_wide_star",
+    ],
+)
+def test_round6_bench_promotions_broadcast_no_cartesian(name, spark, sf_dir):
+    """Round-6 bench promotions: the 19d triple-bridge fanout and the
+    30c five-alias clique must collapse their pairwise-equality closures
+    into equi-join trees with broadcast dimension arms; the q64
+    twice-joined wide star's dims (customer/part) must broadcast against
+    the materialized year aggregate.  Never a cartesian or BNLJ."""
+    plan = plan_str(q(name, spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast of dims\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ\n{plan}"
+    assert "BatchEvalPython" not in plan, f"{name}: row-Python in plan\n{plan}"
+
+
 # --- round-5 CTE-materialization gates (SCALE.md audit) --------------------
 # Spark inlines deterministic CTEs; these queries were re-executing
 # shuffle-bearing subtrees once per reference (triangle count: 32

@@ -67,6 +67,45 @@ def test_front_of_queue_is_the_priority_backlog():
     assert got == want, f"front of sweep queue diverged: {got[:5]} != {want[:5]}"
 
 
+def test_r6_r7_r8_fronts_exhaust_the_legacy_backlog():
+    """r5 verdict item 2: the prove-down horizon is exactly three more
+    sweeps — the r6 front (50) + r7 front (50) + r8 tail (59) must
+    jointly exhaust the never-swept backlog that existed BEFORE the
+    round-6 additions, and the round-6 additions (job_shapes_t4,
+    tpcds_shapes_t5) must queue strictly BEHIND that legacy backlog so
+    they never displace a legacy query out of the three-round window.
+    The contiguous-prefix test above guarantees reachability; this one
+    pins the ROUND COUNT."""
+    import inspect
+    import re
+
+    from datafusion_umami_spark.queries import job_shapes_t4, tpcds_shapes_t5
+
+    src = inspect.getsource(job_shapes_t4) + inspect.getsource(tpcds_shapes_t5)
+    additions = set(re.findall(r'"((?:job|tpcds)_\w+)"', src))
+    assert additions, "addition-name extraction broke"
+
+    green, _failed = _driver_history()
+    names = list(REGISTRY)
+    unproven = [n for n in names if n not in green]
+    legacy = [n for n in unproven if n not in additions]
+    # 159 = 50 (r6) + 50 (r7) + 59 (r8) as of the r5 artifacts; shrinks
+    # as sweeps land, must never grow past the three-sweep horizon.
+    assert len(legacy) <= 159, (
+        f"legacy backlog is {len(legacy)} — past the r6+r7+r8 horizon"
+    )
+    assert set(names[: len(legacy)]) == set(legacy), (
+        "legacy backlog is not the exact queue front — additions or "
+        "greens displaced it"
+    )
+    in_queue_additions = [n for n in unproven if n in additions]
+    if in_queue_additions:
+        first = min(names.index(n) for n in in_queue_additions)
+        assert first >= len(legacy), (
+            f"round-6 addition at position {first} jumps the legacy backlog"
+        )
+
+
 def test_latest_record_wins(tmp_path):
     """A regression after an earlier pass must re-enter the failed set
     (and a later fix must clear it)."""
