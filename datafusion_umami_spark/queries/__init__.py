@@ -18,6 +18,15 @@ REGISTRY dict after all modules import:
 This is self-maintaining: each round's driver artifact is read from the
 repo root, so round N+1 automatically pushes round N's greens to the back
 and pulls any new failures to the front — no manual rotation needed.
+
+PROVE-DOWN HORIZON (r5 verdict, pinned by tests/test_sweep_order.py):
+as of the round-5 artifacts the never-swept legacy backlog is 159
+queries = r6 front (50: graph/curation/multimodal/window-emulations/
+TPC-DS+h2o tails/ORC) + r7 front (50: prepared/pivot/stream-dedup +
+h2o x9 + the clickbench block) + r8 tail (59: clickbench remainder +
+JOB tranche 3).  Registry additions stay capped until the backlog
+clears (~r8) and MUST be imported last (below) so they queue strictly
+behind the legacy backlog.
 """
 
 from __future__ import annotations
