@@ -40,7 +40,15 @@ FACT_TABLES = frozenset(
 def fact_scan_counts(df: DataFrame) -> dict[str, int]:
     """Count parquet scans of each fact table in the FINAL stage's
     executed plan — a value above the SQL's textual reference count
-    means a shared subtree is re-executed per reference."""
+    means a shared subtree is re-executed per reference.
+
+    Caveat (round-6 finding): this reads the PRE-execution plan, which
+    OVER-counts scalar-subquery-bearing queries — MergeScalarSubqueries
+    + ReusedSubquery collapse identical subquery plans only in the
+    runtime adaptive plan (q9 shape: 9 textual refs → 3 executed
+    passes, but 9 in this string).  For CTE/join shapes (no scalar
+    subqueries) the pre-execution count is exact, which is what the
+    cap gates in tests/test_plans.py pin."""
     import re
     from collections import Counter
 

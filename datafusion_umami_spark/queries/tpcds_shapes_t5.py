@@ -394,44 +394,53 @@ register_split_sql(
 )
 
 # --- q9: scalar subqueries inside CASE arms off a one-row anchor ----------
+# Subqueries are BARE aggregates (arithmetic lives OUTSIDE the subquery,
+# exactly like the real q9 text).  Runtime truth, measured post-execution
+# (round-6 probe): Spark's MergeScalarSubqueries folds the three
+# subqueries per quantity band into ONE count+avg+avg aggregate and
+# ReusedSubquery collapses the 9 textual references to 3 executed fact
+# passes — note the PRE-execution plan string shows 9 scans / 0 reuse
+# because AQE resolves subquery reuse only at runtime (the
+# fact_scan_counts caveat, operators/materialize.py).
+# AVG over integer cents is an exact-integer sum / count: deterministic
+# on both engines (sums < 2^53), so the CLAUDE.md ROUND(AVG(double))
+# hazard does not apply.
 register_sql(
     "tpcds_scalar_subqueries_in_case",
     """
     SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem
                       WHERE l_quantity BETWEEN 1 AND 10) > 5000
-                THEN (SELECT ROUND(CAST(SUM(CAST(round(l_extendedprice * 100)
-                                          AS BIGINT)) AS DOUBLE)
-                                   / COUNT(*) / 100.0, 2)
-                      FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
-                ELSE (SELECT ROUND(CAST(SUM(CAST(round(l_discount * 10000)
-                                          AS BIGINT)) AS DOUBLE)
-                                   / COUNT(*) / 10000.0, 4)
-                      FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+                THEN ROUND((SELECT AVG(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT))
+                            FROM lineitem
+                            WHERE l_quantity BETWEEN 1 AND 10) / 100.0, 2)
+                ELSE ROUND((SELECT AVG(CAST(round(l_discount * 10000)
+                                       AS BIGINT))
+                            FROM lineitem
+                            WHERE l_quantity BETWEEN 1 AND 10) / 10000.0, 4)
            END AS band1,
            CASE WHEN (SELECT COUNT(*) FROM lineitem
                       WHERE l_quantity BETWEEN 11 AND 30) > 5000
-                THEN (SELECT ROUND(CAST(SUM(CAST(round(l_extendedprice * 100)
-                                          AS BIGINT)) AS DOUBLE)
-                                   / COUNT(*) / 100.0, 2)
-                      FROM lineitem WHERE l_quantity BETWEEN 11 AND 30)
-                ELSE (SELECT ROUND(CAST(SUM(CAST(round(l_discount * 10000)
-                                          AS BIGINT)) AS DOUBLE)
-                                   / COUNT(*) / 10000.0, 4)
-                      FROM lineitem WHERE l_quantity BETWEEN 11 AND 30)
+                THEN ROUND((SELECT AVG(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT))
+                            FROM lineitem
+                            WHERE l_quantity BETWEEN 11 AND 30) / 100.0, 2)
+                ELSE ROUND((SELECT AVG(CAST(round(l_discount * 10000)
+                                       AS BIGINT))
+                            FROM lineitem
+                            WHERE l_quantity BETWEEN 11 AND 30) / 10000.0, 4)
            END AS band2,
            CASE WHEN (SELECT COUNT(*) FROM lineitem
                       WHERE l_quantity > 30) > 5000
-                THEN (SELECT ROUND(CAST(SUM(CAST(round(l_extendedprice * 100)
-                                          AS BIGINT)) AS DOUBLE)
-                                   / COUNT(*) / 100.0, 2)
-                      FROM lineitem WHERE l_quantity > 30)
-                ELSE (SELECT ROUND(CAST(SUM(CAST(round(l_discount * 10000)
-                                          AS BIGINT)) AS DOUBLE)
-                                   / COUNT(*) / 10000.0, 4)
-                      FROM lineitem WHERE l_quantity > 30)
+                THEN ROUND((SELECT AVG(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT))
+                            FROM lineitem WHERE l_quantity > 30) / 100.0, 2)
+                ELSE ROUND((SELECT AVG(CAST(round(l_discount * 10000)
+                                       AS BIGINT))
+                            FROM lineitem WHERE l_quantity > 30) / 10000.0, 4)
            END AS band3
     FROM region
     WHERE r_regionkey = 0
     """,
-    tags=("tpcds", "scalar-in-case", "anchor-row"),
+    tags=("tpcds", "scalar-in-case", "anchor-row", "merged-subqueries"),
 )

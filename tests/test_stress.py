@@ -424,6 +424,33 @@ def test_materialize_once_frees_superseded_checkpoints(spark, sf_dir):
     )
 
 
+def test_wav_codec_roundtrip_and_validation():
+    """The mm_decode_features codec is LOAD-BEARING: the writer emits
+    spec-conformant RIFF/WAVE (8- and 16-bit PCM, unknown odd-sized
+    chunks with the alignment pad) and the parser round-trips samples
+    exactly — and REJECTS corrupted magic instead of sliding through."""
+    import pytest as _pytest
+
+    from datafusion_umami_spark.queries.multimodal import _decode_wav, _encode_wav
+
+    # even doc_id -> 8-bit unsigned PCM; %3==0 -> extra JUNK chunk walked over
+    payload = _encode_wav(6, b"hello!")
+    rate, ch, bits, samples = _decode_wav(payload)
+    assert (rate, ch, bits) == (8000, 1, 8)
+    assert samples.tolist() == [104, 101, 108, 108, 111, 33]
+    # odd doc_id -> 16-bit signed LE PCM
+    _, _, bits16, s16 = _decode_wav(_encode_wav(7, b"ab"))
+    assert bits16 == 16
+    assert s16.tolist() == [97 * 256 - 32768, 98 * 256 - 32768]
+    # empty PCM stream round-trips to zero samples
+    assert _decode_wav(_encode_wav(0, b""))[3].size == 0
+    # corrupt magic must raise, not decode garbage
+    with _pytest.raises(ValueError):
+        _decode_wav(b"JUNK" + payload[4:])
+    with _pytest.raises(ValueError):
+        _decode_wav(payload[:8] + b"XXXX" + payload[12:])
+
+
 def test_shared_signature_checkpoint_is_reused_and_safe(spark, sf_dir):
     """The three MinHash consumers share ONE generation-tagged signature
     checkpoint (keyed by sf_dir): building query B after query A must
