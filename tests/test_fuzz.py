@@ -488,3 +488,43 @@ def test_triangle_count_matches_bruteforce(edges, spark):
         if {(a, b), (a, c), (b, c)} <= und
     )
     assert (got.n_triangles, got.n_edges) == (want, len(und))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=1, max_value=50), min_size=3, max_size=40)
+)
+def test_cov_cross_multiplication_matches_exact_fraction(xs):
+    """tpcds_volatile_items_cross_month's FP-free volatility predicate:
+    4n(nΣx²−(Σx)²) > (n−1)(Σx)²  must equal  stddev_samp/mean > 0.5
+    computed in exact rational arithmetic — pins the derivation (factor
+    placement, n vs n−1) against every sample shape including boundary
+    cases hypothesis finds."""
+    from fractions import Fraction
+
+    n = len(xs)
+    sx = sum(xs)
+    sxx = sum(x * x for x in xs)
+    integer_form = 4 * n * (n * sxx - sx * sx) > (n - 1) * sx * sx
+    var = Fraction(n * sxx - sx * sx, n * (n - 1))  # sample variance
+    mean = Fraction(sx, n)
+    exact_form = var > mean * mean * Fraction(1, 4)
+    assert integer_form == exact_form
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ds=st.lists(st.integers(min_value=0, max_value=10), min_size=1, max_size=40),
+    d=st.integers(min_value=0, max_value=10),
+)
+def test_discount_threshold_cross_multiplication_matches_exact(ds, d):
+    """tpcds_correlated_avg_discount's FP-free threshold:
+    10·d·n > 13·Σd  must equal  d > 1.3 × mean(ds) in exact rationals —
+    the boundary case (d exactly 1.3× the average) must be EXCLUDED on
+    both forms, which a float comparison cannot guarantee."""
+    from fractions import Fraction
+
+    n = len(ds)
+    integer_form = 10 * d * n > 13 * sum(ds)
+    exact_form = Fraction(d) > Fraction(13, 10) * Fraction(sum(ds), n)
+    assert integer_form == exact_form
