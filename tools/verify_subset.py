@@ -12,6 +12,10 @@ Usage:
              out-of-core parity config (results must be identical)
   --rerun    run each query twice and compare the SECOND result (pins
              scratch/checkpoint idempotence for streaming sinks)
+  --max-split BYTES
+             cap spark.sql.files.maxPartitionBytes (e.g. 1048576) — the
+             reference's batch-size-parameterized testing analog: scan
+             chunking must never change results
 
 Exit code 0 iff every checked query passes (hash-match, or executes
 with a stable schema for oracle-less entries).
@@ -32,6 +36,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--hostile", action="store_true")
     ap.add_argument("--rerun", action="store_true")
+    ap.add_argument("--max-split", type=int, default=None)
     ap.add_argument("--threads", type=int, default=8)
     args = ap.parse_args()
 
@@ -56,6 +61,11 @@ def main() -> int:
             b.config("spark.sql.shuffle.partitions", "3")
             .config("spark.sql.autoBroadcastJoinThreshold", "-1")
             .config("spark.sql.adaptive.enabled", "false")
+        )
+    if args.max_split:
+        b = (
+            b.config("spark.sql.files.maxPartitionBytes", str(args.max_split))
+            .config("spark.sql.files.openCostInBytes", "0")
         )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
