@@ -10,10 +10,17 @@ references means a shared subtree is being re-executed per reference
 
 Usage:
   python tools/audit_scans.py [names...] [--min 3]
-      [--sf-dir /root/testdata/sf0.001]
+      [--sf-dir /root/testdata/sf0.001] [--exec]
 
 Prints one line per query at or above the threshold.  Exit 2 on
 unknown query names; otherwise 0 (an audit, not a gate).
+
+`--exec` EXECUTES each flagged query and appends the runtime reuse
+counters (ReusedSubquery / ReusedExchange from the post-execution
+adaptive plan): a flagged query whose references collapse at runtime
+(merged scalar subqueries, reused aggregate exchanges — the round-6
+SCALE.md finding) is a false positive of the pre-execution count, not
+a multiplicative re-execution.
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--min", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--exec", dest="execute", action="store_true")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -46,10 +54,19 @@ def main() -> int:
     flagged = 0
     for name in names:
         try:
-            scans = fact_scan_counts(REGISTRY[name].fn(spark, args.sf_dir))
+            df = REGISTRY[name].fn(spark, args.sf_dir)
+            scans = fact_scan_counts(df)
             if scans and max(scans.values()) >= args.min:
                 flagged += 1
-                print(f"{name}: {scans}", flush=True)
+                extra = ""
+                if args.execute:
+                    df.collect()
+                    post = df._jdf.queryExecution().executedPlan().toString()
+                    extra = (
+                        f"  [runtime: ReusedSubquery={post.count('ReusedSubquery')}"
+                        f" ReusedExchange={post.count('ReusedExchange')}]"
+                    )
+                print(f"{name}: {scans}{extra}", flush=True)
         except Exception as e:  # noqa: BLE001 — report, keep auditing
             print(f"{name}: ERR {type(e).__name__}: {e}"[:200], flush=True)
     print(f"# {flagged} of {len(names)} at >= {args.min} scans of one fact table")
