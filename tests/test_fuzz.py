@@ -26,7 +26,7 @@ import pytest
 from datafusion_umami_spark.oracle import canonical_rows
 from datafusion_umami_spark.tables import register_views
 
-N_CASES = 44
+N_CASES = 56
 
 _TABLES = {
     "lineitem": {
@@ -183,11 +183,36 @@ def _gen_case(rng: random.Random) -> str:
             f"  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND {pred}) "
             f"ORDER BY c_custkey LIMIT 300"
         )
+    if roll < 0.72:  # integer-exact scalar-subquery threshold (q32 class)
+        mult = rng.choice([1, 2, 3])
+        key = rng.choice(["o_orderstatus", "o_orderpriority"])
+        pred = rng.choice(_TABLES["orders"]["preds"])
+        return (
+            f"SELECT {key} AS k0, COUNT(*) AS cnt FROM orders "
+            f"WHERE {pred} AND CAST(round(o_totalprice * 100) AS BIGINT)"
+            f" * (SELECT COUNT(*) FROM orders)"
+            f" > {mult} * (SELECT CAST(SUM(CAST(round(o_totalprice * 100)"
+            f" AS BIGINT)) AS BIGINT) FROM orders) "
+            f"GROUP BY {key}"
+        )
+    if roll < 0.79:  # LEFT-outer arm thinned by a filter: tiered counts
+        dim_pred = rng.choice(
+            ["c_acctbal > 9000", "c_mktsegment = 'NO_SUCH'", "c_custkey % 7 = 0"]
+        )
+        pred = rng.choice(_TABLES["orders"]["preds"])
+        return (
+            f"SELECT COUNT(*) AS n_all, COUNT(x.c_custkey) AS n_match, "
+            f"       MIN(o_orderdate) AS first_order "
+            f"FROM orders LEFT JOIN "
+            f"  (SELECT * FROM customer WHERE {dim_pred}) x "
+            f"  ON o_custkey = x.c_custkey "
+            f"WHERE {pred}"
+        )
     tname = rng.choice(sorted(_TABLES))
     t = _TABLES[tname]
     preds = rng.sample(t["preds"], k=rng.randint(1, 3))
     where = " AND ".join(preds)
-    if roll < 0.85:
+    if roll < 0.9:
         keys = rng.sample(t["keys"], k=rng.randint(1, 2))
         aggs = rng.sample(t["aggs"], k=rng.randint(1, 3))
         key_aliases = [f"{k} AS k{i}" for i, k in enumerate(keys)]
