@@ -412,6 +412,31 @@ def test_materialized_queries_do_not_rescan_facts(name, cap, spark, sf_dir):
     )
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "mm_decode_features",
+        "mm_frame_sample",
+        "mm_audio_window_rms",
+        "mm_image_resize_pool",
+    ],
+)
+def test_multimodal_plans_are_arrow_batched_and_pruned(name, spark, sf_dir):
+    """Multimodal kernels must run Python ONLY through Arrow-batched
+    MapInPandas (never row-at-a-time BatchEvalPython), and the scan
+    must prune to exactly the two columns the kernel needs — at 100 TB
+    a multimodal pass that reads the full documents schema moves the
+    corpus through Python for nothing."""
+    df = q(name, spark, sf_dir)
+    plan = plan_str(df)
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all(
+        "doc_id:bigint,text:string" in ln and "lang" not in ln for ln in read
+    ), f"{name}: scan not pruned to (doc_id, text)\n{read}"
+
+
 def test_fact_scan_counts_positive_control(spark, sf_dir):
     """fact_scan_counts silently returns {} if its plan-string path
     pattern (<table>.parquet) drifts — which would make every cap-0
