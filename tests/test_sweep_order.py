@@ -34,10 +34,10 @@ def test_no_proven_green_query_ahead_of_unproven():
 
 
 def test_unproven_set_occupies_a_contiguous_prefix():
-    """Rounds 4-6 cover the whole backlog only if every unproven name
-    sits within the first len(unproven) positions — i.e. no unproven
-    query hides past a green one where a 50-row/round budget based at
-    position 0 could never reach it."""
+    """The remaining sweeps cover the whole backlog only if every
+    unproven name sits within the first len(unproven) positions — i.e.
+    no unproven query hides past a green one where a 50-row/round
+    budget based at position 0 could never reach it."""
     green, _failed = _driver_history()
     names = list(REGISTRY)
     unproven = {n for n in names if n not in green}
