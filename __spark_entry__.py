@@ -32,7 +32,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     results are consumed and holding their blocks would grow storage
     O(all keys ever materialized) over a 50-query sweep.  `shared:`
     keys (signature matrices reused across consumers) and the building
-    query's own keys are kept."""
+    query's own keys are kept.
+
+    CONTRACT: these wrapped callables assume strictly sequential
+    consumption (build→collect before building the next).  A pipelining
+    consumer that builds query B before collecting query A could have
+    B's wrapper free A's checkpoint blocks (localCheckpoint truncates
+    lineage — the blocks are the only copy).  Interleaved use must go
+    through the raw registry (datafusion_umami_spark.registry.REGISTRY),
+    which never auto-frees."""
     from datafusion_umami_spark.operators.materialize import release_except
 
     def wrap(name: str, fn: Callable) -> Callable:

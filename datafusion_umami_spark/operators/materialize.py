@@ -91,7 +91,7 @@ def release_except(keep_prefixes: tuple[str, ...]) -> None:
             release(key)
 
 
-def materialize_view_shared(key: str, view: str, build) -> DataFrame:
+def materialize_view_shared(spark, key: str, view: str, build) -> DataFrame:
     """Generation-tagged SHARED materialization: sequential consumers of
     the same reduced intermediate (e.g. the MinHash signature matrix read
     by dedup_minhash_lsh, dedup_connected_components, and the cluster
@@ -102,11 +102,38 @@ def materialize_view_shared(key: str, view: str, build) -> DataFrame:
     use-after-free the old per-consumer namespacing guarded against).
     Nothing is freed implicitly; call release()/release_all() when the
     pipeline is done.  `build` is a zero-arg DataFrame factory, invoked
-    only on a miss."""
-    df = _LIVE.get(key)
+    only on a miss.
+
+    The effective cache key additionally fingerprints the Spark
+    APPLICATION and the execution-shape confs (shuffle partitions /
+    broadcast threshold / AQE): a hit must never (a) hand out a frame
+    whose checkpoint blocks live in a stopped SparkContext, or
+    (b) satisfy a changed-config leg with blocks computed under the
+    OLD config — the hostile-config parity gate exists precisely to
+    re-execute the build under the hostile shape, and a config-blind
+    cache would make it vacuous (round-6 self-review finding)."""
+    def conf(key: str) -> str:
+        # no fallback arg: Spark 4.1 type-validates a provided default
+        # (an empty-string fallback raises INVALID_CONF_VALUE on byte
+        # confs); the no-arg form resolves the conf's own default.
+        try:
+            return str(spark.conf.get(key))
+        except Exception:
+            return "?"
+
+    fp = ":".join(
+        (
+            spark.sparkContext.applicationId,
+            conf("spark.sql.shuffle.partitions"),
+            conf("spark.sql.autoBroadcastJoinThreshold"),
+            conf("spark.sql.adaptive.enabled"),
+        )
+    )
+    full_key = f"{key}@{fp}"
+    df = _LIVE.get(full_key)
     if df is None:
         df = build().localCheckpoint(eager=True)
-        _LIVE[key] = df
+        _LIVE[full_key] = df
     out = df.toDF(*df.columns)
     out.createOrReplaceTempView(view)
     return out

@@ -78,8 +78,9 @@ from datafusion_umami_spark.queries import (  # noqa: F401
 # pulled forward; proven ones are skipped by the classifier below).
 SWEEP_PRIORITY: tuple[str, ...] = (
     # THE one red driver row on record (r1 canonicalizer crash; query since
-    # rewritten to scalar columns + rows-only and tolerance-tested locally,
-    # tests/test_stress.py) — must be first so a ~50-row budget can't miss it
+    # rewritten to scalar columns, and in round 6 to a tolerance-banded
+    # full oracle — exact values + in-band flags, aggregates.py) — must be
+    # first so a ~50-row budget can't miss it
     "agg_approx_percentile",
     # remaining §2.11 streaming family (first two went green in r3) —
     # ahead of text/multimodal per round-3 verdict so the family closes

@@ -207,7 +207,8 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
     view = f"mh_sigs_{tag}_m"
     materialize_view_shared(
-        f"shared:mh_sigs:{sf_dir}", view, lambda: spark.sql(_SP_MINHASH_SIGS)
+        spark, f"shared:mh_sigs:{sf_dir}", view,
+        lambda: spark.sql(_SP_MINHASH_SIGS),
     )
     return spark.sql(_SP_MINHASH_PAIRS_FROM_SIGS.replace("__SIGS__", view))
 

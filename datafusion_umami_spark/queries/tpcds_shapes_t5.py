@@ -89,8 +89,8 @@ _BUY64 = """
         GROUP BY o.o_custkey, l.l_partkey,
                  CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)"""
 _Q64_FINAL = """
-    SELECT c.c_name AS cust_name, p.p_name AS part_name,
-           b1.yr AS first_year,
+    SELECT c.c_name AS cust_name, b1.part AS part_key,
+           p.p_name AS part_name, b1.yr AS first_year,
            b1.best_price AS price_y1, b2.best_price AS price_y2
     FROM {buy} b1
     JOIN {buy} b2 ON b1.cust = b2.cust AND b1.part = b2.part
@@ -99,7 +99,7 @@ _Q64_FINAL = """
     JOIN part p ON b1.part = p.p_partkey
     WHERE b2.best_price < b1.best_price
       AND b1.yr BETWEEN 1996 AND 2000
-    ORDER BY cust_name, part_name, first_year
+    ORDER BY cust_name, part_key, first_year
     LIMIT 1000
     """
 

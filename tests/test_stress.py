@@ -476,3 +476,29 @@ def test_shared_signature_checkpoint_is_reused_and_safe(spark, sf_dir):
     # the release hook a sequential sweep/bench runner calls between queries
     M.release_all()
     assert sig_keys[0] not in M._LIVE
+
+
+def test_shared_checkpoint_misses_on_config_change(spark, sf_dir):
+    """The shared cache must NOT satisfy a changed-config leg with
+    blocks computed under the old config — otherwise the hostile-config
+    parity gate never re-executes the signature build under the hostile
+    shape and becomes vacuous (round-6 self-review finding).  Flipping
+    an execution-shape conf must produce a cache MISS (a second key)."""
+    from datafusion_umami_spark.operators import materialize as M
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    M.release_all()
+    fn = REGISTRY["dedup_minhash_lsh"].fn
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        fn(spark, sf_dir)
+        assert len([k for k in M._LIVE if k.startswith("shared:mh_sigs")]) == 1
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        fn(spark, sf_dir)
+        assert len([k for k in M._LIVE if k.startswith("shared:mh_sigs")]) == 2, (
+            "config change did not re-materialize the shared checkpoint"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+        M.release_all()
