@@ -79,6 +79,15 @@ HEAVY = [
     "job_eleven_rel_roleplay_star",
     "job_double_bridge_clique",
     "graph_triangle_count",
+    # round-6 additions: the five-alias fact clique (three lineitem
+    # self-join shuffles) and the q64 twice-joined wide star are the
+    # new largest join states; the q23 semi-join stack layers two
+    # materialized stages under IN-subqueries; the q39 volatility
+    # cross-month self-join must be exact under any partitioning
+    "job_five_alias_fact_clique",
+    "tpcds_twice_joined_wide_star",
+    "tpcds_frequent_item_cross_year",
+    "tpcds_volatile_items_cross_month",
 ]
 
 HOSTILE_CONF = {
