@@ -400,6 +400,16 @@ def test_round6_bench_promotions_broadcast_no_cartesian(name, spark, sf_dir):
         ("tpcds_period_self_join", 0),
         ("tpcds_quarter_seasonality", 0),
         ("tpcds_quarter_share_chain", 0),
+        # round-6 split registrations: finals read only materialized
+        # views (cap 0) except where the final itself carries textual
+        # fact references (q14's two INTERSECT arms; q23's third-year
+        # sales join = 1 lineitem + 1 orders)
+        ("tpcds_twice_joined_wide_star", 0),
+        ("tpcds_weekday_share_two_years", 0),
+        ("tpcds_top_bottom_rank_join", 0),
+        ("tpcds_volatile_items_cross_month", 0),
+        ("tpcds_intersect_driven_sales", 2),
+        ("tpcds_frequent_item_cross_year", 2),
     ],
 )
 def test_materialized_queries_do_not_rescan_facts(name, cap, spark, sf_dir):
