@@ -331,11 +331,22 @@ def _driver_history() -> tuple[set[str], set[str]]:
     green  = latest record is a pass (hash match, or a rows-only check
              that produced rows for an oracle-less spec);
     failed = latest record is not a pass.
+
+    A rows-only record only proves a spec that is STILL oracle-less: if
+    the current spec carries an oracle (e.g. the round-6 tolerance-banded
+    approx-agg rewrites), a stale `no_oracle` record must classify the
+    name as unproven so it re-enters the front and earns a hash row
+    (r6 verdict item 1).
     """
-    return _driver_history_from(Path(__file__).resolve().parents[2])
+    from datafusion_umami_spark.registry import REGISTRY
+
+    oracled = {n for n, spec in REGISTRY.items() if spec.oracle is not None}
+    return _driver_history_from(Path(__file__).resolve().parents[2], oracled)
 
 
-def _driver_history_from(root: Path) -> tuple[set[str], set[str]]:
+def _driver_history_from(
+    root: Path, oracled: set[str] = frozenset()
+) -> tuple[set[str], set[str]]:
     latest: dict[str, bool] = {}  # name -> latest-round row passed?
     for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -347,9 +358,12 @@ def _driver_history_from(root: Path) -> tuple[set[str], set[str]]:
         for name, rec in rows.items():
             if not isinstance(rec, dict):
                 continue
-            latest[name] = bool(rec.get("hash_match")) or (
-                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            rows_only_ok = (
+                rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
+                and name not in oracled
             )
+            latest[name] = bool(rec.get("hash_match")) or rows_only_ok
     green = {name for name, ok in latest.items() if ok}
     failed = {name for name, ok in latest.items() if not ok}
     return green, failed

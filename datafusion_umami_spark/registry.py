@@ -36,9 +36,34 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    module: str = ""  # module that registered the spec (sweep bookkeeping)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
+
+_REGISTRAR_MODULES = {
+    __name__,
+    "datafusion_umami_spark.operators.materialize",
+}
+
+
+def _registering_module() -> str:
+    """Module name of the nearest caller outside the registrar helpers.
+
+    `register_sql` / `register_split_sql` build the Spark callable inside
+    this module, so `fn.__module__` cannot identify the query module; the
+    sweep-order tests need the true origin (e.g. to pin tranche-import
+    ordering) — walk the stack past the registrar frames instead.
+    """
+    import inspect
+
+    frame = inspect.currentframe()
+    while frame is not None:
+        mod = frame.f_globals.get("__name__", "")
+        if mod not in _REGISTRAR_MODULES:
+            return mod
+        frame = frame.f_back
+    return ""
 
 
 def register(
@@ -49,10 +74,14 @@ def register(
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query to the registry."""
 
+    module = _registering_module()
+
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, bench=bench)
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, bench=bench, module=module
+        )
         return fn
 
     return deco

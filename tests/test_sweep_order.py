@@ -8,10 +8,50 @@ stay deterministic so two imports agree.
 
 from __future__ import annotations
 
-from datafusion_umami_spark.queries import SWEEP_PRIORITY, _driver_history
+import json
+
+from datafusion_umami_spark.queries import (
+    SWEEP_PRIORITY,
+    _driver_history,
+    _driver_history_from,
+)
 from datafusion_umami_spark.registry import REGISTRY, _load_all
 
 _load_all()
+
+
+def test_stale_no_oracle_record_does_not_prove_an_oracled_spec(tmp_path):
+    """r6 verdict item 1: a spec that NOW carries an oracle must rank
+    unproven when its latest driver record is a rows-only `no_oracle`
+    pass from before the oracle existed — otherwise a rewritten oracle
+    never earns a hash row."""
+    rec = {"hash_match": None, "spark_rows": 3, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_rows_only": rec, "q_now_oracled": rec})
+    )
+    green, failed = _driver_history_from(tmp_path, oracled={"q_now_oracled"})
+    assert "q_rows_only" in green  # still oracle-less: rows-only proves it
+    assert "q_now_oracled" not in green  # stale record, spec has an oracle
+    assert "q_now_oracled" in failed
+
+
+def test_approx_aggs_reclassified_unproven_until_hash_row_lands():
+    """Live check of the same contract: the round-6 tolerance-banded
+    approx aggregates carry real oracles, so their r1/r4 no_oracle
+    records must not classify them green (they sit in SWEEP_PRIORITY /
+    the failed rank and re-enter the sweep front). Self-retiring: once
+    a CORRECTNESS artifact records their hash rows, they turn green and
+    this test flips to asserting they STAY green."""
+    for name in ("agg_approx_distinct", "agg_approx_percentile"):
+        assert REGISTRY[name].oracle is not None
+    green, _failed = _driver_history()
+    latest_is_hash = {
+        n for n in ("agg_approx_distinct", "agg_approx_percentile") if n in green
+    }
+    front = list(REGISTRY)[:50]
+    for name in ("agg_approx_distinct", "agg_approx_percentile"):
+        if name not in latest_is_hash:
+            assert name in front, f"{name} not in sweep front-50"
 
 
 def test_priority_names_all_registered():
@@ -76,13 +116,13 @@ def test_r6_r7_r8_fronts_exhaust_the_legacy_backlog():
     they never displace a legacy query out of the three-round window.
     The contiguous-prefix test above guarantees reachability; this one
     pins the ROUND COUNT."""
-    import inspect
-    import re
-
-    from datafusion_umami_spark.queries import job_shapes_t4, tpcds_shapes_t5
-
-    src = inspect.getsource(job_shapes_t4) + inspect.getsource(tpcds_shapes_t5)
-    additions = set(re.findall(r'"((?:job|tpcds)_\w+)"', src))
+    addition_modules = {
+        "datafusion_umami_spark.queries.job_shapes_t4",
+        "datafusion_umami_spark.queries.tpcds_shapes_t5",
+    }
+    additions = {
+        n for n, spec in REGISTRY.items() if spec.module in addition_modules
+    }
     assert additions, "addition-name extraction broke"
 
     green, _failed = _driver_history()
