@@ -34,18 +34,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys (signature matrices reused across consumers) and the building
     query's own keys are kept.
 
-    CONTRACT: these wrapped callables assume strictly sequential
-    consumption (build→collect before building the next).  A pipelining
-    consumer that builds query B before collecting query A could have
-    B's wrapper free A's checkpoint blocks (localCheckpoint truncates
-    lineage — the blocks are the only copy).  Interleaved use must go
+    CONTRACT: frees are deferred ONE generation — building query C
+    frees the keys of everything except {shared:, B, C} where B was the
+    previous build.  A strictly-sequential driver holds at most two
+    queries' checkpoints (still O(1)); a consumer that pipelines one
+    query ahead (builds B before collecting A) also stays safe, because
+    A's blocks are freed only when C builds — the silent use-after-free
+    window the r6 ADVICE flagged needs pipelining depth ≥ 2, which no
+    plausible build→collect driver does.  Deeper interleaving must go
     through the raw registry (datafusion_umami_spark.registry.REGISTRY),
     which never auto-frees."""
     from datafusion_umami_spark.operators.materialize import release_except
 
+    prev: list[str] = []  # single-element holder: name of previous build
+
     def wrap(name: str, fn: Callable) -> Callable:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            release_except(("shared:", f"{name}:"))
+            keep = ("shared:", f"{name}:") + tuple(f"{p}:" for p in prev)
+            release_except(keep)
+            prev[:] = [name]
             return fn(spark, sf_dir)
 
         run.__name__ = name

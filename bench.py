@@ -47,6 +47,35 @@ def _steal_jiffies() -> int | None:
         return None
 
 
+# Timed-window steal above this ⇒ the run is contaminated by host
+# contention and affected queries get ONE clean-retry pass (the r6
+# official artifact carried steal 1093 while two independent quiet runs
+# were clean — the driver artifact should not depend on luck).
+STEAL_THRESHOLD = int(os.environ.get("SPARK_GRAFT_STEAL_THRESHOLD", "200"))
+
+
+def _timed_iters(spark, spec, sf_dir: str) -> tuple[list[float], int]:
+    """N_ITERS timed runs of one query; returns (times, steal-in-window)."""
+    runs: list[float] = []
+    steal = 0
+    for _ in range(N_ITERS):
+        # each timed iteration pays the FULL cost: a shared/once
+        # materialization left live by the previous iteration would
+        # otherwise let later runs skip the build stage entirely.
+        # Blocking release: eviction completes BEFORE the timer starts,
+        # so it can neither overlap the measured window nor leave the
+        # previous iteration's blocks silently serving this one.
+        release_all(blocking=True)
+        s0 = _steal_jiffies()
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).toPandas()
+        runs.append(round(time.perf_counter() - t0, 4))
+        s1 = _steal_jiffies()
+        if s0 is not None and s1 is not None:
+            steal += s1 - s0
+    return runs, steal
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -55,6 +84,7 @@ def main() -> None:
     specs = bench_queries()
     times: dict[str, float] = {}
     iters: dict[str, list[float]] = {}
+    steal_by_query: dict[str, int] = {}
     steal_timed = 0  # steal during TIMED iterations only — contention
     # during startup/warmup cannot affect the reported best-of-N minima
     # and must not flag a clean comparison as contaminated
@@ -63,23 +93,34 @@ def main() -> None:
         # operators/materialize.py: sequential runner = O(one query) held
         # storage, not O(all keys ever materialized))
         spec.fn(spark, sf_dir).toPandas()  # warmup, untimed
-        runs: list[float] = []
-        for _ in range(N_ITERS):
-            # each timed iteration pays the FULL cost: a shared/once
-            # materialization left live by the previous iteration would
-            # otherwise let later runs skip the build stage entirely
-            release_all()
-            s0 = _steal_jiffies()
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).toPandas()
-            runs.append(round(time.perf_counter() - t0, 4))
-            s1 = _steal_jiffies()
-            if s0 is not None and s1 is not None:
-                steal_timed += s1 - s0
+        runs, steal = _timed_iters(spark, spec, sf_dir)
         times[name] = min(runs)
         iters[name] = runs
+        steal_by_query[name] = steal
+        steal_timed += steal
         spread = max(runs) - min(runs)
         print(f"# {name}: {times[name]:.3f}s (spread {spread:.3f}s)", file=sys.stderr)
+
+    # Self-defense (r6 verdict item 3): when the pass as a whole was
+    # contaminated, give every query whose own timed windows saw steal
+    # one retry pass and fold the retry minima in — best-of is robust
+    # (steal only inflates a wall time, never deflates it), so a clean
+    # retry minimum supersedes a stolen first-pass one.
+    retry_iters: dict[str, list[float]] = {}
+    steal_retry = 0
+    if steal_timed > STEAL_THRESHOLD:
+        affected = [n for n, s in steal_by_query.items() if s > 0]
+        print(
+            f"# steal {steal_timed} > {STEAL_THRESHOLD}: retrying "
+            f"{len(affected)} affected queries once",
+            file=sys.stderr,
+        )
+        for name in affected:
+            spec = specs[name]
+            runs, steal = _timed_iters(spark, spec, sf_dir)
+            retry_iters[name] = runs
+            steal_retry += steal
+            times[name] = min(times[name], min(runs))
 
     out = {
         "metric": "headline_queries_total",
@@ -94,8 +135,11 @@ def main() -> None:
     if _steal_jiffies() is not None:
         # steal accumulated across the timed windows only; a
         # non-trivial value ⇒ treat the totals as contaminated when
-        # comparing round over round
+        # comparing round over round (unless a clean retry is recorded)
         out["steal_jiffies"] = steal_timed
+    if retry_iters:
+        out["query_iters_retry"] = retry_iters
+        out["steal_retry_jiffies"] = steal_retry
     print(json.dumps(out))
 
 

@@ -35,16 +35,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _free_checkpoint(ck: DataFrame) -> None:
+def _free_checkpoint(ck: DataFrame, blocking: bool = False) -> None:
     """Drop the stored blocks behind a frame returned by localCheckpoint.
 
     The frame's analyzed plan is a LogicalRDD wrapping the checkpointed
     RDD; unpersisting that RDD releases its block-manager storage.
     Best-effort: on any JVM-interface surprise the blocks simply live
     until session end, which was the old behavior.
+
+    `blocking=True` waits for eviction to complete — the bench runner
+    needs it so block eviction cannot overlap a timed iteration (the
+    default async unpersist is right for the fixpoint loops, where the
+    next round's work hides the eviction latency).
     """
     try:
-        ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        ck._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
     except Exception:
         pass
 

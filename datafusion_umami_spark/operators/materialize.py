@@ -29,6 +29,21 @@ from datafusion_umami_spark.operators.connected_components import _free_checkpoi
 
 _LIVE: dict[str, DataFrame] = {}
 
+# In-session confs that perturb physical plan shape.  ONE list, two
+# consumers (r6 ADVICE — keep them from drifting): the shared-checkpoint
+# fingerprint below re-keys the cache when any of these changes, and the
+# hostile-config parity suite (tests/test_outofcore.py) asserts its
+# HOSTILE_CONF keys are a subset — so a conf the parity gate perturbs is
+# never invisible to the cache.  maxPartitionBytes is fingerprinted too:
+# verify_subset --max-split covers it only via a fresh application, but
+# an IN-SESSION change must also miss the cache.
+PLAN_SHAPE_CONFS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.files.maxPartitionBytes",
+)
+
 # The big fact tables of the driver schema — single source of truth for
 # the CTE-inlining detector (tools/audit_scans.py) and its pinning gate
 # (tests/test_plans.py::test_materialized_queries_do_not_rescan_facts).
@@ -62,21 +77,23 @@ def fact_scan_counts(df: DataFrame) -> dict[str, int]:
     )
 
 
-def release(key: str) -> None:
+def release(key: str, blocking: bool = False) -> None:
     """Free the checkpoint held under `key` (no-op if absent) — the
     hook a sweep/bench runner calls once a query's result is collected,
     so aggregate held storage stays O(live pipeline), not O(all keys
     ever materialized across the session)."""
     prev = _LIVE.pop(key, None)
     if prev is not None:
-        _free_checkpoint(prev)
+        _free_checkpoint(prev, blocking=blocking)
 
 
-def release_all() -> None:
+def release_all(blocking: bool = False) -> None:
     """Free every held checkpoint (sequential runners call this between
-    queries; the next build simply re-materializes what it needs)."""
+    queries; the next build simply re-materializes what it needs).
+    `blocking=True` waits for eviction so a timed run that follows pays
+    the full build cost with no eviction overlap (bench.py)."""
     for key in list(_LIVE):
-        release(key)
+        release(key, blocking=blocking)
 
 
 def release_except(keep_prefixes: tuple[str, ...]) -> None:
@@ -122,12 +139,7 @@ def materialize_view_shared(spark, key: str, view: str, build) -> DataFrame:
             return "?"
 
     fp = ":".join(
-        (
-            spark.sparkContext.applicationId,
-            conf("spark.sql.shuffle.partitions"),
-            conf("spark.sql.autoBroadcastJoinThreshold"),
-            conf("spark.sql.adaptive.enabled"),
-        )
+        (spark.sparkContext.applicationId, *(conf(k) for k in PLAN_SHAPE_CONFS))
     )
     full_key = f"{key}@{fp}"
     df = _LIVE.get(full_key)

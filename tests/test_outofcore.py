@@ -102,6 +102,16 @@ HOSTILE_CONF = {
 }
 
 
+def test_hostile_confs_are_fingerprinted_by_shared_cache():
+    """Every conf this suite perturbs must re-key the shared-checkpoint
+    cache (operators/materialize.py), or the hostile leg could silently
+    read blocks computed under the default config and the parity check
+    would be vacuous (r6 self-review finding; list unified per ADVICE)."""
+    from datafusion_umami_spark.operators.materialize import PLAN_SHAPE_CONFS
+
+    assert set(HOSTILE_CONF) <= set(PLAN_SHAPE_CONFS)
+
+
 def _with_conf(spark, conf: dict[str, str]):
     saved = {k: spark.conf.get(k) for k in conf}
     for k, v in conf.items():
