@@ -66,12 +66,15 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     windows,
     bucketing,
     asof,
-    # Imported LAST deliberately: round-5/6 additions must queue BEHIND
+    # Imported LAST deliberately: round-5/6/7 additions must queue BEHIND
     # the existing never-swept backlog so the driver sweep spends its
     # budget on the projected front-50 (prove-down round contract).
     job_shapes_t3,
     job_shapes_t4,
     tpcds_shapes_t5,
+    clickbench_ext2,
+    job_shapes_t5,
+    tpcds_shapes_t6,
 )
 
 # Explicit front of the sweep queue (only names not yet proven green are

@@ -1,0 +1,445 @@
+"""TPC-DS tranche 6: combination idioms 61-71 of the 99-query corpus.
+
+The reference plans all 99 TPC-DS queries (reference
+core/tests/tpcds_planning.rs); tranches 1-5 shaped 60 of the distinct
+combination idioms.  This tranche adds the ones the round-6 verdict
+called out plus the remaining headline combinations, re-expressed on
+the driver star schema (channels emulated deterministically:
+l_linenumber % 3 for item-level channels, o_orderpriority classes for
+customer-level channels, event_type for clickstream channels):
+
+- q78: the three-channel FULL-OUTER yearly profile — per-(year, item)
+  non-returned sales from three channels, full-outer joined twice, with
+  a guarded cross-channel ratio;
+- q51: the cumulative-max window join — two per-day cumulative revenue
+  curves FULL-OUTER joined on (key, day), carry-forward running MAX
+  over each (nulls bridged), filtered where one curve leads the other;
+- q69/q35: EXISTS-gated demographics — customers with activity in one
+  channel and NOT EXISTS in two others, profiled by demographic bands;
+  and the stats flavor (count/sum/min/max per band behind an EXISTS
+  gate with an OR of two EXISTS);
+- q87: the EXCEPT-chain cardinality — COUNT over (store EXCEPT catalog
+  EXCEPT web) distinct tuples;
+- q88: the time-slot matrix — eight independent single-row COUNT
+  aggregates cross-joined into one row;
+- q66: the carrier pivot-union — two SUM(CASE month) pivot halves
+  UNION ALLed then re-aggregated;
+- q75: the yearly decline union — channel-tagged non-returned sales
+  per (channel, year, item) self-joined at yr+1, kept where current
+  quantity fell below 90% of prior (integer cross-multiplied);
+- q31: quarter-over-quarter growth of one channel vs another per
+  region, all four quarter legs off TWO shared aggregates;
+- q49: the dual-rank union — per-channel return ratios ranked ASC and
+  DESC in one pass, rows kept when EITHER rank is in the top 10;
+- q77: the channel profit ROLLUP — per-channel sales/returns/profit
+  re-aggregated under ROLLUP(channel) with a grand-total row.
+
+Determinism: money through integer cents, ratios ROUND(..,6) or
+integer ppm computed through the same double expression on both sides,
+years/quarters EXTRACT->BIGINT, integer cross-multiplication at every
+comparison boundary, total-order ORDER BY + LIMIT on multi-row
+outputs.  Self-referenced reduced aggregates register through
+register_split_sql so the shared stage materializes ONCE on Spark
+(CTE-inlining countermeasure); DuckDB keeps the single statement.
+
+Registered in a module imported LAST so these never-swept additions
+queue BEHIND the legacy backlog (sweep-rotation contract).
+"""
+
+from __future__ import annotations
+
+from datafusion_umami_spark.operators.materialize import register_split_sql
+from datafusion_umami_spark.registry import register_sql
+
+# --- q78: three-channel full-outer yearly profile -------------------------
+_CH78 = """
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               l_partkey AS part,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey
+          AND l_returnflag <> 'R'
+          AND l_linenumber % 3 = {ch}
+        GROUP BY 1, 2"""
+
+register_sql(
+    "tpcds_three_channel_fullouter_profile",
+    f"""
+    WITH ss AS ({_CH78.format(ch=0)}),
+         ws AS ({_CH78.format(ch=1)}),
+         cs AS ({_CH78.format(ch=2)})
+    SELECT COALESCE(ss.yr, ws.yr, cs.yr) AS yr,
+           COALESCE(ss.part, ws.part, cs.part) AS part,
+           COALESCE(ss.qty, 0) AS ss_qty,
+           COALESCE(ws.qty, 0) AS ws_qty,
+           COALESCE(cs.qty, 0) AS cs_qty,
+           CASE WHEN COALESCE(ws.qty, 0) + COALESCE(cs.qty, 0) > 0
+                THEN ROUND(CAST(COALESCE(ss.qty, 0) AS DOUBLE)
+                           / (COALESCE(ws.qty, 0) + COALESCE(cs.qty, 0)), 6)
+                ELSE -1.0 END AS other_chan_ratio
+    FROM ss
+    FULL JOIN ws ON ss.yr = ws.yr AND ss.part = ws.part
+    FULL JOIN cs ON COALESCE(ss.yr, ws.yr) = cs.yr
+                AND COALESCE(ss.part, ws.part) = cs.part
+    ORDER BY yr, part
+    LIMIT 500
+    """,
+    tags=("tpcds", "q78", "full-outer", "three-channel"),
+)
+
+# --- q51: cumulative-max window join over two channels --------------------
+_CUME51 = """
+        SELECT user_id % 20 AS bucket, CAST(ts AS DATE) AS d,
+               CAST(SUM(SUM(CAST(round(value * 100) AS BIGINT)))
+                        OVER (PARTITION BY user_id % 20
+                              ORDER BY CAST(ts AS DATE)
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume
+        FROM events
+        WHERE event_type = '{et}'
+        GROUP BY user_id % 20, CAST(ts AS DATE)"""
+
+register_sql(
+    "tpcds_cumulative_max_channel_join",
+    f"""
+    WITH web AS ({_CUME51.format(et='click')}),
+         store AS ({_CUME51.format(et='purchase')}),
+         joined AS (
+        SELECT COALESCE(web.bucket, store.bucket) AS bucket,
+               COALESCE(web.d, store.d) AS d,
+               web.cume AS web_c, store.cume AS store_c
+        FROM web FULL JOIN store
+          ON web.bucket = store.bucket AND web.d = store.d),
+         runs AS (
+        SELECT bucket, d,
+               CAST(MAX(web_c) OVER (PARTITION BY bucket ORDER BY d
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS web_run,
+               CAST(MAX(store_c) OVER (PARTITION BY bucket ORDER BY d
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS store_run
+        FROM joined)
+    SELECT bucket, d, web_run, store_run
+    FROM runs
+    WHERE web_run > store_run
+    ORDER BY bucket, d
+    LIMIT 500
+    """,
+    tags=("tpcds", "q51", "cumulative-max", "full-outer-window"),
+)
+
+# --- q69: EXISTS in one channel, NOT EXISTS in two, demographic bands -----
+register_sql(
+    "tpcds_gated_demographics_notexists",
+    """
+    WITH bands AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0
+                        THEN 'neg'
+                    WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 250000
+                        THEN 'low'
+                    WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 500000
+                        THEN 'mid'
+                    ELSE 'high' END AS bal_band
+        FROM customer)
+    SELECT c_mktsegment, bal_band, COUNT(*) AS cnt
+    FROM bands b
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = b.c_custkey
+                    AND o_orderpriority = '1-URGENT'
+                    AND o_orderdate >= DATE '1997-01-01'
+                    AND o_orderdate < DATE '1999-01-01')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = b.c_custkey
+                        AND o_orderpriority = '5-LOW'
+                        AND o_orderdate >= DATE '1997-01-01'
+                        AND o_orderdate < DATE '1999-01-01')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = b.c_custkey
+                        AND o_orderpriority = '4-NOT SPECIFIED'
+                        AND o_orderdate >= DATE '1997-01-01'
+                        AND o_orderdate < DATE '1999-01-01')
+    GROUP BY c_mktsegment, bal_band
+    ORDER BY c_mktsegment, bal_band
+    """,
+    tags=("tpcds", "q69", "not-exists", "demographics"),
+)
+
+# --- q35: EXISTS gate + OR of two EXISTS + banded stats -------------------
+register_sql(
+    "tpcds_demographic_stats_gated",
+    """
+    SELECT c_mktsegment, c_nationkey % 5 AS geo,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents,
+           MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS min_cents,
+           MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS max_cents
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderdate >= DATE '1997-01-01'
+                    AND o_orderdate < DATE '1998-01-01')
+      AND (EXISTS (SELECT 1 FROM orders
+                   WHERE o_custkey = c.c_custkey
+                     AND o_orderpriority = '2-HIGH')
+           OR EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c.c_custkey
+                        AND o_orderpriority = '3-MEDIUM'))
+    GROUP BY c_mktsegment, c_nationkey % 5
+    ORDER BY c_mktsegment, geo
+    """,
+    tags=("tpcds", "q35", "exists-or", "stats"),
+)
+
+# --- q87: EXCEPT-chain cardinality ----------------------------------------
+register_sql(
+    "tpcds_except_chain_count",
+    """
+    SELECT COUNT(*) AS lone_channel_customers
+    FROM (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '2000-01-01'
+        EXCEPT
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+        FROM orders
+        WHERE o_orderstatus = 'P'
+    ) t
+    """,
+    tags=("tpcds", "q87", "except-chain"),
+)
+
+# --- q88: eight single-row counts cross-joined into one row ---------------
+register_sql(
+    "tpcds_timeslot_matrix",
+    """
+    SELECT s1.h1, s2.h2, s3.h3, s4.h4, s5.h5, s6.h6, s7.h7, s8.h8
+    FROM
+      (SELECT COUNT(*) AS h1 FROM events
+       WHERE EXTRACT(HOUR FROM ts) BETWEEN 0 AND 2
+         AND event_type IN ('click', 'view')) s1,
+      (SELECT COUNT(*) AS h2 FROM events
+       WHERE EXTRACT(HOUR FROM ts) BETWEEN 3 AND 5
+         AND event_type IN ('click', 'purchase')) s2,
+      (SELECT COUNT(*) AS h3 FROM events
+       WHERE EXTRACT(HOUR FROM ts) BETWEEN 6 AND 8
+         AND event_type IN ('view', 'signup')) s3,
+      (SELECT COUNT(*) AS h4 FROM events
+       WHERE EXTRACT(HOUR FROM ts) BETWEEN 9 AND 11
+         AND event_type IN ('click', 'error')) s4,
+      (SELECT COUNT(*) AS h5 FROM events
+       WHERE EXTRACT(HOUR FROM ts) BETWEEN 12 AND 14
+         AND event_type IN ('purchase', 'view')) s5,
+      (SELECT COUNT(*) AS h6 FROM events
+       WHERE EXTRACT(HOUR FROM ts) BETWEEN 15 AND 17
+         AND event_type IN ('signup', 'click')) s6,
+      (SELECT COUNT(*) AS h7 FROM events
+       WHERE EXTRACT(HOUR FROM ts) BETWEEN 18 AND 20
+         AND event_type IN ('view', 'error')) s7,
+      (SELECT COUNT(*) AS h8 FROM events
+       WHERE EXTRACT(HOUR FROM ts) BETWEEN 21 AND 23
+         AND event_type IN ('purchase', 'signup')) s8
+    """,
+    tags=("tpcds", "q88", "timeslot-matrix"),
+)
+
+# --- q66: two pivot halves UNION ALLed then re-aggregated -----------------
+_HALF66 = """
+        SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+               '{carrier}' AS carrier,
+               CAST(SUM(CASE WHEN EXTRACT(MONTH FROM l_shipdate) = 1
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS jan_cents,
+               CAST(SUM(CASE WHEN EXTRACT(MONTH FROM l_shipdate) = 2
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS feb_cents,
+               CAST(SUM(CASE WHEN EXTRACT(MONTH FROM l_shipdate) = 3
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS mar_cents,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_returnflag = '{rf}'
+        GROUP BY 1"""
+
+register_sql(
+    "tpcds_carrier_pivot_union",
+    f"""
+    WITH halves AS ({_HALF66.format(carrier='ALPHA', rf='A')}
+                    UNION ALL
+                    {_HALF66.format(carrier='NOVA', rf='N')})
+    SELECT yr,
+           CAST(SUM(jan_cents) AS BIGINT) AS jan_cents,
+           CAST(SUM(feb_cents) AS BIGINT) AS feb_cents,
+           CAST(SUM(mar_cents) AS BIGINT) AS mar_cents,
+           CAST(SUM(total_cents) AS BIGINT) AS total_cents,
+           COUNT(*) AS carriers
+    FROM halves
+    GROUP BY yr
+    ORDER BY yr
+    """,
+    tags=("tpcds", "q66", "pivot-union"),
+)
+
+# --- q75: yearly decline across channel-tagged sales (split: the
+# channel aggregate is referenced twice, curr and prev year) ---------------
+_SALES75 = """
+        SELECT l_linenumber % 3 AS ch,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               l_partkey AS part,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey
+          AND l_returnflag <> 'R'
+        GROUP BY 1, 2, 3"""
+
+_FINAL75 = """
+    SELECT curr.ch AS ch, curr.part AS part,
+           prev.yr AS prev_year, curr.yr AS sales_year,
+           prev.qty - curr.qty AS qty_decline,
+           prev.cents - curr.cents AS cents_decline
+    FROM channel_sales curr, channel_sales prev
+    WHERE curr.part = prev.part
+      AND curr.ch = prev.ch
+      AND curr.yr = prev.yr + 1
+      AND 10 * curr.qty < 9 * prev.qty
+    ORDER BY qty_decline DESC, ch, part, sales_year
+    LIMIT 500"""
+
+register_split_sql(
+    "tpcds_yearly_decline_union",
+    stages=[(_SALES75, "channel_sales")],
+    final_sql=_FINAL75,
+    oracle=f"WITH channel_sales AS ({_SALES75})\n{_FINAL75}",
+    tags=("tpcds", "q75", "decline", "split"),
+    bench=True,
+)
+
+# --- q31: quarter-over-quarter growth, web vs store, per region (split:
+# each channel aggregate is referenced twice, Q1 and Q2 legs) --------------
+_Q31 = """
+        SELECT c_nationkey AS county,
+               CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders, customer
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= DATE '1997-01-01'
+          AND o_orderdate < DATE '1997-07-01'
+          AND o_orderpriority {op} ('1-URGENT', '2-HIGH')
+        GROUP BY 1, 2"""
+
+_FINAL31 = """
+    SELECT ss1.county AS county,
+           ss1.cents AS ss_q1, ss2.cents AS ss_q2,
+           ws1.cents AS ws_q1, ws2.cents AS ws_q2
+    FROM store_q ss1, store_q ss2, web_q ws1, web_q ws2
+    WHERE ss1.county = ss2.county
+      AND ss1.county = ws1.county
+      AND ss1.county = ws2.county
+      AND ss1.qtr = 1 AND ss2.qtr = 2
+      AND ws1.qtr = 1 AND ws2.qtr = 2
+      AND ss1.cents > 0 AND ws1.cents > 0
+      AND CAST(ws2.cents AS DECIMAL(38, 0)) * ss1.cents
+          > CAST(ss2.cents AS DECIMAL(38, 0)) * ws1.cents
+    ORDER BY county
+    LIMIT 100"""
+
+register_split_sql(
+    "tpcds_qoq_web_vs_store",
+    stages=[
+        (_Q31.format(op="IN"), "web_q"),
+        (_Q31.format(op="NOT IN"), "store_q"),
+    ],
+    final_sql=_FINAL31,
+    oracle=(
+        f"WITH web_q AS ({_Q31.format(op='IN')}),\n"
+        f"     store_q AS ({_Q31.format(op='NOT IN')})\n{_FINAL31}"
+    ),
+    tags=("tpcds", "q31", "qoq-growth", "split"),
+)
+
+# --- q49: dual ranks of the return ratio, per channel, in one pass --------
+register_sql(
+    "tpcds_dual_rank_return_ratio",
+    """
+    WITH ratios AS (
+        SELECT l_linestatus AS channel, l_partkey AS part,
+               CAST(FLOOR((1000000.0 * SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END))
+                    / SUM(CAST(round(l_extendedprice * 100) AS BIGINT)))
+                    AS BIGINT) AS ratio_ppm
+        FROM lineitem
+        GROUP BY l_linestatus, l_partkey
+        HAVING SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) > 0),
+         ranked AS (
+        SELECT channel, part, ratio_ppm,
+               RANK() OVER (PARTITION BY channel
+                            ORDER BY ratio_ppm ASC, part) AS r_asc,
+               RANK() OVER (PARTITION BY channel
+                            ORDER BY ratio_ppm DESC, part) AS r_desc
+        FROM ratios)
+    SELECT channel, part, ratio_ppm,
+           CAST(r_asc AS BIGINT) AS r_asc, CAST(r_desc AS BIGINT) AS r_desc
+    FROM ranked
+    WHERE r_asc <= 10 OR r_desc <= 10
+    ORDER BY channel, part
+    LIMIT 100
+    """,
+    tags=("tpcds", "q49", "dual-rank"),
+)
+
+# --- q77: channel profit profile under ROLLUP(channel) --------------------
+register_sql(
+    "tpcds_channel_profit_rollup",
+    """
+    WITH per_channel AS (
+        SELECT l_linenumber % 3 AS ch,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R'
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sales_cents,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS ret_cents
+        FROM lineitem
+        GROUP BY l_linenumber % 3)
+    SELECT COALESCE(CAST(ch AS STRING), 'ALL') AS channel,
+           CAST(SUM(sales_cents) AS BIGINT) AS sales_cents,
+           CAST(SUM(ret_cents) AS BIGINT) AS ret_cents,
+           CAST(SUM(sales_cents) - SUM(ret_cents) AS BIGINT) AS profit_cents
+    FROM per_channel
+    GROUP BY ROLLUP(ch)
+    ORDER BY channel
+    """,
+    oracle="""
+    WITH per_channel AS (
+        SELECT l_linenumber % 3 AS ch,
+               CAST(SUM(CASE WHEN l_returnflag <> 'R'
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sales_cents,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS ret_cents
+        FROM lineitem
+        GROUP BY l_linenumber % 3)
+    SELECT COALESCE(CAST(ch AS VARCHAR), 'ALL') AS channel,
+           CAST(SUM(sales_cents) AS BIGINT) AS sales_cents,
+           CAST(SUM(ret_cents) AS BIGINT) AS ret_cents,
+           CAST(SUM(sales_cents) - SUM(ret_cents) AS BIGINT) AS profit_cents
+    FROM per_channel
+    GROUP BY ROLLUP(ch)
+    ORDER BY channel
+    """,
+    tags=("tpcds", "q77", "rollup-channels"),
+)

@@ -374,6 +374,40 @@ def test_round6_bench_promotions_broadcast_no_cartesian(name, spark, sf_dir):
     assert "BatchEvalPython" not in plan, f"{name}: row-Python in plan\n{plan}"
 
 
+@pytest.mark.parametrize(
+    "name,want_broadcast",
+    [
+        # dim arms (part / supplier) must broadcast against the fact
+        ("job_keyword_in8_triple_clique", True),
+        ("job_double_link_two_hops", True),
+        # q75's final self-joins ONE materialized reduced aggregate with
+        # itself — there is no small side by construction (same relation
+        # both arms), so the scalable plan is a shuffled equi-join, not
+        # a broadcast; require the equi-join and forbid the bad classes
+        ("tpcds_yearly_decline_union", False),
+    ],
+)
+def test_round7_bench_promotions_equi_join_no_cartesian(
+    name, want_broadcast, spark, sf_dir
+):
+    """Round-7 bench promotions: the 20a IN-8 triple clique must collapse
+    its pairwise orderkey closure into an equi-join tree with the
+    IN-fenced part dim broadcast; the two-hop link chain's part/supplier
+    links must broadcast; the q75 decline self-join runs over the
+    materialized channel aggregate as a shuffled equi-join.  Never a
+    cartesian, BNLJ, or row-Python."""
+    plan = plan_str(q(name, spark, sf_dir), "simple")
+    if want_broadcast:
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast of dims\n{plan}"
+    else:
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+            "BroadcastHashJoin" in plan
+        ), f"{name}: no equi-join in plan\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ\n{plan}"
+    assert "BatchEvalPython" not in plan, f"{name}: row-Python in plan\n{plan}"
+
+
 # --- round-5 CTE-materialization gates (SCALE.md audit) --------------------
 # Spark inlines deterministic CTEs; these queries were re-executing
 # shuffle-bearing subtrees once per reference (triangle count: 32
@@ -410,6 +444,11 @@ def test_round6_bench_promotions_broadcast_no_cartesian(name, spark, sf_dir):
         ("tpcds_volatile_items_cross_month", 0),
         ("tpcds_intersect_driven_sales", 2),
         ("tpcds_frequent_item_cross_year", 2),
+        # round-7 split registrations: finals self-join materialized
+        # views only — zero fact scans in the final stage
+        ("job_from_subquery_twice_aliased", 0),
+        ("tpcds_yearly_decline_union", 0),
+        ("tpcds_qoq_web_vs_store", 0),
     ],
 )
 def test_materialized_queries_do_not_rescan_facts(name, cap, spark, sf_dir):

@@ -107,18 +107,22 @@ def test_front_of_queue_is_the_priority_backlog():
     assert got == want, f"front of sweep queue diverged: {got[:5]} != {want[:5]}"
 
 
-def test_r6_r7_r8_fronts_exhaust_the_legacy_backlog():
-    """r5 verdict item 2: the prove-down horizon is exactly three more
-    sweeps — the r6 front (50) + r7 front (50) + r8 tail (59) must
-    jointly exhaust the never-swept backlog that existed BEFORE the
-    round-6 additions, and the round-6 additions (job_shapes_t4,
-    tpcds_shapes_t5) must queue strictly BEHIND that legacy backlog so
-    they never displace a legacy query out of the three-round window.
-    The contiguous-prefix test above guarantees reachability; this one
-    pins the ROUND COUNT."""
+def test_r7_r8_fronts_exhaust_the_legacy_backlog():
+    """r5 verdict item 2 (horizon re-pinned to the post-r6 ledger per r6
+    verdict item 8): after the r6 sweep, the never-swept backlog that
+    predates the round-6 additions is 111 names (109 legacy + the 2
+    reclassified approx aggregates) — the r7 front (50) + r8 tail must
+    exhaust it.  Round-6/7 additions (job_shapes_t4, tpcds_shapes_t5,
+    clickbench_ext2, job_shapes_t5, tpcds_shapes_t6) must queue strictly
+    BEHIND that legacy backlog so they never displace a legacy query out
+    of the horizon.  The contiguous-prefix test above guarantees
+    reachability; this one pins the ROUND COUNT."""
     addition_modules = {
         "datafusion_umami_spark.queries.job_shapes_t4",
         "datafusion_umami_spark.queries.tpcds_shapes_t5",
+        "datafusion_umami_spark.queries.clickbench_ext2",
+        "datafusion_umami_spark.queries.job_shapes_t5",
+        "datafusion_umami_spark.queries.tpcds_shapes_t6",
     }
     additions = {
         n for n, spec in REGISTRY.items() if spec.module in addition_modules
@@ -129,10 +133,10 @@ def test_r6_r7_r8_fronts_exhaust_the_legacy_backlog():
     names = list(REGISTRY)
     unproven = [n for n in names if n not in green]
     legacy = [n for n in unproven if n not in additions]
-    # 159 = 50 (r6) + 50 (r7) + 59 (r8) as of the r5 artifacts; shrinks
-    # as sweeps land, must never grow past the three-sweep horizon.
-    assert len(legacy) <= 159, (
-        f"legacy backlog is {len(legacy)} — past the r6+r7+r8 horizon"
+    # 111 = 50 (r7) + 61 (r8) as of the r6 artifacts; shrinks as sweeps
+    # land, must never grow past the two-sweep horizon.
+    assert len(legacy) <= 111, (
+        f"legacy backlog is {len(legacy)} — past the r7+r8 horizon"
     )
     assert set(names[: len(legacy)]) == set(legacy), (
         "legacy backlog is not the exact queue front — additions or "
