@@ -88,6 +88,16 @@ HEAVY = [
     "tpcds_twice_joined_wide_star",
     "tpcds_frequent_item_cross_year",
     "tpcds_volatile_items_cross_month",
+    # round-7 additions: the IN-8 triple clique and two-hop link chain
+    # (3 fact aliases each, the largest new join states), the q75
+    # decline self-join over the materialized channel aggregate, the
+    # q51 full-outer-of-cumulatives window join, and the q78
+    # three-channel double full-outer
+    "job_keyword_in8_triple_clique",
+    "job_double_link_two_hops",
+    "tpcds_yearly_decline_union",
+    "tpcds_cumulative_max_channel_join",
+    "tpcds_three_channel_fullouter_profile",
 ]
 
 HOSTILE_CONF = {
