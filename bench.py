@@ -102,10 +102,13 @@ def main() -> None:
         print(f"# {name}: {times[name]:.3f}s (spread {spread:.3f}s)", file=sys.stderr)
 
     # Self-defense (r6 verdict item 3): when the pass as a whole was
-    # contaminated, give every query whose own timed windows saw steal
-    # one retry pass and fold the retry minima in — best-of is robust
-    # (steal only inflates a wall time, never deflates it), so a clean
-    # retry minimum supersedes a stolen first-pass one.
+    # contaminated, every query whose own timed windows saw steal gets
+    # one retry pass and its reported time is the retry's best-of-N —
+    # REPLACING the first-pass value, not folding (min over both passes
+    # would make affected queries best-of-2N, which deflates minima
+    # under the documented heavy-tailed iteration spread and breaks
+    # round-over-round comparability with best-of-N artifacts).  Both
+    # passes' iterations land in the JSON for attribution.
     retry_iters: dict[str, list[float]] = {}
     steal_retry = 0
     if steal_timed > STEAL_THRESHOLD:
@@ -120,7 +123,7 @@ def main() -> None:
             runs, steal = _timed_iters(spark, spec, sf_dir)
             retry_iters[name] = runs
             steal_retry += steal
-            times[name] = min(times[name], min(runs))
+            times[name] = min(runs)
 
     out = {
         "metric": "headline_queries_total",

@@ -375,10 +375,11 @@ register_sql(
     """
     WITH ratios AS (
         SELECT l_linestatus AS channel, l_partkey AS part,
-               CAST(FLOOR((1000000.0 * SUM(CASE WHEN l_returnflag = 'R'
+               CAST(FLOOR((1e6 * CAST(SUM(CASE WHEN l_returnflag = 'R'
                          THEN CAST(round(l_extendedprice * 100) AS BIGINT)
-                         ELSE 0 END))
-                    / SUM(CAST(round(l_extendedprice * 100) AS BIGINT)))
+                         ELSE 0 END) AS DOUBLE))
+                    / CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS DOUBLE))
                     AS BIGINT) AS ratio_ppm
         FROM lineitem
         GROUP BY l_linestatus, l_partkey

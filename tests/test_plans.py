@@ -400,9 +400,14 @@ def test_round7_bench_promotions_equi_join_no_cartesian(
     if want_broadcast:
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast of dims\n{plan}"
     else:
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
-            "BroadcastHashJoin" in plan
-        ), f"{name}: no equi-join in plan\n{plan}"
+        # the self-joined aggregate has no small side by construction —
+        # a broadcast of it would be a scale regression, not a pass
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
+            f"{name}: no shuffled equi-join in plan\n{plan}"
+        )
+        assert "BroadcastHashJoin" not in plan, (
+            f"{name}: broadcasts the un-broadcastable self-join side\n{plan}"
+        )
     assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
     assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ\n{plan}"
     assert "BatchEvalPython" not in plan, f"{name}: row-Python in plan\n{plan}"
@@ -446,7 +451,6 @@ def test_round7_bench_promotions_equi_join_no_cartesian(
         ("tpcds_frequent_item_cross_year", 2),
         # round-7 split registrations: finals self-join materialized
         # views only — zero fact scans in the final stage
-        ("job_from_subquery_twice_aliased", 0),
         ("tpcds_yearly_decline_union", 0),
         ("tpcds_qoq_web_vs_store", 0),
     ],
@@ -459,6 +463,21 @@ def test_materialized_queries_do_not_rescan_facts(name, cap, spark, sf_dir):
         f"{name}: final stage re-scans facts {scans} (cap {cap}) — the "
         "CTE materialization regressed (see operators/materialize.py)"
     )
+
+
+def test_twice_aliased_final_reads_no_parquet(spark, sf_dir):
+    """job_from_subquery_twice_aliased's materialized stage reads only
+    customer x nation — neither is in FACT_TABLES, so the fact-scan cap
+    gate above would be vacuous for it (r7 self-review finding).  Pin
+    the materialization directly: the final self-join must contain NO
+    parquet scan at all (both arms read the checkpointed view)."""
+    plan = q("job_from_subquery_twice_aliased", spark, sf_dir)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, (
+        "final stage re-scans base tables — the register_split_sql "
+        f"materialization regressed\n{plan}"
+    )
+    assert "Scan ExistingRDD" in plan, plan
 
 
 @pytest.mark.parametrize(
