@@ -8,7 +8,11 @@ Seeded generator (reproducible) composes queries from an ANSI subset
 valid verbatim in BOTH Spark SQL and DuckDB: random predicates, group
 keys, aggregates, sorts, limits, set ops, ROLLUPs, ranked windows,
 exact-integer running-sum frames and correlated (NOT) EXISTS over the
-driver tables.  Half the cases
+driver tables.  A second seeded corpus (`_gen_case_r7`) appends the
+round-7 combination idioms — full-outer aggregate merges, carry-forward
+cumulative MAX, dual-rank either-top-k, derived-table self-joins with
+integer ratio fences, EXCEPT chains, cross-joined single-row counts —
+without perturbing the legacy cases' draw order.  Half the cases
 additionally run Spark with a 1 MiB `files.maxPartitionBytes` (many
 input splits — the analog of the reference's small batch sizes) to
 catch chunking bugs.
@@ -26,7 +30,7 @@ import pytest
 from datafusion_umami_spark.oracle import canonical_rows
 from datafusion_umami_spark.tables import register_views
 
-N_CASES = 56
+N_LEGACY_CASES = 56  # rounds 1-6 corpus; round-7 idiom cases append behind it
 
 _TABLES = {
     "lineitem": {
@@ -232,8 +236,92 @@ def _gen_case(rng: random.Random) -> str:
     return sql
 
 
+def _gen_case_r7(rng: random.Random) -> str:
+    """Round-7 idiom branches, appended behind the legacy corpus so the
+    original 56 cases stay byte-identical (same seed, same draw order):
+    the q78-class full-outer merge of two keyed aggregates, the q51
+    carry-forward cumulative MAX over a per-day aggregate, the q49
+    dual-rank either-top-k, the JOB tranche-5 derived-table self-join
+    with an integer cross-multiplied ratio fence, the q87 EXCEPT-chain
+    cardinality, and the q88 cross-join of single-row aggregates."""
+    branch = rng.randrange(6)
+    keys = ["o_orderstatus", "o_orderpriority", "o_custkey % 11"]
+    preds = _TABLES["orders"]["preds"]
+    cents = "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+    if branch == 0:  # q78-class: FULL OUTER join of two keyed aggregates
+        k = rng.choice(keys)
+        p1, p2 = rng.sample(preds, k=2)
+        return (
+            f"SELECT COALESCE(a.k0, b.k0) AS k0, "
+            f"COALESCE(a.cents, 0) AS cents_a, COALESCE(b.cents, 0) AS cents_b, "
+            f"COALESCE(a.cnt, 0) + COALESCE(b.cnt, 0) AS n_both "
+            f"FROM (SELECT {k} AS k0, {cents} AS cents, COUNT(*) AS cnt "
+            f"      FROM orders WHERE {p1} GROUP BY {k}) a "
+            f"FULL OUTER JOIN "
+            f"     (SELECT {k} AS k0, {cents} AS cents, COUNT(*) AS cnt "
+            f"      FROM orders WHERE {p2} GROUP BY {k}) b "
+            f"ON a.k0 = b.k0 ORDER BY k0"
+        )
+    if branch == 1:  # q51-class: carry-forward running MAX over per-day agg
+        k = rng.choice(["o_orderstatus", "o_orderpriority"])
+        p = rng.choice(preds)
+        return (
+            f"SELECT k0, d, MAX(cents) OVER (PARTITION BY k0 ORDER BY d "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max "
+            f"FROM (SELECT {k} AS k0, o_orderdate AS d, {cents} AS cents "
+            f"      FROM orders WHERE {p} GROUP BY {k}, o_orderdate) t "
+            f"ORDER BY k0, d LIMIT 500"
+        )
+    if branch == 2:  # q49-class: ASC + DESC rank in one pass, either-top-k
+        k = rng.choice(keys)
+        p = rng.choice(preds)
+        topk = rng.choice([3, 5])
+        return (
+            f"SELECT k0, ra, rd FROM ("
+            f"SELECT k0, RANK() OVER (ORDER BY cents ASC, k0) AS ra, "
+            f"       RANK() OVER (ORDER BY cents DESC, k0) AS rd "
+            f"FROM (SELECT {k} AS k0, {cents} AS cents "
+            f"      FROM orders WHERE {p} GROUP BY {k}) s) t "
+            f"WHERE ra <= {topk} OR rd <= {topk} ORDER BY k0"
+        )
+    if branch == 3:  # JOB t5-class: derived aggregate self-joined, ratio fence
+        k = rng.choice(keys)
+        p1, p2 = rng.sample(preds, k=2)
+        m, n = rng.choice([(2, 1), (3, 2), (1, 1)])
+        return (
+            f"SELECT a.k0 AS k0, a.cents AS cents_a, b.cents AS cents_b "
+            f"FROM (SELECT {k} AS k0, {cents} AS cents "
+            f"      FROM orders WHERE {p1} GROUP BY {k}) a "
+            f"JOIN (SELECT {k} AS k0, {cents} AS cents "
+            f"      FROM orders WHERE {p2} GROUP BY {k}) b "
+            f"ON a.k0 = b.k0 WHERE a.cents * {m} > b.cents * {n} ORDER BY k0"
+        )
+    tname = rng.choice(sorted(_TABLES))
+    t = _TABLES[tname]
+    if branch == 4:  # q87-class: EXCEPT-chain cardinality
+        cols = ", ".join(t["cols"][:3])
+        p1, p2, p3 = rng.sample(t["preds"], k=3)
+        return (
+            f"SELECT COUNT(*) AS n FROM ("
+            f"SELECT {cols} FROM {tname} WHERE {p1} "
+            f"EXCEPT SELECT {cols} FROM {tname} WHERE {p2} "
+            f"EXCEPT SELECT {cols} FROM {tname} WHERE {p3}) x"
+        )
+    # branch 5 — q88-class: cross-join of single-row COUNT aggregates
+    p1, p2, p3 = rng.sample(t["preds"], k=3)
+    return (
+        f"SELECT a.n AS n1, b.n AS n2, c.n AS n3 "
+        f"FROM (SELECT COUNT(*) AS n FROM {tname} WHERE {p1}) a, "
+        f"     (SELECT COUNT(*) AS n FROM {tname} WHERE {p2}) b, "
+        f"     (SELECT COUNT(*) AS n FROM {tname} WHERE {p3}) c"
+    )
+
+
 _RNG = random.Random(20260813)
-CASES = [(_gen_case(_RNG), i % 2 == 1) for i in range(N_CASES)]
+CASES = [(_gen_case(_RNG), i % 2 == 1) for i in range(N_LEGACY_CASES)]
+_RNG7 = random.Random(20260814)
+CASES += [(_gen_case_r7(_RNG7), i % 2 == 1) for i in range(16)]
+N_CASES = len(CASES)
 
 
 @pytest.mark.parametrize("sql,small_splits", CASES, ids=range(N_CASES))
