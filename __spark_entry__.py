@@ -34,25 +34,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys (signature matrices reused across consumers) and the building
     query's own keys are kept.
 
-    CONTRACT: frees are deferred ONE generation — building query C
-    frees the keys of everything except {shared:, B, C} where B was the
-    previous build.  A strictly-sequential driver holds at most two
-    queries' checkpoints (still O(1)); a consumer that pipelines one
-    query ahead (builds B before collecting A) also stays safe, because
-    A's blocks are freed only when C builds — the silent use-after-free
-    window the r6 ADVICE flagged needs pipelining depth ≥ 2, which no
-    plausible build→collect driver does.  Deeper interleaving must go
-    through the raw registry (datafusion_umami_spark.registry.REGISTRY),
-    which never auto-frees."""
-    from datafusion_umami_spark.operators.materialize import release_except
+    CONTRACT: frees are deferred ONE BUILD GENERATION over the ACTUAL
+    live key set, not over key-name prefixes — at build N+1 the only
+    keys freed are those that were already live when build N started,
+    so every key a query pins (whatever its name: 'jac_w', 'sh_sig',
+    'tri_pairs', ... — many queries materialize under bare keys) lives
+    through exactly one subsequent build before it is freed.  A
+    strictly-sequential driver holds at most two queries' checkpoints
+    (still O(1)); a consumer that pipelines one query ahead (builds B
+    before collecting A) also stays safe, because A's blocks are freed
+    only when C builds — the silent use-after-free window the r6 ADVICE
+    flagged needs pipelining depth ≥ 2, which no plausible
+    build→collect driver does.  `shared:` keys (signature matrices
+    reused across consumers) are never auto-freed.  Deeper interleaving
+    must go through the raw registry
+    (datafusion_umami_spark.registry.REGISTRY), which never
+    auto-frees."""
+    from datafusion_umami_spark.operators.materialize import live_keys, release
 
-    prev: list[str] = []  # single-element holder: name of previous build
+    # keys that were live (excluding shared:) when the PREVIOUS build
+    # started; None until the first build
+    prev_start: list[set[str] | None] = [None]
 
     def wrap(name: str, fn: Callable) -> Callable:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            keep = ("shared:", f"{name}:") + tuple(f"{p}:" for p in prev)
-            release_except(keep)
-            prev[:] = [name]
+            stale = prev_start[0]
+            if stale is not None:
+                for key in live_keys():
+                    if key in stale and not key.startswith("shared:"):
+                        release(key)
+            prev_start[0] = {
+                k for k in live_keys() if not k.startswith("shared:")
+            }
             return fn(spark, sf_dir)
 
         run.__name__ = name

@@ -113,7 +113,13 @@ def main() -> None:
     # cleaner first-pass value.  Both passes' iterations land in the
     # JSON for attribution.
     retry_iters: dict[str, list[float]] = {}
+    retry_replaced: list[str] = []
     steal_retry = 0
+    # steal attributable to the passes that actually supplied the
+    # reported minima (first-pass steal minus the contaminated windows a
+    # clean retry replaced) — the number a consumer should judge the
+    # artifact by once a retry ran
+    steal_effective = steal_timed
     if steal_timed > STEAL_THRESHOLD:
         affected = [n for n, s in steal_by_query.items() if s > 0]
         print(
@@ -123,11 +129,19 @@ def main() -> None:
         )
         for name in affected:
             spec = specs[name]
+            # warmup: pass 1's minima came right after a dedicated warm
+            # run, but this query last executed ~len(specs) queries ago —
+            # an unwarmed retry would overwrite a warm best-of-N with a
+            # measurement carrying recompile/cold-cache cost
+            release_all()
+            spec.fn(spark, sf_dir).toPandas()
             runs, steal = _timed_iters(spark, spec, sf_dir)
             retry_iters[name] = runs
             steal_retry += steal
             if steal < steal_by_query[name]:
                 times[name] = min(runs)
+                retry_replaced.append(name)
+                steal_effective += steal - steal_by_query[name]
 
     out = {
         "metric": "headline_queries_total",
@@ -147,6 +161,13 @@ def main() -> None:
     if retry_iters:
         out["query_iters_retry"] = retry_iters
         out["steal_retry_jiffies"] = steal_retry
+        # which queries' reported times came from the retry pass, and
+        # the steal of the passes that supplied the reported minima —
+        # so a clean-after-retry artifact is legible as clean without
+        # diffing query_iters against query_iters_retry (steal_jiffies
+        # above stays the FIRST pass's value for protocol continuity)
+        out["retry_replaced"] = sorted(retry_replaced)
+        out["steal_effective_jiffies"] = steal_effective
     print(json.dumps(out))
 
 

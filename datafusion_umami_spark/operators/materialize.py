@@ -96,16 +96,13 @@ def release_all(blocking: bool = False) -> None:
         release(key, blocking=blocking)
 
 
-def release_except(keep_prefixes: tuple[str, ...]) -> None:
-    """Free every held checkpoint whose key matches none of
-    `keep_prefixes` — the start-of-next-query hook: a sequential runner
-    (driver sweep via __spark_entry__) frees the previous query's keys
-    when the next build begins, keeping `shared:`-prefixed
-    materializations (reused across consumers) and the building query's
-    own keys alive."""
-    for key in list(_LIVE):
-        if not any(key.startswith(p) for p in keep_prefixes):
-            release(key)
+def live_keys() -> tuple[str, ...]:
+    """Snapshot of the currently-held checkpoint keys — the hook the
+    generation-deferred auto-free (__spark_entry__.queries()) uses to
+    decide staleness from the ACTUAL live set rather than from key
+    naming conventions (a query may pin keys not prefixed by its own
+    name: 'jac_w', 'sh_sig', 'tri_pairs', ...)."""
+    return tuple(_LIVE)
 
 
 def materialize_view_shared(spark, key: str, view: str, build) -> DataFrame:
