@@ -50,7 +50,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     must go through the raw registry
     (datafusion_umami_spark.registry.REGISTRY), which never
     auto-frees."""
+    import logging
+
     from datafusion_umami_spark.operators.materialize import live_keys, release
+
+    log = logging.getLogger("datafusion_umami_spark.entry")
 
     # keys that were live (excluding shared:) when the PREVIOUS build
     # started; None until the first build
@@ -62,6 +66,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if stale is not None:
                 for key in live_keys():
                     if key in stale and not key.startswith("shared:"):
+                        # attribution breadcrumb (r7 ADVICE item 4): a
+                        # depth-2 pipelining driver that hits a
+                        # use-after-free can tie the failure to this
+                        # release instead of debugging blind
+                        log.info(
+                            "auto-freeing checkpoint %r at build of %r "
+                            "(one-generation grace elapsed)", key, name
+                        )
                         release(key)
             prev_start[0] = {
                 k for k in live_keys() if not k.startswith("shared:")

@@ -72,6 +72,11 @@ register_sql(
 # must land between the exact 0.91/0.99 quantiles — brackets any
 # estimate with rank error <= 1/n + 1e-4 once n >= 50, and
 # percentile_approx at accuracy 10000 is far inside that).
+# TRIAGE NOTE (r7 ADVICE item 3): the oracle pins tp95_in_band = 1, so
+# a driver hash mismatch on THIS query at a larger SF most likely means
+# the band check tripped (the sketch landed outside the 0.91-0.99 exact
+# quantiles), not that the exact columns diverged — re-run with the
+# CASE expression projected separately before suspecting the rest.
 register_sql(
     "cb_ext_q5_p95_approx",
     """

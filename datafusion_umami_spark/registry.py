@@ -71,10 +71,24 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    module: str | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: add a query to the registry."""
+    """Decorator: add a query to the registry.
 
-    module = _registering_module()
+    `module` may be passed explicitly (``module=__name__``) by helpers
+    not in `_REGISTRAR_MODULES`; otherwise the stack walk resolves it.
+    Either way the result must be a `queries/` module — the sweep-order
+    tests separate tranche additions from the legacy backlog by
+    `spec.module`, so a silent mis-attribution (r7 ADVICE item 1) would
+    corrupt the prove-down horizon accounting.  Fail loudly instead.
+    """
+
+    module = module or _registering_module()
+    if not module.startswith("datafusion_umami_spark.queries"):
+        raise ValueError(
+            f"query {name!r} attributed to non-queries module {module!r}; "
+            "pass module=__name__ through your registration helper"
+        )
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
@@ -93,6 +107,7 @@ def register_sql(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    module: str | None = None,
 ) -> None:
     """Register a query expressed as Spark SQL text (views pre-registered).
 
@@ -106,7 +121,13 @@ def register_sql(
         return spark.sql(spark_sql)
 
     fn.__doc__ = spark_sql
-    register(name, oracle if oracle is not None else spark_sql, tags=tags, bench=bench)(fn)
+    register(
+        name,
+        oracle if oracle is not None else spark_sql,
+        tags=tags,
+        bench=bench,
+        module=module,
+    )(fn)
 
 
 def all_queries() -> dict[str, QueryFn]:

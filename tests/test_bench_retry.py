@@ -1,0 +1,85 @@
+"""bench.py steal self-defense — the bounded clean-retry loop.
+
+r6 verdict item 3 introduced the single-shot retry; r7 verdict item 6
+makes it iterate: per-query until the pass supplying its reported
+minimum saw zero steal, capped.  r7 ADVICE item 2: when the cap is hit
+while effective steal is still above threshold, the artifact must carry
+an explicit `contaminated` flag rather than merely looking "handled".
+
+These tests drive `bench.run_suite` with an injected runner (no Spark).
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def _runner(script):
+    """`run_query` stub: pops the next (runs, steal) per query."""
+    calls: dict[str, int] = {}
+
+    def run_query(name):
+        i = calls.get(name, 0)
+        calls[name] = i + 1
+        seq = script[name]
+        return seq[min(i, len(seq) - 1)]
+
+    return run_query, calls
+
+
+def test_second_retry_pass_engages_and_loop_stops_at_clean():
+    """Forced-steal smoke (r7 verdict item 6 'done' criterion): a retry
+    window that is itself contaminated triggers a SECOND retry pass, the
+    loop stops as soon as every reported minimum is steal-free, and the
+    artifact records every pass."""
+    script = {
+        "a": [([2.0, 1.5, 1.8], 300), ([1.4, 1.6, 1.5], 100), ([1.0, 1.1, 1.2], 0)],
+        "b": [([0.5, 0.6, 0.7], 50), ([0.9, 0.8, 0.7], 60), ([0.4, 0.5, 0.6], 0)],
+        "c": [([0.2, 0.3, 0.2], 0)],
+    }
+    run_query, calls = _runner(script)
+    out = bench.run_suite(
+        ["a", "b", "c"], run_query, steal_threshold=200, max_retry_passes=3
+    )
+    assert out["retry_passes"] == 2  # second pass engaged, third not needed
+    assert calls == {"a": 3, "b": 3, "c": 1}  # clean query never re-run
+    # reported time = min of the LEAST-stolen pass, not min over passes
+    assert out["queries"] == {"a": 1.0, "b": 0.4, "c": 0.2}
+    assert out["retry_replaced"] == ["a", "b"]
+    assert out["steal_jiffies"] == 350  # first pass, protocol continuity
+    assert out["steal_effective_jiffies"] == 0
+    assert "contaminated" not in out
+    # every retry pass's iterations recorded for attribution
+    assert [len(v) for v in out["query_iters_retry"].values()] == [2, 2]
+
+
+def test_worse_retry_window_does_not_overwrite_cleaner_pass():
+    """The replacement rule is least-steal-pass, ties keep the earliest."""
+    script = {
+        "a": [([1.0, 1.2, 1.1], 250), ([0.1, 0.1, 0.1], 400), ([0.2, 0.2, 0.2], 250)],
+    }
+    run_query, _ = _runner(script)
+    out = bench.run_suite(["a"], run_query, steal_threshold=200, max_retry_passes=2)
+    assert out["queries"] == {"a": 1.0}  # neither retry saw less steal
+    assert out["retry_replaced"] == []
+    assert out["steal_effective_jiffies"] == 250
+
+
+def test_cap_exhausted_flags_contaminated():
+    """r7 ADVICE item 2: retries exhausted above threshold ⇒ explicit flag."""
+    script = {"a": [([1.0, 1.0, 1.0], 500)] * 10}
+    run_query, calls = _runner(script)
+    out = bench.run_suite(["a"], run_query, steal_threshold=200, max_retry_passes=3)
+    assert out["retry_passes"] == 3
+    assert calls["a"] == 4  # first pass + capped retries
+    assert out["contaminated"] is True
+    assert out["steal_effective_jiffies"] == 500
+
+
+def test_quiet_first_pass_never_retries():
+    script = {"a": [([1.0, 1.0, 1.0], 10)], "b": [([2.0, 2.0, 2.0], 20)]}
+    run_query, calls = _runner(script)
+    out = bench.run_suite(["a", "b"], run_query, steal_threshold=200)
+    assert calls == {"a": 1, "b": 1}
+    assert "query_iters_retry" not in out and "contaminated" not in out
+    assert out["steal_jiffies"] == 30

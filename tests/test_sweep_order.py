@@ -111,15 +111,16 @@ def test_front_of_queue_is_the_priority_backlog():
 
 
 def test_r7_r8_fronts_exhaust_the_legacy_backlog():
-    """r5 verdict item 2 (horizon re-pinned to the post-r6 ledger per r6
-    verdict item 8): after the r6 sweep, the never-swept backlog that
-    predates the round-6 additions is 111 names (109 legacy + the 2
-    reclassified approx aggregates) — the r7 front (50) + r8 tail must
-    exhaust it.  Round-6/7 additions (job_shapes_t4, tpcds_shapes_t5,
-    clickbench_ext2, job_shapes_t5, tpcds_shapes_t6) must queue strictly
-    BEHIND that legacy backlog so they never displace a legacy query out
-    of the horizon.  The contiguous-prefix test above guarantees
-    reachability; this one pins the ROUND COUNT."""
+    """r5 verdict item 2, horizon re-pinned each round (r6 item 8, r7
+    item 2): after the r7 sweep the never-swept legacy backlog is 61
+    names — the r8 front (50: cb x2, tpcds x17, job x22, ddl x7,
+    dataframe_ops x2) + an 11-name r9 tail (job_shapes_t3 x10 +
+    simsearch x1) exhaust it.  Round-6/7 additions (job_shapes_t4,
+    tpcds_shapes_t5, clickbench_ext2, job_shapes_t5, tpcds_shapes_t6)
+    must queue strictly BEHIND that legacy backlog so they never
+    displace a legacy query out of the horizon.  The contiguous-prefix
+    test above guarantees reachability; this one pins the ROUND COUNT so
+    any addition that jumps the queue or regrows the backlog fails CI."""
     addition_modules = {
         "datafusion_umami_spark.queries.job_shapes_t4",
         "datafusion_umami_spark.queries.tpcds_shapes_t5",
@@ -136,10 +137,10 @@ def test_r7_r8_fronts_exhaust_the_legacy_backlog():
     names = list(REGISTRY)
     unproven = [n for n in names if n not in green]
     legacy = [n for n in unproven if n not in additions]
-    # 111 = 50 (r7) + 61 (r8) as of the r6 artifacts; shrinks as sweeps
-    # land, must never grow past the two-sweep horizon.
-    assert len(legacy) <= 111, (
-        f"legacy backlog is {len(legacy)} — past the r7+r8 horizon"
+    # 61 = 50 (r8 front) + 11 (r9 tail) as of the r7 artifacts; shrinks
+    # as sweeps land, must never grow past the two-sweep horizon.
+    assert len(legacy) <= 61, (
+        f"legacy backlog is {len(legacy)} — past the r8+r9 horizon"
     )
     assert set(names[: len(legacy)]) == set(legacy), (
         "legacy backlog is not the exact queue front — additions or "
