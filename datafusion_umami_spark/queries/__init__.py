@@ -19,14 +19,13 @@ This is self-maintaining: each round's driver artifact is read from the
 repo root, so round N+1 automatically pushes round N's greens to the back
 and pulls any new failures to the front — no manual rotation needed.
 
-PROVE-DOWN HORIZON (r5 verdict, pinned by tests/test_sweep_order.py):
-as of the round-5 artifacts the never-swept legacy backlog is 159
-queries = r6 front (50: graph/curation/multimodal/window-emulations/
-TPC-DS+h2o tails/ORC) + r7 front (50: prepared/pivot/stream-dedup +
-h2o x9 + the clickbench block) + r8 tail (59: clickbench remainder +
-JOB tranche 3).  Registry additions stay capped until the backlog
-clears (~r8) and MUST be imported last (below) so they queue strictly
-behind the legacy backlog.
+PROVE-DOWN HORIZON (re-pinned each round, tests/test_sweep_order.py):
+as of the round-7 artifacts the never-swept legacy backlog is 61
+queries = r8 front (50: cb x2, tpcds x17, job x22, ddl x7,
+dataframe_ops x2) + r9 tail (11: job_shapes_t3 x10 + ann_ivf_trained).
+Tranche additions (t4/t5/t6/t7 + clickbench_ext2/closure) stay capped
+and MUST be imported last (below) so they queue strictly behind the
+legacy backlog; they drain from r9 once the legacy tail clears.
 """
 
 from __future__ import annotations
@@ -75,6 +74,9 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     clickbench_ext2,
     job_shapes_t5,
     tpcds_shapes_t6,
+    clickbench_closure,
+    job_shapes_t6,
+    tpcds_shapes_t7,
 )
 
 # Explicit front of the sweep queue (only names not yet proven green are

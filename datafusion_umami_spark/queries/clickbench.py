@@ -871,21 +871,29 @@ register_sql(
 # ---------------------------------------------------------------------------
 # Final three for 1:1 ClickBench coverage (reference benchmarks/queries/
 # clickbench/queries/q0,q12,q34.sql). Full mapping of the 43 canonical
-# queries to shapes in this module:
-#   q0→cb_count_star  q1→cb_filtered_global_count  q2,q3→cb_global_scan_
-#   battery  q4,q5→cb_multi_distinct  q6→cb_minmax_ts  q7→cb_smalldim_
-#   counts  q8,q9→cb_region_segmentation  q10,q11→cb_mobile_model_
-#   segmentation  q12→cb_phrase_count_topk  q13→cb_topk_by_users
-#   q14,q18→cb_engine_phrase_minute  q15→cb_heavy_hitter_users
-#   q16,q33→cb_two_key_topk  q17→(q16 without its sort; same plan minus
-#   TakeOrdered — represented by cb_two_key_topk)  q19→cb_point_lookup
-#   q20→cb_substring_search  q21,q22→cb_like_notlike_minurl
-#   q23→cb_select_star_like_ordered  q24,q26→cb_ts_ordered_phrases
-#   q25→cb_string_sort_topk  q27→cb_url_length_having
+# queries — DEDICATED entry per file as of round 8; the 12 files that
+# previously shared merged shapes have their own entries in
+# queries/clickbench_closure.py (marked *):
+#   q0→cb_count_star  q1→cb_filtered_global_count
+#   q2→cb_global_scan_battery  q3→cb_q3_avg_userid*
+#   q4→cb_multi_distinct  q5→cb_q5_distinct_phrases*  q6→cb_minmax_ts
+#   q7→cb_smalldim_counts  q8→cb_region_segmentation
+#   q9→cb_q9_region_battery*  q10→cb_mobile_model_segmentation
+#   q11→cb_q11_phone_model_two_key*  q12→cb_phrase_count_topk
+#   q13→cb_topk_by_users  q14→cb_engine_phrase_minute
+#   q15→cb_heavy_hitter_users  q16→cb_two_key_topk
+#   q17→cb_q17_two_key_unranked*  q18→cb_q18_user_minute_phrase*
+#   q19→cb_point_lookup  q20→cb_substring_search
+#   q21→cb_like_notlike_minurl  q22→cb_q22_title_fence_battery*
+#   q23→cb_select_star_like_ordered  q24→cb_q24_time_ordered_phrase*
+#   q25→cb_string_sort_topk  q26→cb_ts_ordered_phrases
+#   q27→cb_url_length_having
 #   q28→cb_referer_domain_agg (+cb_regex_extract_agg)  q29→cb_sum_series
-#   q30→cb_wide_sums  q31,q32→cb_watch_client_mixed_agg
+#   q30→cb_wide_sums  q31→cb_watch_client_mixed_agg
+#   q32→cb_q32_watch_client_unfenced*  q33→cb_q33_url_count_topk*
 #   q34→cb_const_key_groupby  q35→cb_shifted_key_groupby
-#   q36,q37,q38→cb_fenced_pageviews_offset  q39→cb_case_src_dst_funnel
+#   q36→cb_fenced_pageviews_offset  q37→cb_q37_title_pageviews*
+#   q38→cb_q38_link_pageviews_offset*  q39→cb_case_src_dst_funnel
 #   q40→cb_in_heavy_filter  q41→cb_client_window_dims
 #   q42→cb_day_histogram (+cb_minute_buckets)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,473 @@
+"""TPC-DS tranche 7: combination idioms 72-85 of the 99-query corpus.
+
+The reference plans all 99 TPC-DS queries (reference
+core/tests/tpcds_planning.rs); tranches 1-6 shaped ~71 distinct
+combination idioms.  This tranche adds the ones the round-7 verdict
+called out plus the next headline combinations, re-expressed on the
+driver star schema (channels emulated deterministically as in earlier
+tranches):
+
+- q4/q11: the multi-year customer profile stack — ONE per-(customer,
+  channel, year) aggregate referenced FOUR times (two channels x two
+  years), keeping customers whose second-channel growth beats the
+  first-channel growth; the shared aggregate materializes once
+  (register_split_sql, cap-0 fact-scan gate);
+- q89 (and q47/q57's deviation half): monthly revenue vs the SAME
+  year's monthly mean via SUM/COUNT window — keep months deviating
+  >10% from the year mean, integer cross-multiplied;
+- q64's second-sale leg: the re-buy self-join now carries the
+  cnt2 <= cnt1 volume fence alongside the lower-price fence;
+- q1/q30: per-customer returns above 1.2x the nation average — the
+  per-customer aggregate is referenced once as the base and once
+  re-aggregated per nation (split registration);
+- q2/q59: weekday revenue profile of year Y joined to year Y+1 on the
+  weekday, per-day ratio (engine-split DOW: Spark dayofweek is 1-7
+  Sun-Sat, DuckDB dayofweek is 0-6 Sun-Sat);
+- q21/q40: before/after pivot-date quantity split per part, kept when
+  the after/before ratio lands in [2/3, 3/2];
+- q39: integer-exact coefficient-of-variation pairs — per (part,
+  month) CV computed from n/Σx/Σx² and month-(m,m+1) pairs where both
+  CVs exceed the band (n(nΣx²−(Σx)²) > (n−1)(Σx)² avoids FP);
+- q34: bulk-ticket households — orders with 4-6 lines, customers with
+  at least two such orders;
+- q58: three-channel revenue within a band of the three-channel mean,
+  one pass via SUM(CASE) pivot, all fences integer cross-multiplied;
+- q65: (supplier, part) revenue at or below half the supplier's mean
+  part revenue (shared aggregate, split registration);
+- q46/q68: order profiles where the customer and supplier nations
+  DIFFER (the differing-city-pair fence) aggregated per order;
+- q41: DISTINCT over a dimension behind AND-of-OR fence triples;
+- q61: promotional share of revenue — filtered and total aggregates of
+  one fact in a single pass, guarded ratio;
+- q79: each customer's maximum-profit order via aggregate → window
+  rank-1 (the per-entity argmax combination).
+
+Determinism: money through integer cents, ratios ROUND(..,6) over
+integer inputs, all comparison boundaries integer cross-multiplied,
+years EXTRACT->BIGINT, total-order ORDER BY + LIMIT on multi-row
+outputs.  Shared aggregates register through register_split_sql so the
+stage materializes ONCE on Spark (CTE-inlining countermeasure); DuckDB
+keeps the single ANSI statement.  Registered in a module imported LAST
+so these never-swept additions queue BEHIND the legacy backlog
+(sweep-rotation contract, queries/__init__.py).
+"""
+
+from __future__ import annotations
+
+from datafusion_umami_spark.operators.materialize import register_split_sql
+from datafusion_umami_spark.registry import register_sql
+
+# --- q4/q11: multi-year two-channel customer profile stack ----------------
+# One shared aggregate, FOUR references.  Cross-multiplied growth
+# comparison stays in BIGINT (cents x cents < 1e18 at driver SFs).
+_YT = """
+        SELECT o_custkey AS cust,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 'c' ELSE 'w' END
+                   AS chan,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders
+        GROUP BY o_custkey,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 'c' ELSE 'w' END,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)"""
+_Q4_FINAL = """
+    SELECT c.c_name AS cust_name,
+           ROUND(CAST(cs2.total_cents AS DOUBLE) / cs1.total_cents, 6)
+               AS urgent_growth,
+           ROUND(CAST(ws2.total_cents AS DOUBLE) / ws1.total_cents, 6)
+               AS other_growth
+    FROM {yt} cs1, {yt} cs2, {yt} ws1, {yt} ws2, customer c
+    WHERE cs1.cust = cs2.cust
+      AND cs1.cust = ws1.cust
+      AND cs1.cust = ws2.cust
+      AND cs1.chan = 'c' AND cs2.chan = 'c'
+      AND ws1.chan = 'w' AND ws2.chan = 'w'
+      AND cs1.yr = 1997 AND cs2.yr = 1998
+      AND ws1.yr = 1997 AND ws2.yr = 1998
+      AND cs1.total_cents > 0
+      AND ws1.total_cents > 0
+      AND ws2.total_cents * cs1.total_cents
+          > cs2.total_cents * ws1.total_cents
+      AND c.c_custkey = cs1.cust
+    ORDER BY cust_name
+    LIMIT 500
+    """
+
+register_split_sql(
+    "tpcds_t7_multi_year_profile_stack",
+    stages=[(_YT, "t7_yeartotal_m")],
+    final_sql=_Q4_FINAL.format(yt="t7_yeartotal_m"),
+    oracle="WITH yt AS (" + _YT + ")" + _Q4_FINAL.format(yt="yt"),
+    tags=("tpcds", "multi-year-profile", "four-refs"),
+    bench=True,
+)
+
+# --- q89 / q47-q57 deviation half: months vs the year's monthly mean ------
+register_sql(
+    "tpcds_t7_deviation_from_year_mean",
+    """
+    WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders
+        GROUP BY o_orderpriority,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+                 CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)),
+    w AS (
+        SELECT priority, yr, mo, rev_cents,
+               SUM(rev_cents) OVER (PARTITION BY priority, yr) AS yr_cents,
+               COUNT(*) OVER (PARTITION BY priority, yr) AS n_mo
+        FROM monthly)
+    SELECT priority, yr, mo, rev_cents,
+           ROUND(CAST(n_mo * rev_cents AS DOUBLE) / yr_cents, 6)
+               AS ratio_to_mean
+    FROM w
+    WHERE 10 * n_mo * rev_cents > 11 * yr_cents
+       OR 10 * n_mo * rev_cents < 9 * yr_cents
+    ORDER BY priority, yr, mo
+    LIMIT 500
+    """,
+    tags=("tpcds", "deviation-from-mean", "window"),
+)
+
+# --- q64 second-sale leg: re-buy with the volume fence --------------------
+_SALE64 = """
+        SELECT o.o_custkey AS cust, l.l_partkey AS part,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+               COUNT(*) AS cnt,
+               MIN(l.l_extendedprice) AS best_price
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, l.l_partkey,
+                 CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)"""
+_Q64B_FINAL = """
+    SELECT b1.cust AS cust_key, b1.part AS part_key, b1.yr AS first_year,
+           CAST(b1.cnt AS BIGINT) AS cnt_y1, CAST(b2.cnt AS BIGINT) AS cnt_y2,
+           b1.best_price AS price_y1, b2.best_price AS price_y2
+    FROM {s} b1
+    JOIN {s} b2 ON b1.cust = b2.cust AND b1.part = b2.part
+               AND b2.yr = b1.yr + 1
+    WHERE b2.cnt <= b1.cnt
+      AND b2.best_price < b1.best_price
+      AND b1.yr BETWEEN 1996 AND 2000
+    ORDER BY cust_key, part_key, first_year
+    LIMIT 1000
+    """
+
+register_split_sql(
+    "tpcds_t7_second_sale_volume_leg",
+    stages=[(_SALE64, "t7_sale64_m")],
+    final_sql=_Q64B_FINAL.format(s="t7_sale64_m"),
+    oracle="WITH s AS (" + _SALE64 + ")" + _Q64B_FINAL.format(s="s"),
+    tags=("tpcds", "self-join", "rebuy", "volume-fence"),
+)
+
+# --- q1/q30: returns above 1.2x the nation average ------------------------
+_CRET = """
+        SELECT c_custkey AS cust, c_nationkey AS nat,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS ret_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_nationkey"""
+_Q1_FINAL = """
+    SELECT c.c_name AS cust_name, r1.ret_cents AS ret_cents
+    FROM {cr} r1,
+         (SELECT nat,
+                 CAST(SUM(ret_cents) AS BIGINT) AS nat_cents,
+                 COUNT(*) AS n_cust
+          FROM {cr} GROUP BY nat) a,
+         customer c
+    WHERE r1.nat = a.nat
+      AND 10 * r1.ret_cents * a.n_cust > 12 * a.nat_cents
+      AND c.c_custkey = r1.cust
+    ORDER BY cust_name, ret_cents
+    LIMIT 500
+    """
+
+register_split_sql(
+    "tpcds_t7_returns_above_nation_avg",
+    stages=[(_CRET, "t7_custret_m")],
+    final_sql=_Q1_FINAL.format(cr="t7_custret_m"),
+    oracle="WITH cr AS (" + _CRET + ")" + _Q1_FINAL.format(cr="cr"),
+    tags=("tpcds", "above-group-avg", "returns"),
+)
+
+# --- q2/q59: weekday profile year-over-year -------------------------------
+# DOW is engine-split: Spark dayofweek() is 1-7 Sun-Sat; DuckDB
+# dayofweek() is 0-6 Sun-Sat, shifted +1 to align.
+register_sql(
+    "tpcds_t7_weekday_year_over_year",
+    """
+    WITH wk AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) IN (1997, 1998)
+        GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+                 CAST(dayofweek(o_orderdate) AS BIGINT))
+    SELECT y1.dow AS dow, y1.rev_cents AS rev_1997,
+           y2.rev_cents AS rev_1998,
+           ROUND(CAST(y2.rev_cents AS DOUBLE) / y1.rev_cents, 6) AS yoy
+    FROM wk y1
+    JOIN wk y2 ON y1.dow = y2.dow
+    WHERE y1.yr = 1997 AND y2.yr = 1998 AND y1.rev_cents > 0
+    ORDER BY dow
+    """,
+    oracle="""
+    WITH wk AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) IN (1997, 1998)
+        GROUP BY 1, 2)
+    SELECT y1.dow AS dow, y1.rev_cents AS rev_1997,
+           y2.rev_cents AS rev_1998,
+           ROUND(CAST(y2.rev_cents AS DOUBLE) / y1.rev_cents, 6) AS yoy
+    FROM wk y1
+    JOIN wk y2 ON y1.dow = y2.dow
+    WHERE y1.yr = 1997 AND y2.yr = 1998 AND y1.rev_cents > 0
+    ORDER BY dow
+    """,
+    tags=("tpcds", "weekday-profile", "yoy"),
+)
+
+# --- q21/q40: before/after pivot-date ratio band --------------------------
+register_sql(
+    "tpcds_t7_before_after_pivot_band",
+    """
+    WITH ba AS (
+        SELECT l_partkey AS part,
+               CAST(SUM(CASE WHEN l_shipdate < DATE '1998-06-01'
+                             THEN CAST(round(l_quantity) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS before_qty,
+               CAST(SUM(CASE WHEN l_shipdate >= DATE '1998-06-01'
+                             THEN CAST(round(l_quantity) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS after_qty
+        FROM lineitem
+        WHERE l_shipdate BETWEEN DATE '1997-06-01' AND DATE '1999-06-01'
+        GROUP BY l_partkey)
+    SELECT p.p_name AS part_name, ba.before_qty, ba.after_qty
+    FROM ba
+    JOIN part p ON ba.part = p.p_partkey
+    WHERE ba.before_qty > 0 AND ba.after_qty > 0
+      AND 3 * ba.after_qty >= 2 * ba.before_qty
+      AND 2 * ba.after_qty <= 3 * ba.before_qty
+    ORDER BY part_name, ba.before_qty
+    LIMIT 500
+    """,
+    tags=("tpcds", "before-after", "ratio-band"),
+)
+
+# --- q39: integer-exact CV pairs over consecutive months ------------------
+# stdev/mean > 3/10  <=>  100*n*(n*sumsq - sum^2) > 9*(n-1)*sum^2
+register_sql(
+    "tpcds_t7_cv_pairs_cross_month",
+    """
+    WITH m AS (
+        SELECT l_partkey AS part,
+               CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mo,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+        FROM lineitem
+        WHERE EXTRACT(YEAR FROM l_shipdate) = 1998
+        GROUP BY l_partkey, CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT)
+        HAVING COUNT(*) >= 2)
+    SELECT m1.part AS part_key, m1.mo AS mo1, m2.mo AS mo2,
+           m1.s AS qty1, m2.s AS qty2
+    FROM m m1
+    JOIN m m2 ON m1.part = m2.part AND m2.mo = m1.mo + 1
+    WHERE 100 * m1.n * (m1.n * m1.sq - m1.s * m1.s)
+              > 9 * (m1.n - 1) * m1.s * m1.s
+      AND 100 * m2.n * (m2.n * m2.sq - m2.s * m2.s)
+              > 9 * (m2.n - 1) * m2.s * m2.s
+    ORDER BY part_key, mo1
+    LIMIT 500
+    """,
+    tags=("tpcds", "cv-band", "self-join", "integer-exact"),
+)
+
+# --- q34: bulk-ticket households ------------------------------------------
+register_sql(
+    "tpcds_t7_bulk_ticket_households",
+    """
+    WITH t AS (
+        SELECT l_orderkey AS ok, COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING COUNT(*) BETWEEN 4 AND 6)
+    SELECT c.c_custkey AS cust_key, c.c_name AS cust_name,
+           COUNT(*) AS bulk_orders
+    FROM t
+    JOIN orders o ON t.ok = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    HAVING COUNT(*) >= 2
+    ORDER BY bulk_orders DESC, cust_key
+    LIMIT 500
+    """,
+    tags=("tpcds", "bulk-tickets", "having"),
+)
+
+# --- q58: three-channel revenue within a band of the mean -----------------
+# channel c within [0.5, 1.5] of the three-channel mean:
+# 6*c >= tot AND 2*c <= tot (tot = a+n+r, mean = tot/3).
+register_sql(
+    "tpcds_t7_three_channel_band",
+    """
+    WITH p AS (
+        SELECT l_partkey AS part,
+               CAST(SUM(CASE WHEN l_returnflag = 'A'
+                             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS a_cents,
+               CAST(SUM(CASE WHEN l_returnflag = 'N'
+                             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS n_cents,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS r_cents
+        FROM lineitem
+        GROUP BY l_partkey)
+    SELECT part AS part_key, a_cents, n_cents, r_cents
+    FROM p
+    WHERE a_cents > 0 AND n_cents > 0 AND r_cents > 0
+      AND 6 * a_cents >= (a_cents + n_cents + r_cents)
+      AND 2 * a_cents <= (a_cents + n_cents + r_cents)
+      AND 6 * n_cents >= (a_cents + n_cents + r_cents)
+      AND 2 * n_cents <= (a_cents + n_cents + r_cents)
+      AND 6 * r_cents >= (a_cents + n_cents + r_cents)
+      AND 2 * r_cents <= (a_cents + n_cents + r_cents)
+    ORDER BY part_key
+    LIMIT 500
+    """,
+    tags=("tpcds", "three-channel-band", "pivot"),
+)
+
+# --- q65: (supplier, part) revenue at/below half the supplier mean --------
+_SP65 = """
+        SELECT l_suppkey AS supp, l_partkey AS part,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem
+        GROUP BY l_suppkey, l_partkey"""
+_Q65_FINAL = """
+    SELECT s.s_name AS supp_name, x.part AS part_key, x.cents AS cents
+    FROM {sp} x,
+         (SELECT supp,
+                 CAST(SUM(cents) AS BIGINT) AS tot,
+                 COUNT(*) AS n_parts
+          FROM {sp} GROUP BY supp) a,
+         supplier s
+    WHERE x.supp = a.supp
+      AND 2 * x.cents * a.n_parts <= a.tot
+      AND s.s_suppkey = x.supp
+    ORDER BY supp_name, part_key
+    LIMIT 500
+    """
+
+register_split_sql(
+    "tpcds_t7_low_revenue_supplier_parts",
+    stages=[(_SP65, "t7_supppart_m")],
+    final_sql=_Q65_FINAL.format(sp="t7_supppart_m"),
+    oracle="WITH sp AS (" + _SP65 + ")" + _Q65_FINAL.format(sp="sp"),
+    tags=("tpcds", "below-group-avg"),
+)
+
+# --- q46/q68: differing customer/supplier nation per order ----------------
+register_sql(
+    "tpcds_t7_differing_nation_orders",
+    """
+    SELECT l_orderkey AS order_key,
+           cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE c_nationkey <> s_nationkey
+      AND o_orderpriority = '1-URGENT'
+    GROUP BY l_orderkey, cn.n_name, sn.n_name
+    ORDER BY cents DESC, order_key, cust_nation, supp_nation
+    LIMIT 500
+    """,
+    tags=("tpcds", "differing-pair", "star"),
+)
+
+# --- q41: DISTINCT dim behind AND-of-OR fence triples ---------------------
+register_sql(
+    "tpcds_t7_and_of_ors_distinct_dim",
+    """
+    SELECT DISTINCT p_name
+    FROM part
+    WHERE (p_type = 'PROMO' OR p_type = 'ECONOMY')
+      AND (p_size BETWEEN 5 AND 15 OR p_size BETWEEN 25 AND 35)
+      AND (p_brand LIKE 'Brand#1%' OR p_brand LIKE 'Brand#2%')
+    ORDER BY p_name
+    LIMIT 500
+    """,
+    tags=("tpcds", "and-of-ors", "distinct"),
+)
+
+# --- q61: promotional share of revenue, one pass --------------------------
+register_sql(
+    "tpcds_t7_promo_share",
+    """
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(round(l_extendedprice * 100)
+                                         AS BIGINT)
+                               ELSE 0 END) AS DOUBLE) * 100
+                 / SUM(CAST(round(l_extendedprice * 100) AS BIGINT)), 6)
+               AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+    """,
+    tags=("tpcds", "promo-share", "filtered-agg"),
+)
+
+# --- q79: max-profit order per customer (agg -> window argmax) ------------
+register_sql(
+    "tpcds_t7_max_profit_order_per_customer",
+    """
+    WITH p AS (
+        SELECT o_custkey AS cust, o_orderkey AS ok,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS prof_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, o_orderkey),
+    r AS (
+        SELECT cust, ok, prof_cents,
+               ROW_NUMBER() OVER (PARTITION BY cust
+                                  ORDER BY prof_cents DESC, ok) AS rn
+        FROM p)
+    SELECT c.c_name AS cust_name, r.ok AS best_order,
+           r.prof_cents AS prof_cents
+    FROM r
+    JOIN customer c ON r.cust = c.c_custkey
+    WHERE r.rn = 1
+    ORDER BY cust_name
+    LIMIT 500
+    """,
+    tags=("tpcds", "argmax", "window-rank"),
+)

@@ -453,6 +453,13 @@ def test_round7_bench_promotions_equi_join_no_cartesian(
         # views only — zero fact scans in the final stage
         ("tpcds_yearly_decline_union", 0),
         ("tpcds_qoq_web_vs_store", 0),
+        # round-8 split registrations (tpcds tranche 7): every final
+        # reads the materialized aggregate (x4 for the q4 stack) plus
+        # dim tables only — zero fact scans
+        ("tpcds_t7_multi_year_profile_stack", 0),
+        ("tpcds_t7_second_sale_volume_leg", 0),
+        ("tpcds_t7_returns_above_nation_avg", 0),
+        ("tpcds_t7_low_revenue_supplier_parts", 0),
     ],
 )
 def test_materialized_queries_do_not_rescan_facts(name, cap, spark, sf_dir):
@@ -524,3 +531,25 @@ def test_fact_scan_counts_positive_control(spark, sf_dir):
         )
     )
     assert both.get("lineitem") == 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "job_t6_four_bridge_clique",
+        "tpcds_t7_multi_year_profile_stack",
+    ],
+)
+def test_round8_bench_promotions_equi_join_no_cartesian(name, spark, sf_dir):
+    """Round-8 bench promotions: the 25c four-bridge clique must
+    collapse its C(5,2) pairwise orderkey closure into an equi-join
+    tree with the IN-fenced part and supplier dims broadcast; the q4
+    multi-year profile stack's final joins the materialized aggregate
+    four times on the customer key — equi-joins only.  Never a
+    cartesian, BNLJ, or row-Python."""
+    plan = plan_str(q(name, spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ\n{plan}"
+    assert "BatchEvalPython" not in plan, f"{name}: row-Python in plan\n{plan}"
+    if name == "job_t6_four_bridge_clique":
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast of dims\n{plan}"

@@ -127,6 +127,9 @@ def test_r7_r8_fronts_exhaust_the_legacy_backlog():
         "datafusion_umami_spark.queries.clickbench_ext2",
         "datafusion_umami_spark.queries.job_shapes_t5",
         "datafusion_umami_spark.queries.tpcds_shapes_t6",
+        "datafusion_umami_spark.queries.clickbench_closure",
+        "datafusion_umami_spark.queries.job_shapes_t6",
+        "datafusion_umami_spark.queries.tpcds_shapes_t7",
     }
     additions = {
         n for n, spec in REGISTRY.items() if spec.module in addition_modules
