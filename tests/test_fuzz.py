@@ -317,10 +317,119 @@ def _gen_case_r7(rng: random.Random) -> str:
     )
 
 
+def _gen_case_r8(rng: random.Random) -> str:
+    """Round-8 idiom branches, appended behind the r7 corpus (third
+    seeded RNG — legacy and r7 draw orders stay byte-identical): the
+    q4-class four-reference aggregate stack with a cross-multiplied
+    growth comparison, the q89-class deviation-from-group-mean via
+    SUM/COUNT window, the q39-class integer-exact CV fence over a
+    consecutive-key self-join, the 25c-class multi-alias bridge clique
+    with redundant pairwise equalities, the q58-class SUM(CASE) channel
+    pivot with band fences, and the 17a/q41-class duplicate-MIN
+    projection behind AND-of-OR fences."""
+    branch = rng.randrange(6)
+    cents = "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+    preds = _TABLES["orders"]["preds"]
+    if branch == 0:  # q4-class: one aggregate shape, four slices, growth fence
+        k = rng.choice(["o_custkey % 11", "o_custkey % 7"])
+        p1, p2 = rng.sample(preds, k=2)
+        agg = (
+            f"SELECT {k} AS k0, o_orderstatus AS st, {cents} AS cents "
+            f"FROM orders GROUP BY {k}, o_orderstatus"
+        )
+        return (
+            f"WITH yt AS ({agg}) "
+            f"SELECT a1.k0 AS k0, a1.cents AS c1, a2.cents AS c2, "
+            f"       b1.cents AS w1, b2.cents AS w2 "
+            f"FROM yt a1, yt a2, yt b1, yt b2 "
+            f"WHERE a1.k0 = a2.k0 AND a1.k0 = b1.k0 AND a1.k0 = b2.k0 "
+            f"AND a1.st = 'F' AND a2.st = 'O' AND b1.st = 'F' AND b2.st = 'P' "
+            f"AND a1.cents > 0 AND b1.cents > 0 "
+            f"AND b2.cents * a1.cents > a2.cents * b1.cents "
+            f"ORDER BY k0"
+        )
+    if branch == 1:  # q89-class: deviation from group mean, window SUM/COUNT
+        k = rng.choice(["o_orderstatus", "o_orderpriority"])
+        p = rng.choice(preds)
+        lo, hi = rng.choice([(9, 11), (8, 12)])
+        return (
+            f"SELECT k0, k1, cents FROM ("
+            f"SELECT k0, k1, cents, "
+            f"SUM(cents) OVER (PARTITION BY k0) AS tot, "
+            f"COUNT(*) OVER (PARTITION BY k0) AS n "
+            f"FROM (SELECT {k} AS k0, o_custkey % 5 AS k1, {cents} AS cents "
+            f"      FROM orders WHERE {p} GROUP BY {k}, o_custkey % 5) s) t "
+            f"WHERE 10 * n * cents > {hi} * tot OR 10 * n * cents < {lo} * tot "
+            f"ORDER BY k0, k1"
+        )
+    if branch == 2:  # q39-class: integer-exact CV fence + consecutive-key join
+        p = rng.choice(_TABLES["lineitem"]["preds"])
+        return (
+            f"WITH m AS (SELECT l_suppkey % 5 AS k0, l_linenumber AS k1, "
+            f"COUNT(*) AS n, "
+            f"CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s, "
+            f"CAST(SUM(CAST(round(l_quantity) AS BIGINT) "
+            f"         * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq "
+            f"FROM lineitem WHERE {p} "
+            f"GROUP BY l_suppkey % 5, l_linenumber HAVING COUNT(*) >= 2) "
+            f"SELECT m1.k0 AS k0, m1.k1 AS k1, m1.s AS s1, m2.s AS s2 "
+            f"FROM m m1 JOIN m m2 ON m1.k0 = m2.k0 AND m2.k1 = m1.k1 + 1 "
+            f"WHERE 100 * m1.n * (m1.n * m1.sq - m1.s * m1.s) "
+            f"      > 4 * (m1.n - 1) * m1.s * m1.s "
+            f"ORDER BY k0, k1"
+        )
+    if branch == 3:  # 25c-class: 3-alias bridge clique, redundant closure
+        f1, f2 = rng.sample(
+            ["b1.l_returnflag <> 'N'", "b1.l_quantity > 10",
+             "b2.l_linestatus = 'F'", "b2.l_discount < 0.08"], k=2
+        )
+        return (
+            f"SELECT MIN(b1.l_shipdate) AS first_ship, "
+            f"MIN(b3.l_quantity) AS min_qty, COUNT(*) AS matches "
+            f"FROM lineitem b1, lineitem b2, lineitem b3 "
+            f"WHERE b1.l_orderkey = b2.l_orderkey "
+            f"AND b1.l_orderkey = b3.l_orderkey "
+            f"AND b2.l_orderkey = b3.l_orderkey "
+            f"AND b1.l_linenumber < b2.l_linenumber "
+            f"AND b2.l_linenumber < b3.l_linenumber "
+            f"AND {f1} AND {f2}"
+        )
+    if branch == 4:  # q58-class: SUM(CASE) channel pivot + band fences
+        lo_m, hi_m = rng.choice([(6, 2), (9, 3)])  # mean band multipliers
+        return (
+            f"SELECT k0, a_c, n_c, r_c FROM ("
+            f"SELECT l_suppkey % 7 AS k0, "
+            f"CAST(SUM(CASE WHEN l_returnflag = 'A' THEN "
+            f"CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) "
+            f"AS BIGINT) AS a_c, "
+            f"CAST(SUM(CASE WHEN l_returnflag = 'N' THEN "
+            f"CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) "
+            f"AS BIGINT) AS n_c, "
+            f"CAST(SUM(CASE WHEN l_returnflag = 'R' THEN "
+            f"CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) "
+            f"AS BIGINT) AS r_c "
+            f"FROM lineitem GROUP BY l_suppkey % 7) p "
+            f"WHERE a_c > 0 AND n_c > 0 AND r_c > 0 "
+            f"AND {lo_m} * a_c >= (a_c + n_c + r_c) "
+            f"AND {hi_m} * a_c <= {hi_m - 1} * (a_c + n_c + r_c) "
+            f"ORDER BY k0"
+        )
+    # branch 5 — 17a/q41-class: duplicate MIN aliases + AND-of-OR fences
+    p1, p2 = rng.sample(preds, k=2)
+    return (
+        f"SELECT MIN(o_orderdate) AS first_d, MIN(o_orderdate) AS a1, "
+        f"COUNT(*) AS matches FROM orders "
+        f"WHERE ({p1} OR {p2}) "
+        f"AND (o_orderstatus = 'F' OR o_orderstatus = 'O')"
+    )
+
+
 _RNG = random.Random(20260813)
 CASES = [(_gen_case(_RNG), i % 2 == 1) for i in range(N_LEGACY_CASES)]
 _RNG7 = random.Random(20260814)
 CASES += [(_gen_case_r7(_RNG7), i % 2 == 1) for i in range(16)]
+_RNG8 = random.Random(20260815)
+CASES += [(_gen_case_r8(_RNG8), i % 2 == 1) for i in range(16)]
 N_CASES = len(CASES)
 
 
