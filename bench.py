@@ -98,11 +98,16 @@ def run_suite(names, run_query, steal_threshold=None, max_retry_passes=None):
     Retry loop (r6 item 3, made bounded-iterative per r7 item 6): when
     the first pass's total timed-window steal exceeds the threshold,
     queries whose best pass still saw steal are re-warmed and re-timed,
-    up to `max_retry_passes` additional passes, stopping early once
-    every reported minimum comes from a zero-steal window.  Every
-    pass's iterations land in the artifact for attribution; if the
-    final effective steal still exceeds the threshold the artifact is
-    flagged `contaminated` (r7 ADVICE item 2) instead of merely
+    up to `max_retry_passes` additional passes.  The loop CONTINUES
+    only while the effective steal (of the passes supplying the
+    reported minima) still exceeds the threshold — that is the
+    criterion the artifact's cleanliness is judged by (BASELINE.md),
+    and chasing exact-zero windows below it would burn bench
+    wall-clock for no protocol benefit; within a pass, only queries
+    whose current minimum saw steal are re-run.  Every pass's
+    iterations land in the artifact for attribution; if the cap is
+    exhausted with effective steal still above threshold the artifact
+    is flagged `contaminated` (r7 ADVICE item 2) instead of merely
     looking "handled".
     """
     if steal_threshold is None:
@@ -129,13 +134,16 @@ def run_suite(names, run_query, steal_threshold=None, max_retry_passes=None):
     retry_passes = 0
     if steal_timed > steal_threshold:
         for _ in range(max_retry_passes):
+            effective_now = sum(steal_by_query.values())
+            if effective_now <= steal_threshold:
+                break  # clean by protocol — further passes buy nothing
             affected = [n for n in names if steal_by_query[n] > 0]
             if not affected:
                 break
             retry_passes += 1
             print(
-                f"# effective steal {sum(steal_by_query.values())} > "
-                f"{steal_threshold}: retry pass {retry_passes} over "
+                f"# effective steal {effective_now} > {steal_threshold}: "
+                f"retry pass {retry_passes} over "
                 f"{len(affected)} affected queries",
                 file=sys.stderr,
             )

@@ -332,10 +332,11 @@ def _gen_case_r8(rng: random.Random) -> str:
     preds = _TABLES["orders"]["preds"]
     if branch == 0:  # q4-class: one aggregate shape, four slices, growth fence
         k = rng.choice(["o_custkey % 11", "o_custkey % 7"])
-        p1, p2 = rng.sample(preds, k=2)
+        p1 = rng.choice(preds)  # fences the SHARED aggregate (q4's date_dim
+        # restriction lives inside year_total, not on the outer slices)
         agg = (
             f"SELECT {k} AS k0, o_orderstatus AS st, {cents} AS cents "
-            f"FROM orders GROUP BY {k}, o_orderstatus"
+            f"FROM orders WHERE {p1} GROUP BY {k}, o_orderstatus"
         )
         return (
             f"WITH yt AS ({agg}) "
