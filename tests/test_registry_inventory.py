@@ -35,3 +35,41 @@ def test_readme_status_counts_match_registry():
         f"{real_total}/{real_oracle}/{real_total - real_oracle} — "
         "update the README status paragraph"
     )
+
+
+def test_clickbench_main_mapping_is_dedicated_1_to_1():
+    """README claims 43/43 ClickBench main files each map to a DEDICATED
+    registry entry (round-8 closure).  Parse the mapping comment in
+    queries/clickbench.py and require: every canonical file q0-q42
+    appears exactly once as a mapping source, every mapped name is
+    registered, and no name is the dedicated entry for two files —
+    which is what '1:1' means and what this test keeps true."""
+    import re
+
+    src = (
+        Path(__file__).resolve().parents[1]
+        / "datafusion_umami_spark"
+        / "queries"
+        / "clickbench.py"
+    ).read_text()
+    block = src.split("Full mapping of the 43 canonical")[1].split('"""')[0]
+    # strip the leading '#' comment gutters, then parse qN→name pairs
+    text = re.sub(r"^#\s?", "", block, flags=re.M)
+    pairs = re.findall(r"q(\d+)→(\w+)", text) or re.findall(
+        r"q(\d+)->(\w+)", text
+    )
+    mapping = {}
+    for num, name in pairs:
+        n = int(num)
+        assert n not in mapping, f"q{n} mapped twice in the comment"
+        mapping[n] = name
+    assert sorted(mapping) == list(range(43)), (
+        f"mapping covers {len(mapping)} files, missing "
+        f"{sorted(set(range(43)) - set(mapping))}"
+    )
+    unregistered = [v for v in mapping.values() if v not in REGISTRY]
+    assert not unregistered, f"mapped names not registered: {unregistered}"
+    from collections import Counter
+
+    dupes = [k for k, c in Counter(mapping.values()).items() if c > 1]
+    assert not dupes, f"shape is the dedicated entry for two files: {dupes}"
