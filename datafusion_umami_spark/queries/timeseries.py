@@ -225,6 +225,14 @@ register_sql(
 # The minute rollup is referenced by day_stats AND the flag join;
 # inlined that re-runs the events aggregation shuffle, so the Spark
 # side materializes the rollup once (split-SQL; oracle unchanged).
+# The squared terms are agg x agg products whose factors grow with
+# data volume, so they are computed in width-bounded DECIMAL (shared
+# Spark/DuckDB text; DuckDB widths add on multiply, +1 on subtract,
+# and must stay <= 38): n <= 1440 minutes/day -> D(4); per-minute
+# counts < ~8e7 keep s1 < 1e17 -> D(17) and s2 < 1e19 -> D(19), so
+# the left side is D(17)^2 = 34 digits and the right side
+# D(1) x (D(23) - D(34) -> D(35)) = 36.  Plain BIGINT (n*x - s1)^2
+# overflows 2^63 around 3e9 events/day — ~100 TB territory.
 _ZSCORE_MINUTES = """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(date_trunc('minute', ts) AS TIMESTAMP_NTZ) AS minute,
@@ -239,12 +247,20 @@ _ZSCORE_FINAL = """
              CAST(SUM(x * x) AS BIGINT) AS s2
       FROM {m} GROUP BY day)
     SELECT m.minute, m.x, d.n AS day_minutes,
-           CAST(CASE WHEN (d.n * m.x - d.s1) * (d.n * m.x - d.s1)
-                          > 9 * (d.n * d.s2 - d.s1 * d.s1)
+           CAST(CASE WHEN CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
+                          * CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
+                          > CAST(9 AS DECIMAL(1,0))
+                            * (CAST(d.n AS DECIMAL(4,0))
+                               * CAST(d.s2 AS DECIMAL(19,0))
+                               - CAST(d.s1 AS DECIMAL(17,0))
+                                 * CAST(d.s1 AS DECIMAL(17,0)))
                      THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
     FROM {m} m JOIN day_stats d ON m.day = d.day
-    WHERE (d.n * m.x - d.s1) * (d.n * m.x - d.s1)
-          > 9 * (d.n * d.s2 - d.s1 * d.s1)
+    WHERE CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
+          * CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
+          > CAST(9 AS DECIMAL(1,0))
+            * (CAST(d.n AS DECIMAL(4,0)) * CAST(d.s2 AS DECIMAL(19,0))
+               - CAST(d.s1 AS DECIMAL(17,0)) * CAST(d.s1 AS DECIMAL(17,0)))
     ORDER BY m.minute
     LIMIT 2000
     """
@@ -269,8 +285,11 @@ register_split_sql(
     SELECT m.minute, m.x, d.n AS day_minutes,
            CAST(1 AS BIGINT) AS is_anomaly
     FROM minutes m JOIN day_stats d ON m.day = d.day
-    WHERE (d.n * m.x - d.s1) * (d.n * m.x - d.s1)
-          > 9 * (d.n * d.s2 - d.s1 * d.s1)
+    WHERE CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
+          * CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
+          > CAST(9 AS DECIMAL(1,0))
+            * (CAST(d.n AS DECIMAL(4,0)) * CAST(d.s2 AS DECIMAL(19,0))
+               - CAST(d.s1 AS DECIMAL(17,0)) * CAST(d.s1 AS DECIMAL(17,0)))
     ORDER BY m.minute
     LIMIT 2000
     """,

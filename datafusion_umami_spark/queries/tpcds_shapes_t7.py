@@ -58,8 +58,13 @@ from datafusion_umami_spark.operators.materialize import register_split_sql
 from datafusion_umami_spark.registry import register_sql
 
 # --- q4/q11: multi-year two-channel customer profile stack ----------------
-# One shared aggregate, FOUR references.  Cross-multiplied growth
-# comparison stays in BIGINT (cents x cents < 1e18 at driver SFs).
+# One shared aggregate, FOUR references.  The growth comparison
+# cross-multiplies two per-(customer, channel, year) sums — an
+# agg x agg product whose factors both grow with data volume, so it is
+# computed in DECIMAL(18,0) x DECIMAL(18,0) -> 36 digits (shared text:
+# DuckDB multiplies widths 18+18 <= 38; Spark stays exact under the
+# 38-digit cap).  BIGINT cents x cents would overflow 2^63 (an ANSI
+# crash, not a wrong answer) once a customer-year exceeds ~$92M.
 _YT = """
         SELECT o_custkey AS cust,
                CASE WHEN o_orderpriority = '1-URGENT' THEN 'c' ELSE 'w' END
@@ -87,8 +92,10 @@ _Q4_FINAL = """
       AND ws1.yr = 1997 AND ws2.yr = 1998
       AND cs1.total_cents > 0
       AND ws1.total_cents > 0
-      AND ws2.total_cents * cs1.total_cents
-          > cs2.total_cents * ws1.total_cents
+      AND CAST(ws2.total_cents AS DECIMAL(18,0))
+          * CAST(cs1.total_cents AS DECIMAL(18,0))
+          > CAST(cs2.total_cents AS DECIMAL(18,0))
+            * CAST(ws1.total_cents AS DECIMAL(18,0))
       AND c.c_custkey = cs1.cust
     ORDER BY cust_name
     LIMIT 500
@@ -185,7 +192,9 @@ _Q1_FINAL = """
           FROM {cr} GROUP BY nat) a,
          customer c
     WHERE r1.nat = a.nat
-      AND 10 * r1.ret_cents * a.n_cust > 12 * a.nat_cents
+      AND CAST(r1.ret_cents AS DECIMAL(18,0))
+          * CAST(10 * a.n_cust AS DECIMAL(14,0))
+          > CAST(12 AS DECIMAL(2,0)) * CAST(a.nat_cents AS DECIMAL(18,0))
       AND c.c_custkey = r1.cust
     ORDER BY cust_name, ret_cents
     LIMIT 500
@@ -271,6 +280,13 @@ register_sql(
 
 # --- q39: integer-exact CV pairs over consecutive months ------------------
 # stdev/mean > 3/10  <=>  100*n*(n*sumsq - sum^2) > 9*(n-1)*sum^2
+# The CV fence multiplies three group aggregates, so every factor is
+# width-bounded DECIMAL (shared Spark/DuckDB text; DuckDB widths add on
+# multiply and must stay <= 38): n < 1e9 rows per (part, month) group
+# and quantity < ~3e3 keep s < 1e12 and sq < 1e16, so
+# D(11) x (D(9)xD(16) - D(12)xD(12) -> D(26)) = 37 digits on the left
+# and D(10) x D(24) = 34 on the right.  Plain BIGINT would overflow
+# 2^63 once a group reaches ~3e4 rows.
 register_sql(
     "tpcds_t7_cv_pairs_cross_month",
     """
@@ -289,10 +305,16 @@ register_sql(
            m1.s AS qty1, m2.s AS qty2
     FROM m m1
     JOIN m m2 ON m1.part = m2.part AND m2.mo = m1.mo + 1
-    WHERE 100 * m1.n * (m1.n * m1.sq - m1.s * m1.s)
-              > 9 * (m1.n - 1) * m1.s * m1.s
-      AND 100 * m2.n * (m2.n * m2.sq - m2.s * m2.s)
-              > 9 * (m2.n - 1) * m2.s * m2.s
+    WHERE CAST(100 * m1.n AS DECIMAL(11,0))
+              * (CAST(m1.n AS DECIMAL(9,0)) * CAST(m1.sq AS DECIMAL(16,0))
+                 - CAST(m1.s AS DECIMAL(12,0)) * CAST(m1.s AS DECIMAL(12,0)))
+          > CAST(9 * (m1.n - 1) AS DECIMAL(10,0))
+              * (CAST(m1.s AS DECIMAL(12,0)) * CAST(m1.s AS DECIMAL(12,0)))
+      AND CAST(100 * m2.n AS DECIMAL(11,0))
+              * (CAST(m2.n AS DECIMAL(9,0)) * CAST(m2.sq AS DECIMAL(16,0))
+                 - CAST(m2.s AS DECIMAL(12,0)) * CAST(m2.s AS DECIMAL(12,0)))
+          > CAST(9 * (m2.n - 1) AS DECIMAL(10,0))
+              * (CAST(m2.s AS DECIMAL(12,0)) * CAST(m2.s AS DECIMAL(12,0)))
     ORDER BY part_key, mo1
     LIMIT 500
     """,
@@ -371,7 +393,9 @@ _Q65_FINAL = """
           FROM {sp} GROUP BY supp) a,
          supplier s
     WHERE x.supp = a.supp
-      AND 2 * x.cents * a.n_parts <= a.tot
+      AND CAST(x.cents AS DECIMAL(18,0))
+          * CAST(2 * a.n_parts AS DECIMAL(12,0))
+          <= CAST(a.tot AS DECIMAL(19,0))
       AND s.s_suppkey = x.supp
     ORDER BY supp_name, part_key
     LIMIT 500

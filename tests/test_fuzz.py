@@ -346,7 +346,14 @@ def _gen_case_r8(rng: random.Random) -> str:
             f"WHERE a1.k0 = a2.k0 AND a1.k0 = b1.k0 AND a1.k0 = b2.k0 "
             f"AND a1.st = 'F' AND a2.st = 'O' AND b1.st = 'F' AND b2.st = 'P' "
             f"AND a1.cents > 0 AND b1.cents > 0 "
-            f"AND b2.cents * a1.cents > a2.cents * b1.cents "
+            # agg x agg growth fence: both factors grow with SF, so the
+            # product runs in DECIMAL(18,0) x DECIMAL(18,0) -> 36 digits
+            # (shared Spark/DuckDB text).  Raw BIGINT cents x cents
+            # overflows 2^63 already at sf0.01 (group sums ~5e9 cents).
+            f"AND CAST(b2.cents AS DECIMAL(18,0)) "
+            f"    * CAST(a1.cents AS DECIMAL(18,0)) "
+            f"  > CAST(a2.cents AS DECIMAL(18,0)) "
+            f"    * CAST(b1.cents AS DECIMAL(18,0)) "
             f"ORDER BY k0"
         )
     if branch == 1:  # q89-class: deviation from group mean, window SUM/COUNT
@@ -375,8 +382,19 @@ def _gen_case_r8(rng: random.Random) -> str:
             f"GROUP BY l_suppkey % 5, l_linenumber HAVING COUNT(*) >= 2) "
             f"SELECT m1.k0 AS k0, m1.k1 AS k1, m1.s AS s1, m2.s AS s2 "
             f"FROM m m1 JOIN m m2 ON m1.k0 = m2.k0 AND m2.k1 = m1.k1 + 1 "
-            f"WHERE 100 * m1.n * (m1.n * m1.sq - m1.s * m1.s) "
-            f"      > 4 * (m1.n - 1) * m1.s * m1.s "
+            # CV fence in width-bounded DECIMAL (the (suppkey%5,
+            # linenumber) groups grow linearly with SF; BIGINT
+            # n*(n*sq - s^2) overflows 2^63 near group size ~3e4):
+            # n < 1e9 -> D(9), s < 1e12 -> D(12), sq < 1e16 -> D(16);
+            # every DuckDB node stays <= 38 digits.
+            f"WHERE CAST(100 * m1.n AS DECIMAL(11,0)) "
+            f"      * (CAST(m1.n AS DECIMAL(9,0)) "
+            f"         * CAST(m1.sq AS DECIMAL(16,0)) "
+            f"         - CAST(m1.s AS DECIMAL(12,0)) "
+            f"           * CAST(m1.s AS DECIMAL(12,0))) "
+            f"      > CAST(4 * (m1.n - 1) AS DECIMAL(10,0)) "
+            f"        * (CAST(m1.s AS DECIMAL(12,0)) "
+            f"           * CAST(m1.s AS DECIMAL(12,0))) "
             f"ORDER BY k0, k1"
         )
     if branch == 3:  # 25c-class: 3-alias bridge clique, redundant closure
