@@ -227,12 +227,19 @@ register_sql(
 # side materializes the rollup once (split-SQL; oracle unchanged).
 # The squared terms are agg x agg products whose factors grow with
 # data volume, so they are computed in width-bounded DECIMAL (shared
-# Spark/DuckDB text; DuckDB widths add on multiply, +1 on subtract,
-# and must stay <= 38): n <= 1440 minutes/day -> D(4); per-minute
-# counts < ~8e7 keep s1 < 1e17 -> D(17) and s2 < 1e19 -> D(19), so
-# the left side is D(17)^2 = 34 digits and the right side
-# D(1) x (D(23) - D(34) -> D(35)) = 36.  Plain BIGINT (n*x - s1)^2
-# overflows 2^63 around 3e9 events/day — ~100 TB territory.
+# Spark/DuckDB text).  CRITICAL DuckDB width rule (probed, v1.0.0): a
+# product of two decimals BOTH <= 18 wide stays DECIMAL(18,0) (int64
+# storage) and throws OutOfRangeException past 1e18; real widening to
+# min(a+b, 38) only happens when at least ONE operand is >= 19 wide.
+# So every product below casts exactly one factor to DECIMAL(19,0).
+# Bounds: n <= 1440 minutes/day -> D(4); per-minute counts < ~8e7 keep
+# s1 <= 1440*8e7 ~ 1.2e11 (D(17) is generous headroom) and
+# s2 <= 1440*(8e7)^2 ~ 9.2e18 — just inside 2^63, which the BIGINT
+# accumulator in day_stats requires.  DuckDB node widths: LHS
+# D(17)xD(19) -> D(36); RHS 9 x (D(4)xD(19) -> D(23) minus
+# D(17)xD(19) -> D(36), diff D(37)) -> D(38); runtime values <= ~1e23.
+# Plain BIGINT (n*x - s1)^2 overflows 2^63 around 3e9 events/day —
+# ~100 TB territory.
 _ZSCORE_MINUTES = """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(date_trunc('minute', ts) AS TIMESTAMP_NTZ) AS minute,
@@ -248,19 +255,19 @@ _ZSCORE_FINAL = """
       FROM {m} GROUP BY day)
     SELECT m.minute, m.x, d.n AS day_minutes,
            CAST(CASE WHEN CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
-                          * CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
+                          * CAST(d.n * m.x - d.s1 AS DECIMAL(19,0))
                           > CAST(9 AS DECIMAL(1,0))
                             * (CAST(d.n AS DECIMAL(4,0))
                                * CAST(d.s2 AS DECIMAL(19,0))
                                - CAST(d.s1 AS DECIMAL(17,0))
-                                 * CAST(d.s1 AS DECIMAL(17,0)))
+                                 * CAST(d.s1 AS DECIMAL(19,0)))
                      THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
     FROM {m} m JOIN day_stats d ON m.day = d.day
     WHERE CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
-          * CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
+          * CAST(d.n * m.x - d.s1 AS DECIMAL(19,0))
           > CAST(9 AS DECIMAL(1,0))
             * (CAST(d.n AS DECIMAL(4,0)) * CAST(d.s2 AS DECIMAL(19,0))
-               - CAST(d.s1 AS DECIMAL(17,0)) * CAST(d.s1 AS DECIMAL(17,0)))
+               - CAST(d.s1 AS DECIMAL(17,0)) * CAST(d.s1 AS DECIMAL(19,0)))
     ORDER BY m.minute
     LIMIT 2000
     """
@@ -286,10 +293,10 @@ register_split_sql(
            CAST(1 AS BIGINT) AS is_anomaly
     FROM minutes m JOIN day_stats d ON m.day = d.day
     WHERE CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
-          * CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
+          * CAST(d.n * m.x - d.s1 AS DECIMAL(19,0))
           > CAST(9 AS DECIMAL(1,0))
             * (CAST(d.n AS DECIMAL(4,0)) * CAST(d.s2 AS DECIMAL(19,0))
-               - CAST(d.s1 AS DECIMAL(17,0)) * CAST(d.s1 AS DECIMAL(17,0)))
+               - CAST(d.s1 AS DECIMAL(17,0)) * CAST(d.s1 AS DECIMAL(19,0)))
     ORDER BY m.minute
     LIMIT 2000
     """,

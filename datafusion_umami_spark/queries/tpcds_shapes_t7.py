@@ -60,11 +60,14 @@ from datafusion_umami_spark.registry import register_sql
 # --- q4/q11: multi-year two-channel customer profile stack ----------------
 # One shared aggregate, FOUR references.  The growth comparison
 # cross-multiplies two per-(customer, channel, year) sums — an
-# agg x agg product whose factors both grow with data volume, so it is
-# computed in DECIMAL(18,0) x DECIMAL(18,0) -> 36 digits (shared text:
-# DuckDB multiplies widths 18+18 <= 38; Spark stays exact under the
-# 38-digit cap).  BIGINT cents x cents would overflow 2^63 (an ANSI
-# crash, not a wrong answer) once a customer-year exceeds ~$92M.
+# agg x agg product whose factors both grow with data volume.  DuckDB
+# width rule (probed, v1.0.0): a product of two decimals BOTH <= 18
+# wide stays DECIMAL(18,0) and overflows past 1e18; only a >= 19-wide
+# operand forces real widening to min(a+b, 38).  So one factor per
+# product is cast to DECIMAL(19,0): D(19)xD(18) -> D(37) in DuckDB,
+# D(38) in Spark — exact for products < 1e37.  BIGINT cents x cents
+# would overflow 2^63 (an ANSI crash, not a wrong answer) once a
+# customer-year exceeds ~$92M.
 _YT = """
         SELECT o_custkey AS cust,
                CASE WHEN o_orderpriority = '1-URGENT' THEN 'c' ELSE 'w' END
@@ -92,9 +95,9 @@ _Q4_FINAL = """
       AND ws1.yr = 1997 AND ws2.yr = 1998
       AND cs1.total_cents > 0
       AND ws1.total_cents > 0
-      AND CAST(ws2.total_cents AS DECIMAL(18,0))
+      AND CAST(ws2.total_cents AS DECIMAL(19,0))
           * CAST(cs1.total_cents AS DECIMAL(18,0))
-          > CAST(cs2.total_cents AS DECIMAL(18,0))
+          > CAST(cs2.total_cents AS DECIMAL(19,0))
             * CAST(ws1.total_cents AS DECIMAL(18,0))
       AND c.c_custkey = cs1.cust
     ORDER BY cust_name
@@ -111,6 +114,10 @@ register_split_sql(
 )
 
 # --- q89 / q47-q57 deviation half: months vs the year's monthly mean ------
+# The 10/11 and 10/9 deviation fences cross-multiply two aggregates that
+# grow with SF (rev_cents, yr_cents), so they run in DECIMAL with one
+# >= 19-wide operand per product (see the q4 width-rule note above);
+# plain BIGINT 10*n_mo*rev_cents would ANSI-overflow near 8e17 cents.
 register_sql(
     "tpcds_t7_deviation_from_year_mean",
     """
@@ -130,11 +137,13 @@ register_sql(
                COUNT(*) OVER (PARTITION BY priority, yr) AS n_mo
         FROM monthly)
     SELECT priority, yr, mo, rev_cents,
-           ROUND(CAST(n_mo * rev_cents AS DOUBLE) / yr_cents, 6)
+           ROUND(n_mo * CAST(rev_cents AS DOUBLE) / yr_cents, 6)
                AS ratio_to_mean
     FROM w
-    WHERE 10 * n_mo * rev_cents > 11 * yr_cents
-       OR 10 * n_mo * rev_cents < 9 * yr_cents
+    WHERE CAST(10 * n_mo AS DECIMAL(3,0)) * CAST(rev_cents AS DECIMAL(19,0))
+          > CAST(11 AS DECIMAL(2,0)) * CAST(yr_cents AS DECIMAL(19,0))
+       OR CAST(10 * n_mo AS DECIMAL(3,0)) * CAST(rev_cents AS DECIMAL(19,0))
+          < CAST(9 AS DECIMAL(1,0)) * CAST(yr_cents AS DECIMAL(19,0))
     ORDER BY priority, yr, mo
     LIMIT 500
     """,
@@ -192,9 +201,9 @@ _Q1_FINAL = """
           FROM {cr} GROUP BY nat) a,
          customer c
     WHERE r1.nat = a.nat
-      AND CAST(r1.ret_cents AS DECIMAL(18,0))
+      AND CAST(r1.ret_cents AS DECIMAL(19,0))
           * CAST(10 * a.n_cust AS DECIMAL(14,0))
-          > CAST(12 AS DECIMAL(2,0)) * CAST(a.nat_cents AS DECIMAL(18,0))
+          > CAST(12 AS DECIMAL(2,0)) * CAST(a.nat_cents AS DECIMAL(19,0))
       AND c.c_custkey = r1.cust
     ORDER BY cust_name, ret_cents
     LIMIT 500
@@ -281,12 +290,14 @@ register_sql(
 # --- q39: integer-exact CV pairs over consecutive months ------------------
 # stdev/mean > 3/10  <=>  100*n*(n*sumsq - sum^2) > 9*(n-1)*sum^2
 # The CV fence multiplies three group aggregates, so every factor is
-# width-bounded DECIMAL (shared Spark/DuckDB text; DuckDB widths add on
-# multiply and must stay <= 38): n < 1e9 rows per (part, month) group
-# and quantity < ~3e3 keep s < 1e12 and sq < 1e16, so
-# D(11) x (D(9)xD(16) - D(12)xD(12) -> D(26)) = 37 digits on the left
-# and D(10) x D(24) = 34 on the right.  Plain BIGINT would overflow
-# 2^63 once a group reaches ~3e4 rows.
+# width-bounded DECIMAL (shared Spark/DuckDB text).  DuckDB width rule
+# (probed, v1.0.0): a product of two decimals BOTH <= 18 wide stays
+# DECIMAL(18,0) and overflows past 1e18, so one factor per product is
+# cast to DECIMAL(19,0) (forces real widening to min(a+b, 38); both
+# engines clamp at 38, scale 0, exact below 1e38).  Bounds: n < 1e9
+# rows per (part, month) group and quantity < ~3e3 keep s < 1e12 and
+# sq < 1e16; node values <= 100n*(n*sq) < 1e36 < 1e38.  Plain BIGINT
+# would overflow 2^63 once a group reaches ~3e4 rows.
 register_sql(
     "tpcds_t7_cv_pairs_cross_month",
     """
@@ -306,15 +317,15 @@ register_sql(
     FROM m m1
     JOIN m m2 ON m1.part = m2.part AND m2.mo = m1.mo + 1
     WHERE CAST(100 * m1.n AS DECIMAL(11,0))
-              * (CAST(m1.n AS DECIMAL(9,0)) * CAST(m1.sq AS DECIMAL(16,0))
-                 - CAST(m1.s AS DECIMAL(12,0)) * CAST(m1.s AS DECIMAL(12,0)))
+              * (CAST(m1.n AS DECIMAL(9,0)) * CAST(m1.sq AS DECIMAL(19,0))
+                 - CAST(m1.s AS DECIMAL(12,0)) * CAST(m1.s AS DECIMAL(19,0)))
           > CAST(9 * (m1.n - 1) AS DECIMAL(10,0))
-              * (CAST(m1.s AS DECIMAL(12,0)) * CAST(m1.s AS DECIMAL(12,0)))
+              * (CAST(m1.s AS DECIMAL(12,0)) * CAST(m1.s AS DECIMAL(19,0)))
       AND CAST(100 * m2.n AS DECIMAL(11,0))
-              * (CAST(m2.n AS DECIMAL(9,0)) * CAST(m2.sq AS DECIMAL(16,0))
-                 - CAST(m2.s AS DECIMAL(12,0)) * CAST(m2.s AS DECIMAL(12,0)))
+              * (CAST(m2.n AS DECIMAL(9,0)) * CAST(m2.sq AS DECIMAL(19,0))
+                 - CAST(m2.s AS DECIMAL(12,0)) * CAST(m2.s AS DECIMAL(19,0)))
           > CAST(9 * (m2.n - 1) AS DECIMAL(10,0))
-              * (CAST(m2.s AS DECIMAL(12,0)) * CAST(m2.s AS DECIMAL(12,0)))
+              * (CAST(m2.s AS DECIMAL(12,0)) * CAST(m2.s AS DECIMAL(19,0)))
     ORDER BY part_key, mo1
     LIMIT 500
     """,
@@ -393,7 +404,7 @@ _Q65_FINAL = """
           FROM {sp} GROUP BY supp) a,
          supplier s
     WHERE x.supp = a.supp
-      AND CAST(x.cents AS DECIMAL(18,0))
+      AND CAST(x.cents AS DECIMAL(19,0))
           * CAST(2 * a.n_parts AS DECIMAL(12,0))
           <= CAST(a.tot AS DECIMAL(19,0))
       AND s.s_suppkey = x.supp

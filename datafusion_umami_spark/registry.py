@@ -84,7 +84,9 @@ def register(
     """
 
     module = module or _registering_module()
-    if not module.startswith("datafusion_umami_spark.queries"):
+    if module != "datafusion_umami_spark.queries" and not module.startswith(
+        "datafusion_umami_spark.queries."
+    ):
         raise ValueError(
             f"query {name!r} attributed to non-queries module {module!r}; "
             "pass module=__name__ through your registration helper"

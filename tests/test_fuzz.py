@@ -346,13 +346,15 @@ def _gen_case_r8(rng: random.Random) -> str:
             f"WHERE a1.k0 = a2.k0 AND a1.k0 = b1.k0 AND a1.k0 = b2.k0 "
             f"AND a1.st = 'F' AND a2.st = 'O' AND b1.st = 'F' AND b2.st = 'P' "
             f"AND a1.cents > 0 AND b1.cents > 0 "
-            # agg x agg growth fence: both factors grow with SF, so the
-            # product runs in DECIMAL(18,0) x DECIMAL(18,0) -> 36 digits
-            # (shared Spark/DuckDB text).  Raw BIGINT cents x cents
-            # overflows 2^63 already at sf0.01 (group sums ~5e9 cents).
-            f"AND CAST(b2.cents AS DECIMAL(18,0)) "
+            # agg x agg growth fence: both factors grow with SF.  DuckDB
+            # keeps a product of two <= 18-wide decimals at DECIMAL(18,0)
+            # (int64) and throws past 1e18, so ONE operand per product is
+            # widened to DECIMAL(19,0) -> real widening to D(37) (shared
+            # Spark/DuckDB text).  Raw BIGINT cents x cents overflows
+            # 2^63 already at sf0.01 (group sums ~5e9 cents).
+            f"AND CAST(b2.cents AS DECIMAL(19,0)) "
             f"    * CAST(a1.cents AS DECIMAL(18,0)) "
-            f"  > CAST(a2.cents AS DECIMAL(18,0)) "
+            f"  > CAST(a2.cents AS DECIMAL(19,0)) "
             f"    * CAST(b1.cents AS DECIMAL(18,0)) "
             f"ORDER BY k0"
         )
@@ -384,17 +386,19 @@ def _gen_case_r8(rng: random.Random) -> str:
             f"FROM m m1 JOIN m m2 ON m1.k0 = m2.k0 AND m2.k1 = m1.k1 + 1 "
             # CV fence in width-bounded DECIMAL (the (suppkey%5,
             # linenumber) groups grow linearly with SF; BIGINT
-            # n*(n*sq - s^2) overflows 2^63 near group size ~3e4):
-            # n < 1e9 -> D(9), s < 1e12 -> D(12), sq < 1e16 -> D(16);
-            # every DuckDB node stays <= 38 digits.
+            # n*(n*sq - s^2) overflows 2^63 near group size ~3e4).
+            # DuckDB keeps <=18 x <=18 products at DECIMAL(18,0), so one
+            # operand per product is DECIMAL(19,0): n < 1e9 -> D(9),
+            # s < 1e12 -> D(12), sq -> D(19); nodes clamp at <= 38 and
+            # runtime values stay < 1e36.
             f"WHERE CAST(100 * m1.n AS DECIMAL(11,0)) "
             f"      * (CAST(m1.n AS DECIMAL(9,0)) "
-            f"         * CAST(m1.sq AS DECIMAL(16,0)) "
+            f"         * CAST(m1.sq AS DECIMAL(19,0)) "
             f"         - CAST(m1.s AS DECIMAL(12,0)) "
-            f"           * CAST(m1.s AS DECIMAL(12,0))) "
+            f"           * CAST(m1.s AS DECIMAL(19,0))) "
             f"      > CAST(4 * (m1.n - 1) AS DECIMAL(10,0)) "
             f"        * (CAST(m1.s AS DECIMAL(12,0)) "
-            f"           * CAST(m1.s AS DECIMAL(12,0))) "
+            f"           * CAST(m1.s AS DECIMAL(19,0))) "
             f"ORDER BY k0, k1"
         )
     if branch == 3:  # 25c-class: 3-alias bridge clique, redundant closure
