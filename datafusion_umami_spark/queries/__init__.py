@@ -15,17 +15,25 @@ REGISTRY dict after all modules import:
      import order;
   4. queries already proven green, last.
 
+"Proven green" means proven-AS-WRITTEN (r8 verdict item 4): a green row
+certifies the spec text the driver ran, so `_driver_history` demotes any
+green name whose CURRENT fingerprint (Spark SQL + oracle + callable
+source, `fingerprint.py`) differs from the committed ledger entry
+recorded at its last green row (`sweep_fingerprints.json`, maintained by
+`tools/update_sweep_fingerprints.py` at round start).  Edited specs
+re-queue ahead of proven greens until the driver re-proves the new text.
+
 This is self-maintaining: each round's driver artifact is read from the
 repo root, so round N+1 automatically pushes round N's greens to the back
 and pulls any new failures to the front — no manual rotation needed.
 
 PROVE-DOWN HORIZON (re-pinned each round, tests/test_sweep_order.py):
-as of the round-7 artifacts the never-swept legacy backlog is 61
-queries = r8 front (50: cb x2, tpcds x17, job x22, ddl x7,
-dataframe_ops x2) + r9 tail (11: job_shapes_t3 x10 + ann_ivf_trained).
-Tranche additions (t4/t5/t6/t7 + clickbench_ext2/closure) stay capped
-and MUST be imported last (below) so they queue strictly behind the
-legacy backlog; they drain from r9 once the legacy tail clears.
+as of the round-8 artifacts the legacy backlog is 29 queries =
+11 never-swept (job_shapes_t3 x10 + ann_ivf_trained) + 18
+edited-after-proof specs demoted by the r9 fingerprint bootstrap.
+Tranche additions (t4..t8 + clickbench_ext2/closure) stay capped and
+MUST be imported last (below) so they queue strictly behind the legacy
+backlog; they drain once the legacy tail clears.
 """
 
 from __future__ import annotations
@@ -77,6 +85,8 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     clickbench_closure,
     job_shapes_t6,
     tpcds_shapes_t7,
+    job_shapes_t7,
+    tpcds_shapes_t8,
 )
 
 # Explicit front of the sweep queue (only names not yet proven green are
@@ -346,7 +356,10 @@ def _driver_history() -> tuple[set[str], set[str]]:
     from datafusion_umami_spark.registry import REGISTRY
 
     oracled = {n for n, spec in REGISTRY.items() if spec.oracle is not None}
-    return _driver_history_from(Path(__file__).resolve().parents[2], oracled)
+    green, failed = _driver_history_from(
+        Path(__file__).resolve().parents[2], oracled
+    )
+    return green - _stale_edited(green), failed
 
 
 def _driver_history_from(
@@ -372,6 +385,29 @@ def _driver_history_from(
     green = {name for name, ok in latest.items() if ok}
     failed = {name for name, ok in latest.items() if not ok}
     return green, failed
+
+
+def _stale_edited(green: set[str]) -> set[str]:
+    """Green names whose CURRENT spec text no longer matches the
+    fingerprint recorded when their last driver row went green.
+
+    "Proven" means proven-as-written (r8 verdict item 4): an edit to a
+    spec's Spark SQL, oracle, or callable source after its last green
+    row demotes it to unproven so it re-queues ahead of proven greens
+    and earns a fresh driver row on the new text.  Names absent from the
+    ledger are left green (the ledger is maintained by
+    tools/update_sweep_fingerprints.py at round start)."""
+    from datafusion_umami_spark.fingerprint import load_ledger, spec_fingerprint
+    from datafusion_umami_spark.registry import REGISTRY
+
+    ledger = load_ledger()
+    return {
+        n
+        for n in green
+        if n in ledger
+        and n in REGISTRY
+        and ledger[n].get("fp") != spec_fingerprint(REGISTRY[n])
+    }
 
 
 def _reorder_for_sweep() -> None:

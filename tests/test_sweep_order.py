@@ -110,17 +110,18 @@ def test_front_of_queue_is_the_priority_backlog():
     assert got == want, f"front of sweep queue diverged: {got[:5]} != {want[:5]}"
 
 
-def test_r7_r8_fronts_exhaust_the_legacy_backlog():
+def test_r9_front_exhausts_the_legacy_backlog():
     """r5 verdict item 2, horizon re-pinned each round (r6 item 8, r7
-    item 2): after the r7 sweep the never-swept legacy backlog is 61
-    names — the r8 front (50: cb x2, tpcds x17, job x22, ddl x7,
-    dataframe_ops x2) + an 11-name r9 tail (job_shapes_t3 x10 +
-    simsearch x1) exhaust it.  Round-6/7 additions (job_shapes_t4,
-    tpcds_shapes_t5, clickbench_ext2, job_shapes_t5, tpcds_shapes_t6)
-    must queue strictly BEHIND that legacy backlog so they never
-    displace a legacy query out of the horizon.  The contiguous-prefix
-    test above guarantees reachability; this one pins the ROUND COUNT so
-    any addition that jumps the queue or regrows the backlog fails CI."""
+    item 2, r8 item 5): after the r8 sweep the legacy backlog is 29
+    names — 11 never-swept (job_shapes_t3 x10 + ann_ivf_trained) plus
+    the 18 edited-after-proof specs the r9 fingerprint-ledger bootstrap
+    demoted back to unproven (r8 verdict item 4: a green row proves the
+    spec TEXT the driver ran, and these were edited since).  Tranche
+    additions must queue strictly BEHIND that legacy backlog so they
+    never displace a legacy query out of the horizon.  The
+    contiguous-prefix test above guarantees reachability; this one pins
+    the COUNT so any addition that jumps the queue or regrows the
+    backlog fails CI."""
     addition_modules = {
         "datafusion_umami_spark.queries.job_shapes_t4",
         "datafusion_umami_spark.queries.tpcds_shapes_t5",
@@ -130,6 +131,8 @@ def test_r7_r8_fronts_exhaust_the_legacy_backlog():
         "datafusion_umami_spark.queries.clickbench_closure",
         "datafusion_umami_spark.queries.job_shapes_t6",
         "datafusion_umami_spark.queries.tpcds_shapes_t7",
+        "datafusion_umami_spark.queries.job_shapes_t7",
+        "datafusion_umami_spark.queries.tpcds_shapes_t8",
     }
     additions = {
         n for n, spec in REGISTRY.items() if spec.module in addition_modules
@@ -140,10 +143,10 @@ def test_r7_r8_fronts_exhaust_the_legacy_backlog():
     names = list(REGISTRY)
     unproven = [n for n in names if n not in green]
     legacy = [n for n in unproven if n not in additions]
-    # 61 = 50 (r8 front) + 11 (r9 tail) as of the r7 artifacts; shrinks
-    # as sweeps land, must never grow past the two-sweep horizon.
-    assert len(legacy) <= 61, (
-        f"legacy backlog is {len(legacy)} — past the r8+r9 horizon"
+    # 29 = 11 never-swept + 18 fingerprint-stale as of the r8 artifacts;
+    # shrinks as sweeps land, must never grow past the one-sweep horizon.
+    assert len(legacy) <= 29, (
+        f"legacy backlog is {len(legacy)} — past the r9 horizon"
     )
     assert set(names[: len(legacy)]) == set(legacy), (
         "legacy backlog is not the exact queue front — additions or "
@@ -180,3 +183,58 @@ def test_latest_record_wins(tmp_path):
     green, failed = _driver_history_from(tmp_path)
     assert green == {"q_fixed", "q_stable", "q_rowsonly"}
     assert failed == {"q_regressed"}
+
+
+def test_edited_spec_is_demoted_and_requeued(monkeypatch):
+    """r8 verdict item 4: a driver-green spec whose CURRENT text no
+    longer matches the fingerprint recorded at its last green row must
+    classify unproven and re-queue ahead of proven greens."""
+    import datafusion_umami_spark.fingerprint as fpmod
+    from datafusion_umami_spark.queries import _stale_edited
+    from datafusion_umami_spark.registry import REGISTRY
+
+    name = "tpch_q1"
+    real_fp = fpmod.spec_fingerprint(REGISTRY[name])
+
+    monkeypatch.setattr(fpmod, "load_ledger",
+                        lambda path=None: {name: {"fp": real_fp, "round": 2}})
+    assert _stale_edited({name}) == set(), "matching fp must stay green"
+
+    monkeypatch.setattr(fpmod, "load_ledger",
+                        lambda path=None: {name: {"fp": "tampered", "round": 2}})
+    assert _stale_edited({name}) == {name}, "edited fp must demote"
+
+    # a green name ABSENT from the ledger stays green (lenient until the
+    # round-start tool records it)
+    monkeypatch.setattr(fpmod, "load_ledger", lambda path=None: {})
+    assert _stale_edited({name}) == set()
+
+
+def test_zscore_and_known_edited_specs_reentered_the_front():
+    """The r8-edited z-score spec (the verdict's named case) and the
+    other edited-after-proof specs surfaced by the ledger bootstrap must
+    sit in the unproven queue front, ahead of every proven green."""
+    green, _failed = _driver_history()
+    names = list(REGISTRY)
+    for name in ("ts_anomaly_zscore_minutes", "tpch_q15",
+                 "dedup_minhash_lsh", "udf_map_in_arrow"):
+        assert name not in green, f"{name} must be unproven (edited text)"
+    first_green = min(names.index(n) for n in green)
+    worst_stale = max(names.index(n) for n in
+                      ("ts_anomaly_zscore_minutes", "tpch_q15"))
+    assert worst_stale < first_green, "stale specs must precede greens"
+
+
+def test_ledger_is_committed_and_covers_the_greens():
+    """The fingerprint ledger must exist, parse, and carry an entry for
+    (nearly) every driver-green name so the proven-as-written rule has
+    teeth; entries record the round of the green row they bless."""
+    from datafusion_umami_spark.fingerprint import LEDGER_PATH, load_ledger
+
+    assert LEDGER_PATH.exists()
+    ledger = load_ledger()
+    assert len(ledger) >= 390
+    assert all(
+        isinstance(e, dict) and e.get("fp") and isinstance(e.get("round"), int)
+        for e in ledger.values()
+    )
