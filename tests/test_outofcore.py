@@ -98,6 +98,15 @@ HEAVY = [
     "tpcds_yearly_decline_union",
     "tpcds_cumulative_max_channel_join",
     "tpcds_three_channel_fullouter_profile",
+    # round-8 additions: the four-bridge clique and the q4 four-ref
+    # profile stack were gated in test_plans; round-9 adds the three-
+    # bridge all-point star (broadcast disabled -> every dim arm a
+    # shuffle join), the q72 demand-offset non-equi fence riding the
+    # partkey equi-join, and the q24 avg-of-sums scalar fence over the
+    # materialized shared aggregate
+    "job_t7_all_point_star",
+    "tpcds_t8_qty_demand_offset_join",
+    "tpcds_t8_above_avg_of_sums",
 ]
 
 HOSTILE_CONF = {

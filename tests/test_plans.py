@@ -553,3 +553,30 @@ def test_round8_bench_promotions_equi_join_no_cartesian(name, spark, sf_dir):
     assert "BatchEvalPython" not in plan, f"{name}: row-Python in plan\n{plan}"
     if name == "job_t6_four_bridge_clique":
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast of dims\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "job_t7_all_point_star",
+        "job_t7_point_center_mega_star",
+        "tpcds_t8_qty_demand_offset_join",
+        "tpcds_t8_above_avg_of_sums",
+        "tpcds_t8_ship_exists_notexists",
+    ],
+)
+def test_round9_additions_equi_join_no_cartesian(name, spark, sf_dir):
+    """Round-9 heavy additions: the all-point star and the point-center
+    mega star must collapse their spelled-out bridge closures into
+    equi-join trees with dims broadcast; the q72 demand-offset join's
+    quantity/date inequalities must RIDE the partkey equi-join (a
+    post-join condition, never a cartesian); the q24 avg-of-sums fence
+    runs its scalar aggregates as subqueries (no BNLJ against the
+    1-row side); the q16 audit plans EXISTS/NOT EXISTS as semi/anti
+    joins.  Never a cartesian, BNLJ, or row-Python."""
+    plan = plan_str(q(name, spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ\n{plan}"
+    assert "BatchEvalPython" not in plan, f"{name}: row-Python in plan\n{plan}"
+    if name in ("job_t7_all_point_star", "job_t7_point_center_mega_star"):
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast of dims\n{plan}"
