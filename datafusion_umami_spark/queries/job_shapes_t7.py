@@ -204,6 +204,7 @@ register_sql(
       AND n_regionkey = r_regionkey
     """,
     tags=("job", "all-point", "three-bridge-closure"),
+    bench=True,
 )
 
 # 15b: TWO conjunctive LIKE pairs on TWO different columns (mc.note
