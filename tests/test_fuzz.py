@@ -447,12 +447,98 @@ def _gen_case_r8(rng: random.Random) -> str:
     )
 
 
+def _gen_case_r9(rng: random.Random) -> str:
+    """Round-9 idiom branches, appended behind the r8 corpus (fourth
+    seeded RNG — earlier draw orders stay byte-identical): the q72
+    demand-offset non-equi fence, the q24 avg-of-sums scalar fence
+    (with the >= 19-wide DECIMAL rule), conjunctive same-column LIKE
+    pairs with NOT LIKE, NULLIF-based NULL-test fences, the all-point
+    bridge closure, and the q83 week-derivation IN-subquery."""
+    branch = rng.randrange(6)
+    if branch == 0:  # q72-class: non-equi qty fence riding the partkey join
+        off_lo, off_hi = rng.choice([(5, 30), (3, 21)])
+        qmin = rng.choice([44, 46])
+        return (
+            f"SELECT sale.l_partkey AS part, COUNT(*) AS short_events "
+            f"FROM lineitem sale, lineitem stock "
+            f"WHERE sale.l_partkey = stock.l_partkey "
+            f"AND stock.l_quantity < sale.l_quantity "
+            f"AND stock.l_shipdate > sale.l_shipdate + INTERVAL {off_lo} DAY "
+            f"AND stock.l_shipdate < sale.l_shipdate + INTERVAL {off_hi} DAY "
+            f"AND sale.l_returnflag = 'R' AND sale.l_quantity > {qmin} "
+            f"GROUP BY sale.l_partkey ORDER BY part"
+        )
+    if branch == 1:  # q24-class: cents above a multiple of the avg-of-sums
+        k = rng.choice(["o_custkey % 13", "o_custkey % 9"])
+        pct = rng.choice([105, 120])
+        cents = "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        return (
+            f"WITH s AS (SELECT {k} AS k0, o_orderstatus AS st, "
+            f"{cents} AS cents FROM orders GROUP BY {k}, o_orderstatus) "
+            f"SELECT k0, st, cents FROM s "
+            # avg-of-sums fence: one >= 19-wide operand per product
+            # (DuckDB keeps <=18 x <=18 products at DECIMAL(18,0))
+            f"WHERE CAST(cents AS DECIMAL(19,0)) "
+            f"      * CAST(100 * (SELECT CAST(COUNT(*) AS BIGINT) FROM s) "
+            f"             AS DECIMAL(14,0)) "
+            f"    > CAST({pct} AS DECIMAL(3,0)) "
+            f"      * CAST((SELECT CAST(SUM(cents) AS BIGINT) FROM s) "
+            f"             AS DECIMAL(19,0)) "
+            f"ORDER BY k0, st"
+        )
+    if branch == 2:  # 5a/22b-class: conjunctive same-column LIKEs + NOT LIKE
+        a, b = rng.choice([("%o%", "%d%"), ("%l%", "%t%")])
+        neg = rng.choice(["%blue%", "%old%"])
+        return (
+            f"SELECT MIN(p_name) AS title, COUNT(*) AS matches "
+            f"FROM part, lineitem WHERE p_partkey = l_partkey "
+            f"AND p_name LIKE '{a}' AND p_name LIKE '{b}' "
+            f"AND p_name NOT LIKE '{neg}'"
+        )
+    if branch == 3:  # 11b-class: NULLIF null-test fence + point year
+        col, zero = rng.choice([("l_tax", "0.0"), ("l_discount", "0.0")])
+        yr = rng.choice([1997, 1998])
+        return (
+            f"SELECT MIN(l_shipdate) AS first_ship, COUNT(*) AS matches "
+            f"FROM lineitem, orders WHERE l_orderkey = o_orderkey "
+            f"AND NULLIF({col}, {zero}) IS NULL "
+            f"AND EXTRACT(YEAR FROM o_orderdate) = {yr}"
+        )
+    if branch == 4:  # 13a-class: all-point two-bridge closure
+        st = rng.choice(["'F'", "'O'"])
+        rf = rng.choice(["'A'", "'N'"])
+        return (
+            f"SELECT MIN(b1.l_shipdate) AS d1, COUNT(*) AS matches "
+            f"FROM orders, lineitem b1, lineitem b2 "
+            f"WHERE b1.l_orderkey = o_orderkey "
+            f"AND b2.l_orderkey = o_orderkey "
+            f"AND b1.l_orderkey = b2.l_orderkey "
+            f"AND b1.l_linenumber < b2.l_linenumber "
+            f"AND o_orderstatus = {st} AND b1.l_returnflag = {rf} "
+            f"AND b2.l_linestatus = 'F'"
+        )
+    # branch 5 — q83-class: week-derivation IN-subquery double hop
+    d1, d2 = rng.choice([
+        ("1998-01-15", "1998-09-20"), ("1997-03-10", "1999-06-30")
+    ])
+    return (
+        f"SELECT l_suppkey AS supp, COUNT(*) AS n FROM lineitem "
+        f"WHERE date_trunc('week', l_shipdate) IN "
+        f"(SELECT DISTINCT date_trunc('week', o_orderdate) FROM orders "
+        f" WHERE CAST(o_orderdate AS DATE) IN "
+        f" (DATE '{d1}', DATE '{d2}')) "
+        f"GROUP BY l_suppkey ORDER BY supp"
+    )
+
+
 _RNG = random.Random(20260813)
 CASES = [(_gen_case(_RNG), i % 2 == 1) for i in range(N_LEGACY_CASES)]
 _RNG7 = random.Random(20260814)
 CASES += [(_gen_case_r7(_RNG7), i % 2 == 1) for i in range(16)]
 _RNG8 = random.Random(20260815)
 CASES += [(_gen_case_r8(_RNG8), i % 2 == 1) for i in range(16)]
+_RNG9 = random.Random(20260816)
+CASES += [(_gen_case_r9(_RNG9), i % 2 == 1) for i in range(12)]
 N_CASES = len(CASES)
 
 
