@@ -33,7 +33,9 @@ benchmarks/queries/imdb/, 113 files) still unrepresented after tranches
 - 30b: OR-of-THREE LIKEs (two infix + one prefix) on the center dim +
   writer-note IN-5 + keyword IN-7 + genre IN-2 + gender point;
 - 29b: the mega star with a POINT on the center dim's name (t.title =
-  'Shrek 2') collapsing the whole clique to near-point selectivity.
+  'Shrek 2') collapsing the whole clique to near-point selectivity;
+- 14a: the three-bridge stack with two role-played info dims (closes
+  the last zero-mention JOB family — all 33 families represented).
 
 Like the originals, queries aggregate to MIN() columns + COUNT(*) with
 no GROUP BY — single-row, order-independent output — and the SQL text
@@ -371,4 +373,36 @@ register_sql(
       AND n_regionkey = r_regionkey
     """,
     tags=("job", "point-center", "mega-star"),
+)
+
+# 14a: the three-bridge stack with TWO role-played info dims — three
+# fact bridges fully pairwise-closed, the keyword IN-4 through one,
+# the lexicographic '<' on the numeric-looking rating through another,
+# a kind point and a year floor (closes the last zero-mention JOB
+# family: every family 1..33 is now represented).
+register_sql(
+    "job_t7_three_stack_two_roles",
+    """
+    SELECT MIN(b2.l_extendedprice) AS rating,
+           MIN(c_name) AS northern_dark_movie,
+           COUNT(*) AS matches
+    FROM customer, orders, lineitem b1, lineitem b2, lineitem b3,
+         part, supplier
+    WHERE p_brand IN ('Brand#1', 'Brand#4', 'Brand#9', 'Brand#12')
+      AND s_name < 'Supplier#000000008'
+      AND c_mktsegment = 'FURNITURE'
+      AND o_orderdate > DATE '1997-01-01'
+      AND o_custkey = c_custkey
+      AND b1.l_orderkey = o_orderkey
+      AND b2.l_orderkey = o_orderkey
+      AND b3.l_orderkey = o_orderkey
+      AND b1.l_orderkey = b2.l_orderkey
+      AND b1.l_orderkey = b3.l_orderkey
+      AND b2.l_orderkey = b3.l_orderkey
+      AND b1.l_linenumber < b2.l_linenumber
+      AND b2.l_linenumber < b3.l_linenumber
+      AND b1.l_partkey = p_partkey
+      AND b2.l_suppkey = s_suppkey
+    """,
+    tags=("job", "three-stack", "two-roles", "lexicographic"),
 )
