@@ -2,14 +2,28 @@
 
 "Proven" must mean proven-as-written: a driver green row certifies the
 spec TEXT the driver ran, not the name.  Each QuerySpec is fingerprinted
-over everything that determines its behavior — the Spark SQL / docstring,
-the DuckDB oracle text, and the Python source of the callable (captures
-DataFrame-code edits that leave the docstring alone).  The committed
-ledger `queries/sweep_fingerprints.json` maps name -> {fp, round}; the
-sweep classifier (`queries/__init__._reorder_for_sweep`) demotes a
-driver-green name back to "unproven" whenever its CURRENT fingerprint
-differs from the ledger entry, so an edited spec re-queues ahead of
-proven greens and earns a fresh driver row on the new text.
+over its SPEC-LOCAL text — the Spark SQL / docstring, the DuckDB oracle
+text, the Python source of the callable (captures DataFrame-code edits
+that leave the docstring alone) — plus a shared salt over the
+money-semantics helpers every oracle relies on (`registry.dec` /
+`registry.dsum`; byte-stable since round 1, so salting them is free
+until the day someone edits them — at which point demoting every green
+is exactly right).  BOUNDARY (explicit, not an oversight): edits to the
+broader shared infrastructure (tables.py loading/normalization,
+operators/materialize.py, streaming/runner.py) are NOT fingerprinted —
+they changed in most rounds, so salting them would mass-demote the
+proven ledger; their correctness is instead re-proven every round by
+the full-registry sf0.01/sf0.1 verify legs (README verification
+paragraphs), which execute every spec end-to-end against DuckDB.
+
+The committed ledger `queries/sweep_fingerprints.json` maps
+name -> {fp, round}; the sweep classifier
+(`queries/__init__._driver_history`) demotes a driver-green name back
+to "unproven" whenever its CURRENT fingerprint differs from the ledger
+entry — and, fail-safe, whenever the name is MISSING from the ledger
+unless its green row is from the latest artifact (fresh evidence the
+round-start tool has not blessed yet).  A dropped ledger entry
+therefore re-queues a spec rather than laundering it into proven.
 
 Maintenance: `tools/update_sweep_fingerprints.py`, run at ROUND START
 (before any spec edits) so newly-green rows are blessed against the text
@@ -23,13 +37,30 @@ from __future__ import annotations
 import hashlib
 import inspect
 import json
+from functools import lru_cache
 from pathlib import Path
 
 LEDGER_PATH = Path(__file__).resolve().parent / "queries" / "sweep_fingerprints.json"
 
 
+@lru_cache(maxsize=1)
+def _shared_salt() -> str:
+    """Source hash of the money-semantics helpers (dec/dsum) mixed into
+    every fingerprint: an edit to decimal money handling changes what
+    every proven oracle row meant, so it must demote ALL greens."""
+    from datafusion_umami_spark import registry
+
+    parts = []
+    for fn in (registry.dec, registry.dsum):
+        try:
+            parts.append(inspect.getsource(fn))
+        except (OSError, TypeError):
+            parts.append(fn.__name__)
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
+
+
 def spec_fingerprint(spec) -> str:  # type: ignore[no-untyped-def]
-    """sha256 over (fn docstring, oracle SQL, fn source).
+    """sha256 over (fn docstring, oracle SQL, fn source, shared salt).
 
     The docstring carries the full Spark SQL for `register_sql` /
     `register_split_sql` specs; the source carries DataFrame-code bodies
@@ -41,7 +72,9 @@ def spec_fingerprint(spec) -> str:  # type: ignore[no-untyped-def]
         src = inspect.getsource(spec.fn)
     except (OSError, TypeError):
         src = ""
-    blob = "\x00".join((spec.fn.__doc__ or "", spec.oracle or "", src))
+    blob = "\x00".join(
+        (spec.fn.__doc__ or "", spec.oracle or "", src, _shared_salt())
+    )
     return hashlib.sha256(blob.encode()).hexdigest()
 
 

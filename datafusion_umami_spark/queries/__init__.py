@@ -28,9 +28,10 @@ repo root, so round N+1 automatically pushes round N's greens to the back
 and pulls any new failures to the front — no manual rotation needed.
 
 PROVE-DOWN HORIZON (re-pinned each round, tests/test_sweep_order.py):
-as of the round-8 artifacts the legacy backlog is 29 queries =
+as of the round-8 artifacts the legacy backlog is 31 queries =
 11 never-swept (job_shapes_t3 x10 + ann_ivf_trained) + 18
-edited-after-proof specs demoted by the r9 fingerprint bootstrap.
+edited-after-proof specs demoted by the r9 fingerprint bootstrap + 2
+ledger-absent fail-safe demotions (r3 greens from a mid-round tree).
 Tranche additions (t4..t8 + clickbench_ext2/closure) stay capped and
 MUST be imported last (below) so they queue strictly behind the legacy
 backlog; they drain once the legacy tail clears.
@@ -352,21 +353,43 @@ def _driver_history() -> tuple[set[str], set[str]]:
     approx-agg rewrites), a stale `no_oracle` record must classify the
     name as unproven so it re-enters the front and earns a hash row
     (r6 verdict item 1).
+
+    Two ledger-backed demotions on top (r8 verdict item 4, fingerprint.py):
+    - a green name whose CURRENT spec fingerprint differs from its
+      ledger entry is unproven (edited after proof);
+    - FAIL-SAFE: a green name MISSING from the ledger is unproven
+      unless its green row comes from the LATEST artifact (fresh
+      evidence the round-start tool has not blessed yet) — a dropped
+      ledger entry re-queues a spec rather than laundering it.
     """
+    from datafusion_umami_spark.fingerprint import load_ledger
     from datafusion_umami_spark.registry import REGISTRY
 
+    root = Path(__file__).resolve().parents[2]
     oracled = {n for n, spec in REGISTRY.items() if spec.oracle is not None}
-    green, failed = _driver_history_from(
-        Path(__file__).resolve().parents[2], oracled
-    )
-    return green - _stale_edited(green), failed
+    records = _latest_records(root)
+    green, failed = _classify(records, oracled)
+    green -= _stale_edited(green)
+    ledger = load_ledger()
+    absent = {n for n in green if n not in ledger}
+    if absent:
+        max_round = max((rnd for _, rnd in records.values()), default=0)
+        green -= {n for n in absent if records[n][1] != max_round}
+    return green, failed
 
 
-def _driver_history_from(
-    root: Path, oracled: set[str] = frozenset()
-) -> tuple[set[str], set[str]]:
-    latest: dict[str, bool] = {}  # name -> latest-round row passed?
+def _latest_records(root: Path) -> dict[str, tuple[dict, int]]:
+    """name -> (latest driver record, round of that record).
+
+    Single source of truth for artifact walking — the sweep classifier
+    and tools/update_sweep_fingerprints.py both build on it so ledger
+    blessing and sweep demotion can never drift apart."""
+    import re
+
+    latest: dict[str, tuple[dict, int]] = {}
     for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", artifact.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(artifact.read_text())
         except (OSError, ValueError):
@@ -374,17 +397,34 @@ def _driver_history_from(
         if not isinstance(rows, dict):
             continue
         for name, rec in rows.items():
-            if not isinstance(rec, dict):
-                continue
-            rows_only_ok = (
-                rec.get("err") == "no_oracle"
-                and rec.get("spark_rows") is not None
-                and name not in oracled
-            )
-            latest[name] = bool(rec.get("hash_match")) or rows_only_ok
-    green = {name for name, ok in latest.items() if ok}
-    failed = {name for name, ok in latest.items() if not ok}
+            if isinstance(rec, dict):
+                latest[name] = (rec, rnd)
+    return latest
+
+
+def _classify(
+    records: dict[str, tuple[dict, int]], oracled: set[str] = frozenset()
+) -> tuple[set[str], set[str]]:
+    green, failed = set(), set()
+    for name, (rec, _rnd) in records.items():
+        rows_only_ok = (
+            rec.get("err") == "no_oracle"
+            and rec.get("spark_rows") is not None
+            and name not in oracled
+        )
+        if bool(rec.get("hash_match")) or rows_only_ok:
+            green.add(name)
+        else:
+            failed.add(name)
     return green, failed
+
+
+def _driver_history_from(
+    root: Path, oracled: set[str] = frozenset()
+) -> tuple[set[str], set[str]]:
+    """Artifact-only classification (no ledger logic) — the unit-test
+    surface for the record-walk semantics."""
+    return _classify(_latest_records(root), oracled)
 
 
 def _stale_edited(green: set[str]) -> set[str]:

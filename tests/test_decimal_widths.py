@@ -103,3 +103,67 @@ def test_no_le18_pair_products_left_in_oracle_texts():
     assert not offenders, (
         f"unwidened <=18 x <=18 decimal products: {offenders}"
     )
+
+
+def test_le18_times_subtract_only_composite_stays_decimal18(con):
+    # A parenthesized composite with NO >= 19-wide inner node stays
+    # <= D(18) (D(17)-D(17) -> D(18)), so the outer product is again a
+    # <=18 x <=18 multiply and overflows past 1e18 — the same defect
+    # class one nesting level deeper.
+    t = con.sql(
+        "SELECT CAST(2 AS DECIMAL(11,0))"
+        " * (CAST(3 AS DECIMAL(17,0)) - CAST(1 AS DECIMAL(17,0))) AS p"
+    ).types[0]
+    assert str(t) == "DECIMAL(18,0)"
+    with pytest.raises(duckdb.OutOfRangeException):
+        con.sql(
+            "SELECT CAST(2000000000 AS DECIMAL(11,0))"
+            " * (CAST(1000000000 AS DECIMAL(17,0))"
+            "    - CAST(0 AS DECIMAL(17,0)))"
+        ).fetchall()
+
+
+def test_no_le18_times_narrow_composite_in_oracle_texts():
+    """Composite-operand guard: an outer <=18-wide cast multiplied by a
+    parenthesized group whose decimal casts are ALL <=18 wide is the
+    same defect one nesting level deeper (probe above).  Walks the
+    balanced paren group programmatically; composites carrying a >=19
+    inner cast (the repo's sanctioned X * (A*B' - C*D') fences) pass."""
+    from pathlib import Path
+
+    head = re.compile(
+        r"AS DECIMAL\((\d+),0\)\)[\s\"f']*\n?[\s\"f']*\*[\s\"f']*\("
+    )
+    width = re.compile(r"AS DECIMAL\((\d+),0\)")
+    root = Path(__file__).resolve().parents[1]
+    here = Path(__file__)
+    offenders = []
+    files = list((root / "datafusion_umami_spark").rglob("*.py")) + [
+        f for f in (root / "tests").glob("*.py") if f != here
+    ] + [root / "bench.py", root / "__spark_entry__.py"]
+    for f in files:
+        s = f.read_text()
+        for m in head.finditer(s):
+            outer = int(m.group(1))
+            if outer > 18:
+                continue
+            # walk the balanced group starting at the '(' the head ends on
+            i, depth = m.end() - 1, 0
+            for j in range(i, min(len(s), i + 4000)):
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            group = s[i:j + 1]
+            inner = [int(w) for w in width.findall(group)]
+            if inner and max(inner) <= 18:
+                ln = s[: m.start()].count("\n") + 1
+                offenders.append(
+                    f"{f.relative_to(root)}:{ln} D({outer})x(max inner "
+                    f"D({max(inner)}))"
+                )
+    assert not offenders, (
+        f"<=18-wide outer x all-<=18 composite products: {offenders}"
+    )

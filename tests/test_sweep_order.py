@@ -112,11 +112,14 @@ def test_front_of_queue_is_the_priority_backlog():
 
 def test_r9_front_exhausts_the_legacy_backlog():
     """r5 verdict item 2, horizon re-pinned each round (r6 item 8, r7
-    item 2, r8 item 5): after the r8 sweep the legacy backlog is 29
-    names — 11 never-swept (job_shapes_t3 x10 + ann_ivf_trained) plus
-    the 18 edited-after-proof specs the r9 fingerprint-ledger bootstrap
+    item 2, r8 item 5): after the r8 sweep the legacy backlog is 31
+    names — 11 never-swept (job_shapes_t3 x10 + ann_ivf_trained), the
+    18 edited-after-proof specs the r9 fingerprint-ledger bootstrap
     demoted back to unproven (r8 verdict item 4: a green row proves the
-    spec TEXT the driver ran, and these were edited since).  Tranche
+    spec TEXT the driver ran, and these were edited since), plus 2
+    ledger-absent fail-safe demotions (tpcds_rollup_rank /
+    tpcds_share_of_total: r3 green rows from a mid-round tree whose
+    swept text no snapshot preserves).  Tranche
     additions must queue strictly BEHIND that legacy backlog so they
     never displace a legacy query out of the horizon.  The
     contiguous-prefix test above guarantees reachability; this one pins
@@ -143,9 +146,10 @@ def test_r9_front_exhausts_the_legacy_backlog():
     names = list(REGISTRY)
     unproven = [n for n in names if n not in green]
     legacy = [n for n in unproven if n not in additions]
-    # 29 = 11 never-swept + 18 fingerprint-stale as of the r8 artifacts;
-    # shrinks as sweeps land, must never grow past the one-sweep horizon.
-    assert len(legacy) <= 29, (
+    # 31 = 11 never-swept + 18 fingerprint-stale + 2 ledger-absent as of
+    # the r8 artifacts; shrinks as sweeps land, must never grow past the
+    # one-sweep horizon.
+    assert len(legacy) <= 31, (
         f"legacy backlog is {len(legacy)} — past the r9 horizon"
     )
     assert set(names[: len(legacy)]) == set(legacy), (
