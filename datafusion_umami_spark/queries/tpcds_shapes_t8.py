@@ -291,3 +291,168 @@ register_sql(
     """,
     tags=("tpcds", "triple-leg-union", "dim-subquery-fence"),
 )
+
+# --- q5/q77: channel P&L from a zero-filled sales∪returns union + ROLLUP ---
+# The classic TPC-DS report shape: sales rows and returns rows are
+# UNION ALL'd with zero-filled measure columns so ONE aggregation
+# computes sales, returns and profit per entity; a ROLLUP adds the
+# channel subtotal rows.  Money in integer cents throughout.
+register_sql(
+    "tpcds_t8_channel_pnl_union_rollup",
+    """
+    WITH salesreturns AS (
+        SELECT n_name AS nation,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS sales_c,
+               CAST(0 AS BIGINT) AS returns_c
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND l_returnflag <> 'R'
+          AND l_shipdate BETWEEN DATE '1998-08-04'
+                             AND DATE '1998-08-04' + INTERVAL 14 DAY
+        UNION ALL
+        SELECT n_name AS nation,
+               CAST(0 AS BIGINT) AS sales_c,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS returns_c
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND l_returnflag = 'R'
+          AND l_shipdate BETWEEN DATE '1998-08-04'
+                             AND DATE '1998-08-04' + INTERVAL 14 DAY)
+    SELECT COALESCE(nation, 'ALL') AS nation,
+           CAST(SUM(sales_c) AS BIGINT) AS sales_cents,
+           CAST(SUM(returns_c) AS BIGINT) AS returns_cents,
+           CAST(SUM(sales_c) - SUM(returns_c) AS BIGINT) AS profit_cents
+    FROM salesreturns
+    GROUP BY ROLLUP(nation)
+    ORDER BY nation
+    LIMIT 100
+    """,
+    tags=("tpcds", "channel-pnl", "zero-filled-union", "rollup"),
+)
+
+# --- q80: LEFT JOIN returns on a two-part key, COALESCE'd P&L -------------
+# Sales fact LEFT JOINs its returns on (item, ticket) — here the 'R'
+# slice of the same fact on (orderkey, linenumber) — with COALESCE
+# turning missing returns into zeros; price fence + promo point + date
+# window ride along.
+register_sql(
+    "tpcds_t8_leftjoin_returns_profit",
+    """
+    SELECT p_name AS item_name,
+           CAST(SUM(CAST(round(s.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sales_cents,
+           CAST(SUM(COALESCE(CAST(round(r.l_extendedprice * 100)
+                                  AS BIGINT), 0)) AS BIGINT)
+               AS returns_cents
+    FROM lineitem s
+    LEFT OUTER JOIN (SELECT * FROM lineitem WHERE l_returnflag = 'R') r
+      ON s.l_orderkey = r.l_orderkey AND s.l_linenumber = r.l_linenumber
+    JOIN part ON s.l_partkey = p_partkey
+    WHERE s.l_shipdate BETWEEN DATE '1998-08-04'
+                           AND DATE '1998-08-04' + INTERVAL 30 DAY
+      AND p_retailprice > 905
+      AND p_type = 'PROMO'
+    GROUP BY p_name
+    ORDER BY item_name
+    LIMIT 200
+    """,
+    tags=("tpcds", "leftjoin-returns", "coalesce-pnl"),
+)
+
+# --- q84: income-band dim chain with concatenated display name ------------
+register_sql(
+    "tpcds_t8_income_band_chain",
+    """
+    SELECT c_custkey AS customer_id,
+           COALESCE(c_name, '') || ', ' || COALESCE(c_mktsegment, '')
+               AS customername
+    FROM customer, nation, orders
+    WHERE n_name = 'NATION_7'
+      AND c_nationkey = n_nationkey
+      AND c_acctbal >= 1000
+      AND c_acctbal <= 1000 + 5000
+      AND o_custkey = c_custkey
+      AND o_orderstatus = 'F'
+    ORDER BY customer_id
+    LIMIT 100
+    """,
+    tags=("tpcds", "income-band", "concat-name"),
+)
+
+# --- q85: triple-OR of cross-alias demographic pairs + price bands --------
+# Two role-played demographic dims must AGREE (cd1.col = cd2.col inside
+# every arm) and each arm carries its own price band — the reference's
+# (marital, education, sales_price) triple OR.  The second demographic
+# role is reached through the supplier surrogate key.
+register_sql(
+    "tpcds_t8_triple_or_demo_pairs",
+    """
+    SELECT SUBSTR(n_name, 1, 20) AS reason,
+           ROUND(CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_quantity,
+           CAST(COUNT(*) AS BIGINT) AS matches
+    FROM lineitem, orders, customer c1, customer c2, supplier, nation
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c1.c_custkey
+      AND l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey
+      AND c2.c_custkey = l_partkey % 150
+      AND ((c1.c_mktsegment = 'BUILDING'
+            AND c1.c_mktsegment = c2.c_mktsegment
+            AND o_totalprice BETWEEN 1000.00 AND 150000.00)
+        OR (c1.c_mktsegment = 'MACHINERY'
+            AND c1.c_mktsegment = c2.c_mktsegment
+            AND o_totalprice BETWEEN 150000.00 AND 300000.00)
+        OR (c1.c_mktsegment = 'FURNITURE'
+            AND c1.c_mktsegment = c2.c_mktsegment
+            AND o_totalprice BETWEEN 300000.00 AND 450000.00))
+      AND EXTRACT(YEAR FROM o_orderdate) = 1998
+    GROUP BY SUBSTR(n_name, 1, 20)
+    ORDER BY reason
+    LIMIT 100
+    """,
+    tags=("tpcds", "triple-or", "cross-alias-demo-pairs"),
+)
+
+# --- q91: ORed demographic point-pairs over a returns chain ---------------
+register_sql(
+    "tpcds_t8_ored_demo_pairs_returns",
+    """
+    SELECT n_name AS call_center,
+           c_mktsegment AS segment,
+           o_orderpriority AS priority,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS returns_loss_cents
+    FROM lineitem, orders, customer, nation, region
+    WHERE l_returnflag = 'R'
+      AND l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND EXTRACT(YEAR FROM o_orderdate) = 1999
+      AND ((c_mktsegment = 'MACHINERY'
+            AND o_orderpriority = '1-URGENT')
+        OR (c_mktsegment = 'HOUSEHOLD'
+            AND o_orderpriority = '5-LOW'))
+      AND c_name LIKE 'Customer#%'
+      AND r_name = 'ASIA'
+    GROUP BY n_name, c_mktsegment, o_orderpriority
+    ORDER BY returns_loss_cents DESC, call_center, segment, priority
+    LIMIT 100
+    """,
+    tags=("tpcds", "ored-point-pairs", "returns-chain"),
+)
+
+# --- q96: time-of-day band count -------------------------------------------
+register_sql(
+    "tpcds_t8_time_of_day_count",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE EXTRACT(HOUR FROM ts) = 8
+      AND EXTRACT(MINUTE FROM ts) >= 30
+      AND event_type = 'purchase'
+      AND user_id % 5 = 2
+    """,
+    tags=("tpcds", "time-of-day", "point-count"),
+)
