@@ -779,3 +779,80 @@ register_sql(
     """,
     tags=("job", "like-escape"),
 )
+
+# ---------------------------------------------------------------------------
+# Full mapping of the 113 JOB files (reference benchmarks/queries/imdb/) to
+# the registry entry that re-expresses each file's combination idiom on the
+# driver star schema.  Unlike the ClickBench closure (dedicated 1:1), JOB
+# letters within a family mostly differ by constants/fence tightness, so the
+# mapping is honestly MANY-TO-ONE: a letter maps to the entry whose predicate
+# combination matches its own (operator-mix-verified against each file).
+# tests/test_registry_inventory.py parses this block and enforces: every
+# file 1a..33c appears exactly once, and every mapped name is a registered
+# "job"-tagged query.
+#
+# 1a→job_selective_5way 1b→job_selective_5way 1c→job_selective_5way
+# 1d→job_selective_5way
+# 2a→job_point_dim_probe 2b→job_point_dim_probe 2c→job_point_dim_probe
+# 2d→job_point_dim_probe
+# 3a→job_t7_dim_like_bridge_in8 3b→job_t7_dim_like_bridge_in8
+# 3c→job_t7_dim_like_bridge_in8
+# 4a→job_t7_lexic_second_stack 4b→job_t7_lexic_second_stack
+# 4c→job_t7_lexic_second_stack
+# 5a→job_t7_conj_same_column_likes 5b→job_t7_conj_same_column_likes
+# 5c→job_t7_notlike_like_same_column
+# 6a→job_year_trend_fence 6b→job_two_inlists_like 6c→job_year_trend_fence
+# 6d→job_two_inlists_like 6e→job_year_trend_fence 6f→job_unselective_4way
+# 7a→job_two_nation_arms_crossed 7b→job_two_nation_arms_crossed
+# 7c→job_notnull_or_like_fence
+# 8a→job_string_fences_6way 8b→job_multiwildcard_notlike_or
+# 8c→job_t7_all_point_star 8d→job_t7_all_point_star
+# 9a→job_t7_dim_key_triangle 9b→job_t7_dim_key_triangle
+# 9c→job_t7_dim_key_triangle 9d→job_t7_dim_key_triangle
+# 10a→job_dim_first_chain 10b→job_dim_first_chain 10c→job_dim_first_chain
+# 11a→job_t7_null_fence_point_year 11b→job_t7_null_fence_point_year
+# 11c→job_negation_heavy_three_arms 11d→job_negation_heavy_three_arms
+# 12a→job_t6_genre_rating_year_band 12b→job_notnull_or_like_fence
+# 12c→job_t6_genre_rating_year_band
+# 13a→job_t7_all_point_star 13b→job_date_string_prefix_fence
+# 13c→job_date_string_prefix_fence 13d→job_double_range_fence
+# 14a→job_t7_three_stack_two_roles 14b→job_inlist_notin_mix
+# 14c→job_t7_three_stack_two_roles
+# 15a→job_date_string_prefix_fence 15b→job_t7_double_conj_like_pairs
+# 15c→job_notnull_or_like_fence 15d→job_date_string_prefix_fence
+# 16a→job_episode_range_8way 16b→job_two_inlists_like
+# 16c→job_t6_episode_capped_chain 16d→job_episode_range_8way
+# 17a→job_t6_duplicate_min_aliases 17b→job_t6_duplicate_min_aliases
+# 17c→job_t6_duplicate_min_aliases 17d→job_t6_duplicate_min_aliases
+# 17e→job_t6_duplicate_min_aliases 17f→job_t6_duplicate_min_aliases
+# 18a→job_t6_unfenced_fact_two_infos 18b→job_nullif_is_null_fence
+# 18c→job_t6_unfenced_fact_two_infos
+# 19a→job_three_fenced_arms 19b→job_three_fenced_arms
+# 19c→job_three_fenced_arms 19d→job_triple_bridge_three_chains
+# 20a→job_multiwildcard_notlike_or 20b→job_t6_double_negation_fences
+# 20c→job_keyword_in8_triple_clique
+# 21a→job_t6_negated_dim_mixed_in8 21b→job_t7_four_bridge_fence_kit
+# 21c→job_t6_negated_dim_mixed_in8
+# 22a→job_widest_9way_star 22b→job_t7_notlike_like_same_column
+# 22c→job_self_dim_two_filters 22d→job_negated_dim_eq
+# 23a→job_notnull_or_like_fence 23b→job_t6_status_role_date_prefix
+# 23c→job_t6_status_role_date_prefix
+# 24a→job_t6_point_company_like_prefix 24b→job_t6_point_company_like_prefix
+# 25a→job_keyword_in8_triple_clique 25b→job_keyword_in8_triple_clique
+# 25c→job_t6_four_bridge_clique
+# 26a→job_t6_notnull_orlikes_lexgt 26b→job_t7_case_variant_or_likes
+# 26c→job_t6_notnull_orlikes_lexgt
+# 27a→job_company_negation_or_like 27b→job_linktype_like_chain
+# 27c→job_company_negation_or_like
+# 28a→job_full_clique_preds_10way 28b→job_triple_roleplay_same_dim
+# 28c→job_full_clique_preds_10way
+# 29a→job_point_anchor_wide_star 29b→job_t7_point_center_mega_star
+# 29c→job_double_bridge_clique
+# 30a→job_t6_role_in_role_point 30b→job_t7_or3_likes_center_dim
+# 30c→job_five_alias_fact_clique
+# 31a→job_t6_prefix_company_wide_star 31b→job_inlist_role_prefix_probe
+# 31c→job_t6_prefix_company_wide_star
+# 32a→job_link_bridge_same_entity 32b→job_link_bridge_same_entity
+# 33a→job_link_bridge_same_entity 33b→job_t6_linked_pair_point_year
+# 33c→job_deep_7way_chain
+# ---------------------------------------------------------------------------
