@@ -1406,3 +1406,66 @@ register_sql(
     """,
     tags=("tpcds", "within-pct", "two-channel"),
 )
+
+# ---------------------------------------------------------------------------
+# Full mapping of the 99 TPC-DS planning-corpus queries (reference
+# core/tests/tpc-ds/1.sql..99.sql, exercised by core/tests/tpcds_planning.rs)
+# to the registry entry that re-expresses each query's idiom on the driver
+# star schema.  Many-to-one where the corpus itself repeats a template
+# across channels (e.g. q47/q57, q62/q99, q33/q56/q60 are the same shape
+# over store/catalog/web): the template maps once and its channel clones
+# map to the same entry.  tests/test_registry_inventory.py parses this
+# block and enforces: every number 1..99 exactly once, every mapped name a
+# registered "tpcds"-tagged query.
+#
+# q1→tpcds_t7_returns_above_nation_avg q2→tpcds_weekday_share_two_years
+# q3→tpcds_rollup_rank q4→tpcds_t7_multi_year_profile_stack
+# q5→tpcds_t8_channel_pnl_union_rollup q6→tpcds_above_group_avg
+# q7→tpcds_demographic_stats_gated q8→tpcds_t8_zip_prefix_dense
+# q9→tpcds_scalar_subqueries_in_case q10→tpcds_exists_or_channels
+# q11→tpcds_two_channel_growth_compare q12→tpcds_share_of_total
+# q13→tpcds_or_of_ands_bands q14→tpcds_intersect_driven_sales
+# q15→tpcds_t8_cross_dim_or_fence q16→tpcds_t8_ship_exists_notexists
+# q17→tpcds_quantity_cov q18→tpcds_rollup_subtotals_only
+# q19→tpcds_t7_differing_nation_orders q20→tpcds_share_of_total
+# q21→tpcds_t7_before_after_pivot_band q22→tpcds_rollup_subtotals_only
+# q23→tpcds_frequent_items_best_customers q24→tpcds_t8_above_avg_of_sums
+# q25→tpcds_buy_return_rebuy q26→tpcds_demographic_stats_gated
+# q27→tpcds_rollup_subtotals_only q28→tpcds_band_counts
+# q29→tpcds_buy_return_rebuy q30→tpcds_t7_returns_above_nation_avg
+# q31→tpcds_qoq_web_vs_store q32→tpcds_correlated_avg_discount
+# q33→tpcds_t8_triple_leg_dim_union q34→tpcds_t7_bulk_ticket_households
+# q35→tpcds_demographic_stats_gated q36→tpcds_share_of_total
+# q37→tpcds_t8_inventory_band_items q38→tpcds_three_way_intersect
+# q39→tpcds_t7_cv_pairs_cross_month q40→tpcds_t7_before_after_pivot_band
+# q41→tpcds_t7_and_of_ors_distinct_dim q42→tpcds_rollup_rank
+# q43→tpcds_weekday_share_two_years q44→tpcds_top_bottom_rank_join
+# q45→tpcds_or_local_or_subquery q46→tpcds_t7_differing_nation_orders
+# q47→tpcds_lag_lead_sandwich q48→tpcds_or_of_ands_bands
+# q49→tpcds_dual_rank_return_ratio q50→tpcds_days_to_ship_buckets
+# q51→tpcds_cumulative_max_channel_join q52→tpcds_rollup_rank
+# q53→tpcds_deviation_from_avg q54→tpcds_revenue_bands
+# q55→tpcds_rollup_rank q56→tpcds_t8_triple_leg_dim_union
+# q57→tpcds_lag_lead_sandwich q58→tpcds_t7_three_channel_band
+# q59→tpcds_period_self_join q60→tpcds_t8_triple_leg_dim_union
+# q61→tpcds_t7_promo_share q62→tpcds_days_to_ship_buckets
+# q63→tpcds_deviation_from_avg q64→tpcds_twice_joined_wide_star
+# q65→tpcds_t7_low_revenue_supplier_parts q66→tpcds_carrier_pivot_union
+# q67→tpcds_rollup_rank q68→tpcds_t7_differing_nation_orders
+# q69→tpcds_gated_demographics_notexists q70→tpcds_rollup_rank
+# q71→tpcds_cross_channel_union q72→tpcds_t8_qty_demand_offset_join
+# q73→tpcds_basket_band_customers q74→tpcds_consecutive_year_growth
+# q75→tpcds_yearly_decline_union q76→tpcds_union_channel_tagging
+# q77→tpcds_channel_profit_rollup q78→tpcds_three_channel_fullouter_profile
+# q79→tpcds_t7_max_profit_order_per_customer
+# q80→tpcds_t8_leftjoin_returns_profit q81→tpcds_t7_returns_above_nation_avg
+# q82→tpcds_t8_inventory_band_items q83→tpcds_t8_week_seq_three_legs
+# q84→tpcds_t8_income_band_chain q85→tpcds_t8_triple_or_demo_pairs
+# q86→tpcds_rollup_rank q87→tpcds_except_chain_count
+# q88→tpcds_timeslot_matrix q89→tpcds_t7_deviation_from_year_mean
+# q90→tpcds_am_pm_ratio q91→tpcds_t8_ored_demo_pairs_returns
+# q92→tpcds_correlated_avg_discount q93→tpcds_returns_adjusted
+# q94→tpcds_t8_ship_exists_notexists q95→tpcds_multi_exists_same_fact
+# q96→tpcds_t8_time_of_day_count q97→tpcds_full_outer_classify
+# q98→tpcds_share_of_total q99→tpcds_days_to_ship_buckets
+# ---------------------------------------------------------------------------

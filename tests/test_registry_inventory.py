@@ -108,3 +108,28 @@ def test_job_mapping_covers_all_113_files():
         spec = REGISTRY.get(name)
         assert spec is not None, f"{f} maps to unregistered {name!r}"
         assert "job" in spec.tags, f"{f} maps to non-job entry {name!r}"
+
+
+def test_tpcds_mapping_covers_all_99_queries():
+    """Parse the mapping block in queries/tpcds_shapes.py and require:
+    every planning-corpus number 1..99 appears exactly once, and every
+    mapped name is a registered 'tpcds'-tagged query.  Many-to-one is
+    allowed by design (the corpus repeats templates across channels)."""
+    import re
+
+    src = (
+        Path(__file__).resolve().parents[1]
+        / "datafusion_umami_spark"
+        / "queries"
+        / "tpcds_shapes.py"
+    ).read_text()
+    block = src.split("Full mapping of the 99 TPC-DS")[1]
+    pairs = re.findall(r"q(\d{1,2})→(\w+)", block)
+    nums = [int(p[0]) for p in pairs]
+    assert len(nums) == 99 and set(nums) == set(range(1, 100)), (
+        f"mapping lists {len(nums)} queries / range mismatch"
+    )
+    for n, name in pairs:
+        spec = REGISTRY.get(name)
+        assert spec is not None, f"q{n} maps to unregistered {name!r}"
+        assert "tpcds" in spec.tags, f"q{n} maps to non-tpcds entry {name!r}"
