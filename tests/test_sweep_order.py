@@ -242,3 +242,47 @@ def test_ledger_is_committed_and_covers_the_greens():
         isinstance(e, dict) and e.get("fp") and isinstance(e.get("round"), int)
         for e in ledger.values()
     )
+
+
+def test_ledger_tool_blessing_rules(tmp_path, monkeypatch):
+    """tools/update_sweep_fingerprints.py rules (r9 review finding 3):
+    a missing entry is blessed ONLY when its green row comes from the
+    latest artifact; a pre-latest missing entry is skipped (the
+    classifier fail-safe keeps it unproven); an existing entry with an
+    older round is re-blessed on the current text."""
+    import importlib.util
+    import json as _json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "update_sweep_fingerprints",
+        str(Path(__file__).resolve().parents[1]
+            / "tools" / "update_sweep_fingerprints.py"),
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    ok = {"hash_match": True, "spark_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        _json.dumps({"q_old_green": ok, "q_rebless": ok}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        _json.dumps({"q_fresh_green": ok, "q_rebless": ok}))
+
+    greens, max_round = tool.green_rounds(tmp_path, oracled=set())
+    assert max_round == 2
+    assert greens == {"q_old_green": 1, "q_fresh_green": 2, "q_rebless": 2}
+
+    # replicate main()'s decision table without a registry
+    ledger = {"q_rebless": {"fp": "old-fp", "round": 1}}
+    decisions = {}
+    for name, rnd in sorted(greens.items()):
+        ent = ledger.get(name)
+        if ent is None:
+            decisions[name] = "add" if rnd == max_round else "skip"
+        elif ent.get("round", 0) < rnd:
+            decisions[name] = "update"
+    assert decisions == {
+        "q_fresh_green": "add",    # fresh evidence -> bless current text
+        "q_old_green": "skip",     # swept text unrecoverable -> re-queue
+        "q_rebless": "update",     # driver re-proved since the entry
+    }
