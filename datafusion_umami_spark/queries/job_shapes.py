@@ -804,9 +804,9 @@ register_sql(
 # 6a→job_year_trend_fence 6b→job_two_inlists_like 6c→job_year_trend_fence
 # 6d→job_two_inlists_like 6e→job_year_trend_fence 6f→job_unselective_4way
 # 7a→job_two_nation_arms_crossed 7b→job_two_nation_arms_crossed
-# 7c→job_notnull_or_like_fence
+# 7c→job_string_range_dim
 # 8a→job_string_fences_6way 8b→job_multiwildcard_notlike_or
-# 8c→job_t7_all_point_star 8d→job_t7_all_point_star
+# 8c→job_t7_dim_key_triangle 8d→job_t7_dim_key_triangle
 # 9a→job_t7_dim_key_triangle 9b→job_t7_dim_key_triangle
 # 9c→job_t7_dim_key_triangle 9d→job_t7_dim_key_triangle
 # 10a→job_dim_first_chain 10b→job_dim_first_chain 10c→job_dim_first_chain
@@ -814,9 +814,9 @@ register_sql(
 # 11c→job_negation_heavy_three_arms 11d→job_negation_heavy_three_arms
 # 12a→job_t6_genre_rating_year_band 12b→job_notnull_or_like_fence
 # 12c→job_t6_genre_rating_year_band
-# 13a→job_t7_all_point_star 13b→job_date_string_prefix_fence
-# 13c→job_date_string_prefix_fence 13d→job_double_range_fence
-# 14a→job_t7_three_stack_two_roles 14b→job_inlist_notin_mix
+# 13a→job_t7_all_point_star 13b→job_notnull_or_like_fence
+# 13c→job_notnull_or_like_fence 13d→job_double_range_fence
+# 14a→job_t7_three_stack_two_roles 14b→job_t7_or3_likes_center_dim
 # 14c→job_t7_three_stack_two_roles
 # 15a→job_date_string_prefix_fence 15b→job_t7_double_conj_like_pairs
 # 15c→job_notnull_or_like_fence 15d→job_date_string_prefix_fence
@@ -830,7 +830,7 @@ register_sql(
 # 19a→job_three_fenced_arms 19b→job_three_fenced_arms
 # 19c→job_three_fenced_arms 19d→job_triple_bridge_three_chains
 # 20a→job_multiwildcard_notlike_or 20b→job_t6_double_negation_fences
-# 20c→job_keyword_in8_triple_clique
+# 20c→job_t7_case_variant_or_likes
 # 21a→job_t6_negated_dim_mixed_in8 21b→job_t7_four_bridge_fence_kit
 # 21c→job_t6_negated_dim_mixed_in8
 # 22a→job_widest_9way_star 22b→job_t7_notlike_like_same_column
