@@ -853,6 +853,6 @@ register_sql(
 # 31a→job_t6_prefix_company_wide_star 31b→job_inlist_role_prefix_probe
 # 31c→job_t6_prefix_company_wide_star
 # 32a→job_link_bridge_same_entity 32b→job_link_bridge_same_entity
-# 33a→job_link_bridge_same_entity 33b→job_t6_linked_pair_point_year
+# 33a→job_t6_linked_pair_point_year 33b→job_t6_linked_pair_point_year
 # 33c→job_deep_7way_chain
 # ---------------------------------------------------------------------------
