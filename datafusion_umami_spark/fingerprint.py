@@ -45,13 +45,21 @@ LEDGER_PATH = Path(__file__).resolve().parent / "queries" / "sweep_fingerprints.
 
 @lru_cache(maxsize=1)
 def _shared_salt() -> str:
-    """Source hash of the money-semantics helpers (dec/dsum) mixed into
-    every fingerprint: an edit to decimal money handling changes what
-    every proven oracle row meant, so it must demote ALL greens."""
+    """Source hash of ALL shared semantic helpers (dec/dsum/davg/money/
+    ntz) mixed into every fingerprint: an edit to decimal-money or
+    timestamp-normalization semantics changes what every proven oracle
+    row meant, so it must demote ALL greens.  The set was dec/dsum only
+    until round 10; the r9 advisor observed that editing e.g. money()'s
+    price*(1-disc) formula would silently change proven TPC-H revenue
+    semantics — all five are byte-stable since round 1, so widening the
+    salt was free (the r10 ledger was migrated in the same commit, each
+    entry's swept text verified against the old salt first —
+    tools/migrate_ledger_salt_r10.py)."""
     from datafusion_umami_spark import registry
 
     parts = []
-    for fn in (registry.dec, registry.dsum):
+    for fn in (registry.dec, registry.dsum, registry.davg, registry.money,
+               registry.ntz):
         try:
             parts.append(inspect.getsource(fn))
         except (OSError, TypeError):

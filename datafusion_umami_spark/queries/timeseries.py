@@ -232,14 +232,17 @@ register_sql(
 # storage) and throws OutOfRangeException past 1e18; real widening to
 # min(a+b, 38) only happens when at least ONE operand is >= 19 wide.
 # So every product below casts exactly one factor to DECIMAL(19,0).
-# Bounds: n <= 1440 minutes/day -> D(4); per-minute counts < ~8e7 keep
-# s1 <= 1440*8e7 ~ 1.2e11 (D(17) is generous headroom) and
-# s2 <= 1440*(8e7)^2 ~ 9.2e18 — just inside 2^63, which the BIGINT
-# accumulator in day_stats requires.  DuckDB node widths: LHS
-# D(17)xD(19) -> D(36); RHS 9 x (D(4)xD(19) -> D(23) minus
-# D(17)xD(19) -> D(36), diff D(37)) -> D(38); runtime values <= ~1e23.
-# Plain BIGINT (n*x - s1)^2 overflows 2^63 around 3e9 events/day —
-# ~100 TB territory.
+# Bounds: n <= 1440 minutes/day -> D(4).  s2 = SUM(x^2) is accumulated
+# in DECIMAL (one factor cast to D(19) per the width rule, sum output
+# D(38,0); DuckDB SUM(DECIMAL) is exact the same way) — a plain BIGINT
+# accumulator sat only ~0.08% under 2^63 at the old 8e7/minute bound
+# and ANSI-crashed past it (r9 ADVICE item 4).  The remaining bound is
+# the LHS D(17) fence: |n*x - s1| < 1e17, i.e. per-minute counts up to
+# ~7e13 (s1 <= 1440*7e13 ~ 1e17; s2 <= 1440*(7e13)^2 ~ 7e30 << 1e38).
+# DuckDB node widths: LHS D(17)xD(19) -> D(36); RHS 9 x (D(4)xD(38) ->
+# D(38) minus D(17)xD(19) -> D(36), diff D(38)) -> D(38); runtime
+# values <= ~7e33.  Plain BIGINT (n*x - s1)^2 overflows 2^63 around
+# 3e9 events/day — ~100 TB territory.
 _ZSCORE_MINUTES = """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(date_trunc('minute', ts) AS TIMESTAMP_NTZ) AS minute,
@@ -251,14 +254,15 @@ _ZSCORE_FINAL = """
       SELECT day,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS s1,
-             CAST(SUM(x * x) AS BIGINT) AS s2
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0))
+               AS s2
       FROM {m} GROUP BY day)
     SELECT m.minute, m.x, d.n AS day_minutes,
            CAST(CASE WHEN CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
                           * CAST(d.n * m.x - d.s1 AS DECIMAL(19,0))
                           > CAST(9 AS DECIMAL(1,0))
                             * (CAST(d.n AS DECIMAL(4,0))
-                               * CAST(d.s2 AS DECIMAL(19,0))
+                               * CAST(d.s2 AS DECIMAL(38,0))
                                - CAST(d.s1 AS DECIMAL(17,0))
                                  * CAST(d.s1 AS DECIMAL(19,0)))
                      THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
@@ -266,7 +270,7 @@ _ZSCORE_FINAL = """
     WHERE CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
           * CAST(d.n * m.x - d.s1 AS DECIMAL(19,0))
           > CAST(9 AS DECIMAL(1,0))
-            * (CAST(d.n AS DECIMAL(4,0)) * CAST(d.s2 AS DECIMAL(19,0))
+            * (CAST(d.n AS DECIMAL(4,0)) * CAST(d.s2 AS DECIMAL(38,0))
                - CAST(d.s1 AS DECIMAL(17,0)) * CAST(d.s1 AS DECIMAL(19,0)))
     ORDER BY m.minute
     LIMIT 2000
@@ -287,7 +291,8 @@ register_split_sql(
       SELECT day,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS s1,
-             CAST(SUM(x * x) AS BIGINT) AS s2
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0))
+               AS s2
       FROM minutes GROUP BY day)
     SELECT m.minute, m.x, d.n AS day_minutes,
            CAST(1 AS BIGINT) AS is_anomaly
@@ -295,7 +300,7 @@ register_split_sql(
     WHERE CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
           * CAST(d.n * m.x - d.s1 AS DECIMAL(19,0))
           > CAST(9 AS DECIMAL(1,0))
-            * (CAST(d.n AS DECIMAL(4,0)) * CAST(d.s2 AS DECIMAL(19,0))
+            * (CAST(d.n AS DECIMAL(4,0)) * CAST(d.s2 AS DECIMAL(38,0))
                - CAST(d.s1 AS DECIMAL(17,0)) * CAST(d.s1 AS DECIMAL(19,0)))
     ORDER BY m.minute
     LIMIT 2000

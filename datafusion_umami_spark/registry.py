@@ -12,7 +12,8 @@ Determinism conventions (so Spark and DuckDB value-hashes agree):
   is independent of Spark's partition/merge order. `dec()` / SQL
   `CAST(x AS DECIMAL(12,2))` implement this on the two sides.
 - Inherently order-sensitive float stats (variance/corr/regr) are rounded
-  on both sides; see `functions/stable.py` helpers.
+  on both sides, inline in each spec's paired Spark/DuckDB texts (no
+  shared helper module — the texts themselves are fingerprinted).
 - Timestamp outputs are cast to TIMESTAMP_NTZ (session TZ pinned to UTC)
   so Arrow schemas match DuckDB's naive timestamps.
 - Every computed column is aliased identically on both sides.

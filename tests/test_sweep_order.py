@@ -110,18 +110,14 @@ def test_front_of_queue_is_the_priority_backlog():
     assert got == want, f"front of sweep queue diverged: {got[:5]} != {want[:5]}"
 
 
-def test_r9_front_exhausts_the_legacy_backlog():
+def test_legacy_backlog_is_exhausted():
     """r5 verdict item 2, horizon re-pinned each round (r6 item 8, r7
-    item 2, r8 item 5): after the r8 sweep the legacy backlog is 31
-    names — 11 never-swept (job_shapes_t3 x10 + ann_ivf_trained), the
-    18 edited-after-proof specs the r9 fingerprint-ledger bootstrap
-    demoted back to unproven (r8 verdict item 4: a green row proves the
-    spec TEXT the driver ran, and these were edited since), plus 2
-    ledger-absent fail-safe demotions (tpcds_rollup_rank /
-    tpcds_share_of_total: r3 green rows from a mid-round tree whose
-    swept text no snapshot preserves).  Tranche
-    additions must queue strictly BEHIND that legacy backlog so they
-    never displace a legacy query out of the horizon.  The
+    item 2, r8 item 5, r9 item 4): the r9 sweep exhausted the legacy
+    backlog — every name outside the addition tranches has a green
+    driver row certifying its current text.  From round 10 the pin is
+    exact: legacy == [] up to the single sanctioned ADVICE-directed
+    demotion below.  Tranche additions must queue strictly BEHIND any
+    legacy names so they never displace one out of the horizon.  The
     contiguous-prefix test above guarantees reachability; this one pins
     the COUNT so any addition that jumps the queue or regrows the
     backlog fails CI."""
@@ -146,11 +142,13 @@ def test_r9_front_exhausts_the_legacy_backlog():
     names = list(REGISTRY)
     unproven = [n for n in names if n not in green]
     legacy = [n for n in unproven if n not in additions]
-    # 31 = 11 never-swept + 18 fingerprint-stale + 2 ledger-absent as of
-    # the r8 artifacts; shrinks as sweeps land, must never grow past the
-    # one-sweep horizon.
-    assert len(legacy) <= 31, (
-        f"legacy backlog is {len(legacy)} — past the r9 horizon"
+    # r10 re-pin (r9 verdict item 4): the r9 sweep exhausted the legacy
+    # backlog (31 -> 0).  The single sanctioned exception is this
+    # round's ADVICE-directed edit of ts_anomaly_zscore_minutes (the
+    # s2-overflow fix), which the ledger correctly demoted.  Any OTHER
+    # demotion or backlog regrowth must fail CI loudly.
+    assert legacy in ([], ["ts_anomaly_zscore_minutes"]), (
+        f"legacy backlog regrew past the r10 horizon: {legacy[:8]}"
     )
     assert set(names[: len(legacy)]) == set(legacy), (
         "legacy backlog is not the exact queue front — additions or "
@@ -214,19 +212,27 @@ def test_edited_spec_is_demoted_and_requeued(monkeypatch):
     assert _stale_edited({name}) == set()
 
 
-def test_zscore_and_known_edited_specs_reentered_the_front():
-    """The r8-edited z-score spec (the verdict's named case) and the
-    other edited-after-proof specs surfaced by the ledger bootstrap must
-    sit in the unproven queue front, ahead of every proven green."""
+def test_r9_reproofs_landed_and_r10_edit_demoted():
+    """Round-10 re-pin of the proven-as-written lifecycle.  The specs the
+    r9 fingerprint-ledger bootstrap demoted (edited after their old
+    proofs) were re-swept green in round 9 and blessed at round start —
+    they must classify green with round-9 ledger entries.  The ONE spec
+    edited THIS round (`ts_anomaly_zscore_minutes` — the r9 ADVICE
+    item-4 s2-overflow fix widened its accumulator to DECIMAL(38,0))
+    must be demoted again by that edit and LEAD the sweep queue."""
+    from datafusion_umami_spark.fingerprint import load_ledger
+
     green, _failed = _driver_history()
-    names = list(REGISTRY)
-    for name in ("ts_anomaly_zscore_minutes", "tpch_q15",
-                 "dedup_minhash_lsh", "udf_map_in_arrow"):
-        assert name not in green, f"{name} must be unproven (edited text)"
-    first_green = min(names.index(n) for n in green)
-    worst_stale = max(names.index(n) for n in
-                      ("ts_anomaly_zscore_minutes", "tpch_q15"))
-    assert worst_stale < first_green, "stale specs must precede greens"
+    ledger = load_ledger()
+    for name in ("tpch_q15", "dedup_minhash_lsh", "udf_map_in_arrow",
+                 "ts_anomaly_zscore_minutes"):
+        assert ledger[name]["round"] == 9, f"{name} not re-blessed at r9"
+    for name in ("tpch_q15", "dedup_minhash_lsh", "udf_map_in_arrow"):
+        assert name in green, f"{name} should be proven-as-written"
+    assert "ts_anomaly_zscore_minutes" not in green, (
+        "the r10 overflow fix edited the spec text — must re-queue")
+    assert list(REGISTRY)[0] == "ts_anomaly_zscore_minutes", (
+        "the demoted spec must lead the sweep queue")
 
 
 def test_ledger_is_committed_and_covers_the_greens():
@@ -242,6 +248,11 @@ def test_ledger_is_committed_and_covers_the_greens():
         isinstance(e, dict) and e.get("fp") and isinstance(e.get("round"), int)
         for e in ledger.values()
     )
+    # r10 (r9 verdict item 2): every entry records the sha of the tree
+    # its green row executed, so provenance is auditable per entry.
+    bad_sha = [n for n, e in ledger.items()
+               if not (isinstance(e.get("sha"), str) and len(e["sha"]) == 40)]
+    assert not bad_sha, f"ledger entries without swept-tree sha: {bad_sha[:5]}"
 
 
 def test_ledger_tool_blessing_rules(tmp_path, monkeypatch):
@@ -286,3 +297,78 @@ def test_ledger_tool_blessing_rules(tmp_path, monkeypatch):
         "q_old_green": "skip",     # swept text unrecoverable -> re-queue
         "q_rebless": "update",     # driver re-proved since the entry
     }
+
+
+def _load_tool():
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "update_sweep_fingerprints",
+        str(Path(__file__).resolve().parents[1]
+            / "tools" / "update_sweep_fingerprints.py"),
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    return tool
+
+
+def test_ledger_tool_preflight_refuses_unsound_blessings(tmp_path):
+    """r9 verdict item 2 / ADVICE items 1-2: blessing fingerprints the
+    CURRENT tree against rows that executed the SWEPT tree, so the tool
+    must refuse whenever the two provably differ under the package —
+    (a) uncommitted package changes, (b) any post-sweep commit touching
+    the package.  Exercised on a scratch git repo shaped like ours."""
+    import json as _json
+    import subprocess
+
+    def git(*args):
+        subprocess.run(["git", *args], cwd=tmp_path, check=True,
+                       capture_output=True,
+                       env={"PATH": "/usr/bin:/bin",
+                            "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                            "GIT_COMMITTER_NAME": "t",
+                            "GIT_COMMITTER_EMAIL": "t@t",
+                            "HOME": str(tmp_path)})
+
+    pkg = tmp_path / "datafusion_umami_spark" / "queries"
+    pkg.mkdir(parents=True)
+    spec_file = pkg / "specs.py"
+    spec_file.write_text("X = 1\n")
+    git("init", "-q")
+    git("add", "-A")
+    git("commit", "-qm", "builder final HEAD (swept tree)")
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        _json.dumps({"q": {"hash_match": True, "spark_rows": 1}}))
+    git("add", "-A")
+    git("commit", "-qm", "driver: round 1 artifacts")
+
+    tool = _load_tool()
+    assert tool.preflight(tmp_path) == [], "clean round-start tree must pass"
+
+    # (a) dirty working tree under the package -> refuse
+    spec_file.write_text("X = 2\n")
+    problems = tool.preflight(tmp_path)
+    assert len(problems) == 1 and "uncommitted" in problems[0]
+
+    # ledger-file changes are the tool's own output -> still clean
+    spec_file.write_text("X = 1\n")
+    (pkg / "sweep_fingerprints.json").write_text("{}")
+    git("add", str(pkg / "sweep_fingerprints.json"))
+    git("commit", "-qm", "bless")
+    assert tool.preflight(tmp_path) == []
+
+    # (b) a post-sweep commit touching the package -> refuse, even when
+    # the working tree is clean (the mid-round laundering window)
+    spec_file.write_text("X = 3\n")
+    git("add", "-A")
+    git("commit", "-qm", "edit a spec after the sweep")
+    problems = tool.preflight(tmp_path)
+    assert len(problems) == 1 and "commits after swept tree" in problems[0]
+
+    # the swept sha is the artifact commit's parent
+    artifact, swept = tool.swept_head(tmp_path)
+    head = subprocess.run(
+        ["git", "rev-parse", f"{artifact}^"], cwd=tmp_path,
+        capture_output=True, text=True).stdout.strip()
+    assert swept == head

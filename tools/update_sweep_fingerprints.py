@@ -25,16 +25,78 @@ The round-1..8 entries were bootstrapped from each round's snapshot
 commit (the verdict commit's parent), i.e. from the exact historical
 text each green row ran against.
 
-Usage: python tools/update_sweep_fingerprints.py [--dry-run]
+Round-10 hardening (r9 verdict item 2, ADVICE items 1-2): the
+run-at-round-start precondition is now PROVED, not assumed — `preflight`
+refuses to bless from a dirty tree or after any post-sweep commit
+touching the package, because either breaks the "current tree ==
+swept tree" identity the blessing rests on.  Each blessed entry records
+the swept tree's `sha` (the parent of the commit that added the round's
+CORRECTNESS artifact) so provenance is auditable per entry.
+
+Usage: python tools/update_sweep_fingerprints.py [--dry-run] [--force]
 """
 
 from __future__ import annotations
 
+import subprocess
 import sys
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
+
+# The ledger itself is the tool's own output — excluded from cleanliness
+# checks so the blessing commit does not block a re-run.
+_PKG = "datafusion_umami_spark"
+_LEDGER_REL = f"{_PKG}/queries/sweep_fingerprints.json"
+
+
+def _git(root: Path, *args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=root, capture_output=True, text=True, check=True
+    ).stdout.strip()
+
+
+def swept_head(root: Path) -> tuple[str, str]:
+    """(artifact commit, swept sha) for the LATEST driver artifact.
+
+    The driver sweeps the builder's final HEAD, then commits the
+    CORRECTNESS/BENCH artifacts on top — so the tree the green rows
+    executed is the PARENT of the commit that added the newest artifact."""
+    latest = sorted(root.glob("CORRECTNESS_r*.json"))[-1]
+    adder = _git(root, "log", "--diff-filter=A", "--format=%H", "--",
+                 latest.name).splitlines()[-1]
+    return adder, _git(root, "rev-parse", f"{adder}^")
+
+
+def preflight(root: Path) -> list[str]:
+    """Blessing-soundness violations (empty == sound; r9 verdict item 2,
+    r9 ADVICE items 1-2).
+
+    Blessing fingerprints the CURRENT tree against green rows that
+    executed the SWEPT tree; that is sound only when the two are
+    provably identical under the package.  Two checks PROVE it instead
+    of assuming the run-at-round-start convention:
+      1. no uncommitted changes under datafusion_umami_spark/ (a
+         mid-edit run would launder a post-proof edit into proven);
+      2. no commit since the swept sha touches the package (a run after
+         any post-sweep code commit would bless text the driver never
+         ran — comment-only or not, fingerprints are conservative).
+    The ledger file itself is excluded (it is this tool's own output)."""
+    problems = []
+    dirty = _git(root, "status", "--porcelain", "--",
+                 _PKG, f":(exclude){_LEDGER_REL}")
+    if dirty:
+        problems.append(
+            "uncommitted changes under the package:\n" + dirty)
+    _artifact, swept = swept_head(root)
+    commits = _git(root, "log", "--format=%h %s", f"{swept}..HEAD", "--",
+                   _PKG, f":(exclude){_LEDGER_REL}")
+    if commits:
+        problems.append(
+            f"commits after swept tree {swept[:10]} touch the package "
+            "(working tree no longer proves the swept text):\n" + commits)
+    return problems
 
 
 def green_rounds(root: Path, oracled: set[str]) -> tuple[dict[str, int], int]:
@@ -53,6 +115,18 @@ def green_rounds(root: Path, oracled: set[str]) -> tuple[dict[str, int], int]:
 
 def main() -> int:
     dry = "--dry-run" in sys.argv
+    force = "--force" in sys.argv
+
+    problems = preflight(ROOT)
+    if problems:
+        for p in problems:
+            print("REFUSING to bless —", p, file=sys.stderr)
+        if not force:
+            print("(fix the tree, or re-run with --force if you have "
+                  "independently verified the swept text)", file=sys.stderr)
+            return 2
+        print("--force: blessing anyway (caller vouches for the swept "
+              "text)", file=sys.stderr)
 
     from datafusion_umami_spark.fingerprint import (
         load_ledger,
@@ -62,6 +136,7 @@ def main() -> int:
     from datafusion_umami_spark.registry import REGISTRY
     import datafusion_umami_spark.queries  # noqa: F401  (registers specs)
 
+    _artifact, swept = swept_head(ROOT)
     oracled = {n for n, s in REGISTRY.items() if s.oracle is not None}
     greens, max_round = green_rounds(ROOT, oracled)
     ledger = load_ledger()
@@ -75,13 +150,13 @@ def main() -> int:
         ent = ledger.get(name)
         if ent is None:
             if rnd == max_round:
-                ledger[name] = {"fp": fp, "round": rnd}
+                ledger[name] = {"fp": fp, "round": rnd, "sha": swept}
                 added.append(name)
             else:
                 skipped.append(name)  # stale missing entry: cannot
                 # recover the swept text — classifier keeps it unproven
         elif ent.get("round", 0) < rnd:
-            ledger[name] = {"fp": fp, "round": rnd}
+            ledger[name] = {"fp": fp, "round": rnd, "sha": swept}
             updated.append(name)
         elif ent.get("fp") != fp:
             stale.append(name)  # edited after proof — left for re-sweep
