@@ -133,3 +133,38 @@ def test_tpcds_mapping_covers_all_99_queries():
         spec = REGISTRY.get(name)
         assert spec is not None, f"q{n} maps to unregistered {name!r}"
         assert "tpcds" in spec.tags, f"q{n} maps to non-tpcds entry {name!r}"
+
+
+def test_readme_cumulative_evidence_matches_artifacts():
+    """r9 verdict item 5: the README's cumulative-driver-evidence claim
+    ("after round N: G/T distinct rows — H hash-green + R rows-only")
+    must equal what the CORRECTNESS_r*.json artifacts actually say, via
+    the same record-walk the sweep classifier uses (raw artifact
+    classification — ledger demotions are a separate, stricter notion)."""
+    from datafusion_umami_spark.queries import _driver_history_from
+
+    text = README.read_text()
+    m = re.search(
+        r"cumulative driver evidence\s+after round (\d+): (\d+)/(\d+)\s+"
+        r"distinct rows — (\d+) hash-green \+ (\d+) rows-only",
+        text,
+    )
+    assert m, "README cumulative-evidence sentence not found / reformatted"
+    rnd, distinct, total, hash_green, rows_only = map(int, m.groups())
+
+    root = README.parent
+    artifacts = sorted(root.glob("CORRECTNESS_r*.json"))
+    assert artifacts, "no driver artifacts"
+    real_rnd = int("".join(c for c in artifacts[-1].stem if c.isdigit()))
+    oracled = {n for n, s in REGISTRY.items() if s.oracle is not None}
+    green, failed = _driver_history_from(root, oracled)
+    real_rows_only = sum(1 for n in green if n not in oracled)
+    assert (rnd, distinct, total, hash_green, rows_only) == (
+        real_rnd, len(green), len(REGISTRY),
+        len(green) - real_rows_only, real_rows_only,
+    ), (
+        f"README claims r{rnd}: {distinct}/{total} ({hash_green}+"
+        f"{rows_only}); artifacts say r{real_rnd}: {len(green)}/"
+        f"{len(REGISTRY)} ({len(green) - real_rows_only}+{real_rows_only})"
+    )
+    assert not failed, f"latest-record failures exist: {sorted(failed)[:5]}"
