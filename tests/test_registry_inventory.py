@@ -168,3 +168,22 @@ def test_readme_cumulative_evidence_matches_artifacts():
         f"{len(REGISTRY)} ({len(green) - real_rows_only}+{real_rows_only})"
     )
     assert not failed, f"latest-record failures exist: {sorted(failed)[:5]}"
+
+
+def test_bench_charter_covers_the_bench_set():
+    """r9 verdict item 6: every bench slot must be justified by a
+    distinct plan property in BASELINE.md's charter table, and the
+    charter must not list retired names — the two sets match exactly."""
+    baseline = README.parent / "BASELINE.md"
+    text = baseline.read_text()
+    start = text.index("## Bench-set charter")
+    charter = {
+        m.group(1)
+        for m in re.finditer(r"^\| (\w+) \|", text[start:], re.M)
+        if m.group(1) != "Query"
+    }
+    bench = {n for n, s in REGISTRY.items() if getattr(s, "bench", False)}
+    assert charter == bench, (
+        f"charter missing: {sorted(bench - charter)}; "
+        f"stale charter rows: {sorted(charter - bench)}"
+    )
