@@ -88,6 +88,9 @@ from datafusion_umami_spark.queries import (  # noqa: F401
     tpcds_shapes_t7,
     job_shapes_t7,
     tpcds_shapes_t8,
+    # round-10 (r9 verdict item 7): pg-compat edge tranche — queued
+    # behind the entire never-swept addition tail.
+    pg_edges,
 )
 
 # Explicit front of the sweep queue (only names not yet proven green are

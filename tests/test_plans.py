@@ -580,3 +580,16 @@ def test_round9_additions_equi_join_no_cartesian(name, spark, sf_dir):
     assert "BatchEvalPython" not in plan, f"{name}: row-Python in plan\n{plan}"
     if name in ("job_t7_all_point_star", "job_t7_point_center_mega_star"):
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast of dims\n{plan}"
+
+
+@pytest.mark.parametrize("name", [
+    "distinct_on_first_order_per_customer",
+    "distinct_on_expression_keys",
+])
+def test_distinct_on_emulation_plans_window_group_limit(name, spark, sf_dir):
+    """r10 pg-compat tranche: the DISTINCT ON rewrite (rn=1 window) must
+    plan a WindowGroupLimit — each executor forwards ONE candidate row
+    per key before the shuffle instead of the full group, which is what
+    makes the emulation survive a 100 TB fact table."""
+    plan = plan_str(q(name, spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan

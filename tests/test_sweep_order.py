@@ -132,6 +132,7 @@ def test_legacy_backlog_is_exhausted():
         "datafusion_umami_spark.queries.tpcds_shapes_t7",
         "datafusion_umami_spark.queries.job_shapes_t7",
         "datafusion_umami_spark.queries.tpcds_shapes_t8",
+        "datafusion_umami_spark.queries.pg_edges",
     }
     additions = {
         n for n, spec in REGISTRY.items() if spec.module in addition_modules
