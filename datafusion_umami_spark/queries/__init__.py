@@ -363,7 +363,13 @@ def _driver_history() -> tuple[set[str], set[str]]:
     - FAIL-SAFE: a green name MISSING from the ledger is unproven
       unless its green row comes from the LATEST artifact (fresh
       evidence the round-start tool has not blessed yet) — a dropped
-      ledger entry re-queues a spec rather than laundering it.
+      ledger entry re-queues a spec rather than laundering it.  The
+      exemption deactivates once the blessing has LANDED for that
+      artifact (r10, r9 ADVICE item 2): when the ledger's max round has
+      caught up to the artifacts' max round, the round-start tool has
+      run, so any still-absent green name is a dropped or refused entry
+      and must demote — the exemption window is exactly the gap between
+      the driver sweep landing and the blessing, never longer.
     """
     from datafusion_umami_spark.fingerprint import load_ledger
     from datafusion_umami_spark.registry import REGISTRY
@@ -377,7 +383,12 @@ def _driver_history() -> tuple[set[str], set[str]]:
     absent = {n for n in green if n not in ledger}
     if absent:
         max_round = max((rnd for _, rnd in records.values()), default=0)
-        green -= {n for n in absent if records[n][1] != max_round}
+        ledger_max = max((e.get("round", 0) for e in ledger.values()),
+                         default=0)
+        if ledger_max >= max_round:
+            green -= absent  # blessing landed; absent == dropped/refused
+        else:
+            green -= {n for n in absent if records[n][1] != max_round}
     return green, failed
 
 

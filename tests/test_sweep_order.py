@@ -373,3 +373,33 @@ def test_ledger_tool_preflight_refuses_unsound_blessings(tmp_path):
         ["git", "rev-parse", f"{artifact}^"], cwd=tmp_path,
         capture_output=True, text=True).stdout.strip()
     assert swept == head
+
+
+def test_ledger_absent_exemption_deactivates_after_blessing(monkeypatch):
+    """r9 ADVICE item 2 narrowing: the latest-artifact exemption for
+    ledger-absent greens exists ONLY to bridge the gap between the
+    driver sweep landing and the round-start blessing.  Once the
+    ledger's max round equals the artifacts' max round (the blessing
+    ran), an absent green name is a dropped or refused entry and must
+    demote — it may not ride the exemption for the rest of the round."""
+    import datafusion_umami_spark.fingerprint as fpmod
+    from datafusion_umami_spark.fingerprint import load_ledger
+    from datafusion_umami_spark.queries import _driver_history
+
+    real = load_ledger()
+    victim = max(real, key=lambda n: real[n]["round"])  # a latest-round green
+    assert real[victim]["round"] == max(e["round"] for e in real.values())
+
+    # blessing landed (ledger max == artifact max), entry dropped -> demote
+    dropped = {n: e for n, e in real.items() if n != victim}
+    monkeypatch.setattr(fpmod, "load_ledger", lambda path=None: dropped)
+    green, _ = _driver_history()
+    assert victim not in green, "dropped entry rode the exemption"
+
+    # blessing NOT yet landed (ledger max behind artifacts): the same
+    # absent name from the latest artifact is exempt — fresh evidence
+    stale = {n: dict(e, round=min(e["round"], real[victim]["round"] - 1))
+             for n, e in dropped.items()}
+    monkeypatch.setattr(fpmod, "load_ledger", lambda path=None: stale)
+    green, _ = _driver_history()
+    assert victim in green, "pre-blessing fresh green must stay exempt"
