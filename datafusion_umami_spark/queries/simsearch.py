@@ -300,6 +300,13 @@ register_sql(
 
 
 # --- per-label embedding centroid (exact-integer aggregation) ---------------
+# r10 hardening (same class as the z-score s2 fix, found by the round's
+# self-scan for agg x agg BIGINT products): sumx = SUM(xs) grows with
+# vectors-per-label, so SUM(sumx * sumx) in BIGINT overflowed 2^63 at
+# ~3e5 vecs/label (|x|~1).  One factor cast to DECIMAL(19,0) widens the
+# product to D(38,0) per the CLAUDE.md width rule (exact on both
+# engines); the remaining bound is |sumx| < 4e17 per dim — ~4e13
+# vecs/label, far past 100 TB of 64-dim embeddings (~4e11 vectors).
 register_sql(
     "embedding_centroid_per_label",
     """
@@ -312,7 +319,8 @@ register_sql(
       FROM dims GROUP BY label, d)
     SELECT label,
            MAX(nv) AS n_vecs,
-           ROUND(sqrt(CAST(SUM(sumx * sumx) AS DOUBLE)) / (10000.0 * MAX(nv)), 6)
+           ROUND(sqrt(CAST(SUM(CAST(sumx AS DECIMAL(19,0)) * sumx)
+                           AS DOUBLE)) / (10000.0 * MAX(nv)), 6)
              AS centroid_norm
     FROM per_dim
     GROUP BY label
@@ -330,7 +338,8 @@ register_sql(
       FROM dims GROUP BY label, d)
     SELECT label,
            MAX(nv) AS n_vecs,
-           ROUND(sqrt(CAST(SUM(sumx * sumx) AS DOUBLE)) / (10000.0 * MAX(nv)), 6)
+           ROUND(sqrt(CAST(SUM(CAST(sumx AS DECIMAL(19,0)) * sumx)
+                           AS DOUBLE)) / (10000.0 * MAX(nv)), 6)
              AS centroid_norm
     FROM per_dim
     GROUP BY label

@@ -115,8 +115,8 @@ def test_legacy_backlog_is_exhausted():
     item 2, r8 item 5, r9 item 4): the r9 sweep exhausted the legacy
     backlog — every name outside the addition tranches has a green
     driver row certifying its current text.  From round 10 the pin is
-    exact: legacy == [] up to the single sanctioned ADVICE-directed
-    demotion below.  Tranche additions must queue strictly BEHIND any
+    exact: legacy == [] up to the sanctioned overflow-fence demotions
+    below.  Tranche additions must queue strictly BEHIND any
     legacy names so they never displace one out of the horizon.  The
     contiguous-prefix test above guarantees reachability; this one pins
     the COUNT so any addition that jumps the queue or regrows the
@@ -144,11 +144,13 @@ def test_legacy_backlog_is_exhausted():
     unproven = [n for n in names if n not in green]
     legacy = [n for n in unproven if n not in additions]
     # r10 re-pin (r9 verdict item 4): the r9 sweep exhausted the legacy
-    # backlog (31 -> 0).  The single sanctioned exception is this
-    # round's ADVICE-directed edit of ts_anomaly_zscore_minutes (the
-    # s2-overflow fix), which the ledger correctly demoted.  Any OTHER
-    # demotion or backlog regrowth must fail CI loudly.
-    assert legacy in ([], ["ts_anomaly_zscore_minutes"]), (
+    # backlog (31 -> 0).  The sanctioned exceptions are this round's
+    # overflow-fence edits (ts_anomaly_zscore_minutes per ADVICE item 4,
+    # embedding_centroid_per_label found by the same-class self-scan),
+    # which the ledger correctly demoted.  Any OTHER demotion or
+    # backlog regrowth must fail CI loudly.
+    sanctioned = {"ts_anomaly_zscore_minutes", "embedding_centroid_per_label"}
+    assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r10 horizon: {legacy[:8]}"
     )
     assert set(names[: len(legacy)]) == set(legacy), (
@@ -217,10 +219,12 @@ def test_r9_reproofs_landed_and_r10_edit_demoted():
     """Round-10 re-pin of the proven-as-written lifecycle.  The specs the
     r9 fingerprint-ledger bootstrap demoted (edited after their old
     proofs) were re-swept green in round 9 and blessed at round start —
-    they must classify green with round-9 ledger entries.  The ONE spec
-    edited THIS round (`ts_anomaly_zscore_minutes` — the r9 ADVICE
-    item-4 s2-overflow fix widened its accumulator to DECIMAL(38,0))
-    must be demoted again by that edit and LEAD the sweep queue."""
+    they must classify green with round-9 ledger entries.  The TWO
+    specs edited THIS round (`ts_anomaly_zscore_minutes` — the r9
+    ADVICE item-4 s2-overflow fix — and `embedding_centroid_per_label`,
+    the same defect class found by the round's self-scan; both
+    accumulators widened to DECIMAL(38,0)) must be demoted again by
+    those edits and LEAD the sweep queue."""
     from datafusion_umami_spark.fingerprint import load_ledger
 
     green, _failed = _driver_history()
@@ -230,10 +234,13 @@ def test_r9_reproofs_landed_and_r10_edit_demoted():
         assert ledger[name]["round"] == 9, f"{name} not re-blessed at r9"
     for name in ("tpch_q15", "dedup_minhash_lsh", "udf_map_in_arrow"):
         assert name in green, f"{name} should be proven-as-written"
-    assert "ts_anomaly_zscore_minutes" not in green, (
-        "the r10 overflow fix edited the spec text — must re-queue")
-    assert list(REGISTRY)[0] == "ts_anomaly_zscore_minutes", (
-        "the demoted spec must lead the sweep queue")
+    for name in ("ts_anomaly_zscore_minutes", "embedding_centroid_per_label"):
+        assert name not in green, (
+            f"{name}: the r10 overflow fence edited the spec text — "
+            "must re-queue")
+    assert set(list(REGISTRY)[:2]) == {
+        "ts_anomaly_zscore_minutes", "embedding_centroid_per_label"
+    }, "the two demoted specs must lead the sweep queue"
 
 
 def test_ledger_is_committed_and_covers_the_greens():
