@@ -4,11 +4,13 @@
 spec TEXT the driver ran, not the name.  Each QuerySpec is fingerprinted
 over its SPEC-LOCAL text — the Spark SQL / docstring, the DuckDB oracle
 text, the Python source of the callable (captures DataFrame-code edits
-that leave the docstring alone) — plus a shared salt over the
-money-semantics helpers every oracle relies on (`registry.dec` /
-`registry.dsum`; byte-stable since round 1, so salting them is free
-until the day someone edits them — at which point demoting every green
-is exactly right).  BOUNDARY (explicit, not an oversight): edits to the
+that leave the docstring alone) — plus a shared salt over ALL shared
+semantic helpers every oracle relies on (`registry.dec/dsum/davg/
+money/ntz` — widened from dec/dsum in round 10, r9 ADVICE item 3, with
+an in-place verified ledger migration; byte-stable since round 1, so
+salting them is free until the day someone edits them — at which point
+demoting every green is exactly right).  BOUNDARY (explicit, not an
+oversight): edits to the
 broader shared infrastructure (tables.py loading/normalization,
 operators/materialize.py, streaming/runner.py) are NOT fingerprinted —
 they changed in most rounds, so salting them would mass-demote the
@@ -17,13 +19,16 @@ the full-registry sf0.01/sf0.1 verify legs (README verification
 paragraphs), which execute every spec end-to-end against DuckDB.
 
 The committed ledger `queries/sweep_fingerprints.json` maps
-name -> {fp, round}; the sweep classifier
+name -> {fp, round, sha} (sha = the swept tree the green row executed,
+r9 verdict item 2); the sweep classifier
 (`queries/__init__._driver_history`) demotes a driver-green name back
 to "unproven" whenever its CURRENT fingerprint differs from the ledger
 entry — and, fail-safe, whenever the name is MISSING from the ledger
-unless its green row is from the latest artifact (fresh evidence the
-round-start tool has not blessed yet).  A dropped ledger entry
-therefore re-queues a spec rather than laundering it into proven.
+unless its green row is from the latest artifact AND the round-start
+blessing has not yet landed for it (fresh evidence only; once the
+ledger's max round catches up, absent == dropped and demotes).  A
+dropped ledger entry therefore re-queues a spec rather than laundering
+it into proven.
 
 Maintenance: `tools/update_sweep_fingerprints.py`, run at ROUND START
 (before any spec edits) so newly-green rows are blessed against the text

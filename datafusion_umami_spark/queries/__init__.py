@@ -368,8 +368,13 @@ def _driver_history() -> tuple[set[str], set[str]]:
       artifact (r10, r9 ADVICE item 2): when the ledger's max round has
       caught up to the artifacts' max round, the round-start tool has
       run, so any still-absent green name is a dropped or refused entry
-      and must demote — the exemption window is exactly the gap between
-      the driver sweep landing and the blessing, never longer.
+      and must demote.  RESIDUAL (documented, not closed): if the
+      blessing never lands (tool refuses and is never resolved), the
+      exemption stays open for the round and carries no text check —
+      an absent fresh green edited mid-round would classify proven on
+      unswept text.  The enforcement point is the blessing tool itself:
+      it refuses loudly, its refusal message names this exact residue,
+      and CLAUDE.md's ROUND START step makes resolving it mandatory.
     """
     from datafusion_umami_spark.fingerprint import load_ledger
     from datafusion_umami_spark.registry import REGISTRY

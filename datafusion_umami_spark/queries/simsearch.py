@@ -350,8 +350,9 @@ register_sql(
 # Centroid math stays EXACT until the final sqrt: scaled-integer
 # components (1e4) make both grouped SUMs associative integer adds, so
 # the per-dim mean and the norm are partition-order independent —
-# float SUM over a shuffle would not be. sumx^2 fits int64 up to
-# ~1e9 vectors per (label, dim) at this scaling.
+# float SUM over a shuffle would not be.  sumx^2 accumulates in
+# DECIMAL(38,0) via the D(19) cast above (r10 fence; int64 overflowed
+# at ~3e5 vecs/label — see the header comment for the bounds).
 
 
 # --- IVF with TRAINED centroids (Lloyd's k-means, 2 iterations) -------------

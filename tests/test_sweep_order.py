@@ -291,19 +291,25 @@ def test_ledger_tool_blessing_rules(tmp_path, monkeypatch):
     assert max_round == 2
     assert greens == {"q_old_green": 1, "q_fresh_green": 2, "q_rebless": 2}
 
-    # replicate main()'s decision table without a registry
-    ledger = {"q_rebless": {"fp": "old-fp", "round": 1}}
+    # replicate main()'s decision table without a registry (r10: the
+    # re-bless path carries the same latest-artifact guard as the add
+    # path — an older round's swept text is equally unrecoverable)
+    ledger = {"q_rebless": {"fp": "old-fp", "round": 1},
+              "q_stale_rebless": {"fp": "old-fp", "round": 0}}
+    greens["q_stale_rebless"] = 1  # re-proved, but not by the latest sweep
     decisions = {}
     for name, rnd in sorted(greens.items()):
         ent = ledger.get(name)
         if ent is None:
             decisions[name] = "add" if rnd == max_round else "skip"
         elif ent.get("round", 0) < rnd:
-            decisions[name] = "update"
+            decisions[name] = "update" if rnd == max_round else "skip"
     assert decisions == {
         "q_fresh_green": "add",    # fresh evidence -> bless current text
         "q_old_green": "skip",     # swept text unrecoverable -> re-queue
-        "q_rebless": "update",     # driver re-proved since the entry
+        "q_rebless": "update",     # driver re-proved on the LATEST sweep
+        "q_stale_rebless": "skip",  # re-proof from an OLDER sweep: the
+        # preflight proves only the latest swept tree -> leave stale
     }
 
 
@@ -380,6 +386,13 @@ def test_ledger_tool_preflight_refuses_unsound_blessings(tmp_path):
         ["git", "rev-parse", f"{artifact}^"], cwd=tmp_path,
         capture_output=True, text=True).stdout.strip()
     assert swept == head
+
+    # (c) an UNCOMMITTED newest artifact is a refusal diagnostic, not a
+    # crash (r10 review finding): there is no swept tree to bless from
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        _json.dumps({"q2": {"hash_match": True, "spark_rows": 1}}))
+    problems = tool.preflight(tmp_path)
+    assert problems and any("not committed" in p for p in problems)
 
 
 def test_ledger_absent_exemption_deactivates_after_blessing(monkeypatch):

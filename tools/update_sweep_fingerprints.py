@@ -15,8 +15,14 @@ SHARED with the sweep classifier via `queries/__init__._latest_records`
        working tree, and blessing current text would launder a
        post-proof edit.  The classifier fail-safe keeps such names
        unproven, so they re-queue and earn a fresh row;
-  - ledger round < green round -> the driver re-proved since the entry
-    was recorded: update fp + round
+  - ledger round < green round AND green round == latest artifact ->
+    the driver re-proved on the tree the preflight just proved: update
+    fp + round + sha;
+  - ledger round < green round BUT green round < latest artifact ->
+    WARN and SKIP (r10 review): the preflight proves the tree only
+    against the LATEST swept sha, so this older row's text is as
+    unrecoverable as the missing-entry case — the stale entry stays
+    (still green if the text never changed, re-queued otherwise);
   - ledger round == green round and fp differs -> LEAVE STALE: the spec
     was edited after its proof; the sweep classifier re-queues it until
     a later round's green row re-blesses it.
@@ -57,16 +63,32 @@ def _git(root: Path, *args: str) -> str:
     ).stdout.strip()
 
 
+class BlessingError(RuntimeError):
+    """A precondition of the blessing is unresolvable, not just dirty."""
+
+
 def swept_head(root: Path) -> tuple[str, str]:
     """(artifact commit, swept sha) for the LATEST driver artifact.
 
     The driver sweeps the builder's final HEAD, then commits the
     CORRECTNESS/BENCH artifacts on top — so the tree the green rows
-    executed is the PARENT of the commit that added the newest artifact."""
-    latest = sorted(root.glob("CORRECTNESS_r*.json"))[-1]
-    adder = _git(root, "log", "--diff-filter=A", "--format=%H", "--",
-                 latest.name).splitlines()[-1]
-    return adder, _git(root, "rev-parse", f"{adder}^")
+    executed is the PARENT of the commit that added the newest artifact.
+    Raises BlessingError (not a bare IndexError) when no artifact exists
+    or the newest one is not committed — both mean there is no swept
+    tree to bless from."""
+    artifacts = sorted(root.glob("CORRECTNESS_r*.json"))
+    if not artifacts:
+        raise BlessingError("no CORRECTNESS_r*.json artifacts exist — "
+                            "nothing to bless from")
+    latest = artifacts[-1]
+    adds = _git(root, "log", "--diff-filter=A", "--format=%H", "--",
+                latest.name).splitlines()
+    if not adds:
+        raise BlessingError(
+            f"{latest.name} is not committed — the swept tree is the "
+            "parent of the artifact-adding commit, so commit the driver "
+            "artifacts first")
+    return adds[-1], _git(root, "rev-parse", f"{adds[-1]}^")
 
 
 def preflight(root: Path) -> list[str]:
@@ -89,7 +111,11 @@ def preflight(root: Path) -> list[str]:
     if dirty:
         problems.append(
             "uncommitted changes under the package:\n" + dirty)
-    _artifact, swept = swept_head(root)
+    try:
+        _artifact, swept = swept_head(root)
+    except BlessingError as e:
+        problems.append(str(e))
+        return problems
     commits = _git(root, "log", "--format=%h %s", f"{swept}..HEAD", "--",
                    _PKG, f":(exclude){_LEDGER_REL}")
     if commits:
@@ -123,7 +149,11 @@ def main() -> int:
             print("REFUSING to bless —", p, file=sys.stderr)
         if not force:
             print("(fix the tree, or re-run with --force if you have "
-                  "independently verified the swept text)", file=sys.stderr)
+                  "independently verified the swept text.  NOTE: until "
+                  "the blessing lands, fresh latest-artifact greens stay "
+                  "classifier-exempt but unblessed — resolve promptly, "
+                  "and do not edit fresh-green specs before re-running)",
+                  file=sys.stderr)
             return 2
         print("--force: blessing anyway (caller vouches for the swept "
               "text)", file=sys.stderr)
@@ -156,8 +186,18 @@ def main() -> int:
                 skipped.append(name)  # stale missing entry: cannot
                 # recover the swept text — classifier keeps it unproven
         elif ent.get("round", 0) < rnd:
-            ledger[name] = {"fp": fp, "round": rnd, "sha": swept}
-            updated.append(name)
+            if rnd == max_round:
+                ledger[name] = {"fp": fp, "round": rnd, "sha": swept}
+                updated.append(name)
+            else:
+                skipped.append(name)  # re-proof from an OLDER artifact:
+                # the preflight proves the tree only against the LATEST
+                # swept sha, so this row's text is as unrecoverable as
+                # the ent-is-None case above — blessing current text
+                # would launder any edit made since that older sweep.
+                # The stale entry stays; if the text is unchanged its
+                # fingerprint still matches and the name stays green,
+                # else it re-queues for a fresh row.
         elif ent.get("fp") != fp:
             stale.append(name)  # edited after proof — left for re-sweep
 
