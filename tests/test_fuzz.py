@@ -531,6 +531,70 @@ def _gen_case_r9(rng: random.Random) -> str:
     )
 
 
+
+def _gen_case_r10(rng: random.Random) -> str:
+    """Round-10 idiom branches, appended behind the r9 corpus (fifth
+    seeded RNG — earlier draw orders stay byte-identical): the DISTINCT
+    ON rank-1 window emulation (pg_edges.py class, fuzzed over random
+    keys/orderings/directions — the shared text is ANSI so BOTH engines
+    run the emulation; the native-DISTINCT-ON cross-check lives in the
+    registered specs), mixed-direction NULLS FIRST/LAST over CASE-
+    derived nullable keys, the widened agg*agg self-product fence
+    (DECIMAL(19,0) factor -> D(38,0) sum -> STRING, the r10 overflow
+    class), and derived-NULL COUNT asymmetry."""
+    branch = rng.randrange(4)
+    if branch == 0:  # DISTINCT ON emulation: one row per key by (ord, uk)
+        k = rng.choice(["o_custkey % 13", "o_orderstatus",
+                        "o_orderpriority"])
+        ordc, direc = rng.choice([("o_orderdate", "ASC"),
+                                  ("o_orderdate", "DESC"),
+                                  ("o_totalprice", "DESC")])
+        pred = rng.choice(["o_totalprice > 1000.0",
+                           "o_orderdate >= DATE '1995-01-01'"])
+        return (
+            f"SELECT k, o_orderkey, picked FROM ("
+            f"SELECT {k} AS k, o_orderkey, CAST({ordc} AS STRING) AS picked, "
+            f"ROW_NUMBER() OVER (PARTITION BY {k} "
+            f"ORDER BY {ordc} {direc}, o_orderkey) AS rn "
+            f"FROM orders WHERE {pred}) s "
+            f"WHERE rn = 1 ORDER BY k"
+        )
+    if branch == 1:  # mixed NULLS FIRST/LAST over a derived nullable key
+        m = rng.choice([3, 7])
+        nulls = rng.choice(["DESC NULLS FIRST", "ASC NULLS LAST",
+                            "DESC NULLS LAST", "ASC NULLS FIRST"])
+        pred = rng.choice(["o_orderkey % 5 <> 2", "o_totalprice < 250000.0"])
+        return (
+            f"SELECT n5, o_orderkey FROM ("
+            f"SELECT CASE WHEN o_custkey % {m} = 0 THEN NULL "
+            f"ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS n5, "
+            f"o_orderkey FROM orders WHERE {pred}) s "
+            f"ORDER BY n5 {nulls}, o_orderkey LIMIT 500"
+        )
+    if branch == 2:  # widened agg*agg self-product (r10 fence class)
+        k = rng.choice(["l_suppkey % 5", "l_linenumber"])
+        pred = rng.choice(["l_quantity > 10", "l_returnflag <> 'N'"])
+        return (
+            f"WITH s AS (SELECT {k} AS k0, "
+            f"CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q "
+            f"FROM lineitem WHERE {pred} GROUP BY {k}) "
+            # one >= 19-wide factor per product; D(38,0) sum -> STRING
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, "
+            f"CAST(CAST(SUM(CAST(q AS DECIMAL(19,0)) * q) "
+            f"AS DECIMAL(38,0)) AS STRING) AS sq FROM s"
+        )
+    # branch 3 — derived-NULL COUNT asymmetry
+    m = rng.choice([4, 6])
+    col = rng.choice(["l_suppkey", "l_partkey"])
+    return (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(COUNT(nx) AS BIGINT) AS n_notnull, "
+        f"CAST(COUNT(DISTINCT nx) AS BIGINT) AS n_distinct "
+        f"FROM (SELECT CASE WHEN l_orderkey % {m} = 0 THEN NULL "
+        f"ELSE {col} END AS nx FROM lineitem) s"
+    )
+
+
 _RNG = random.Random(20260813)
 CASES = [(_gen_case(_RNG), i % 2 == 1) for i in range(N_LEGACY_CASES)]
 _RNG7 = random.Random(20260814)
@@ -539,6 +603,8 @@ _RNG8 = random.Random(20260815)
 CASES += [(_gen_case_r8(_RNG8), i % 2 == 1) for i in range(16)]
 _RNG9 = random.Random(20260816)
 CASES += [(_gen_case_r9(_RNG9), i % 2 == 1) for i in range(12)]
+_RNG10 = random.Random(20260817)
+CASES += [(_gen_case_r10(_RNG10), i % 2 == 1) for i in range(12)]
 N_CASES = len(CASES)
 
 
