@@ -925,3 +925,46 @@ def test_discount_threshold_cross_multiplication_matches_exact(ds, d):
     integer_form = 10 * d * n > 13 * sum(ds)
     exact_form = Fraction(d) > Fraction(13, 10) * Fraction(sum(ds), n)
     assert integer_form == exact_form
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),                # key
+            st.one_of(st.none(), st.integers(min_value=0, max_value=4)),  # v
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    desc=st.booleans(),
+)
+def test_distinct_on_emulation_matches_duckdb_native(rows, desc, spark, duck):
+    """The pg_edges DISTINCT ON emulation (rank-1 window) must pick the
+    SAME row as DuckDB's NATIVE DISTINCT ON on adversarial micro-data:
+    NULLs in the choice column, full ties (broken by the unique id),
+    singleton groups, and both directions.  The null placement is pinned
+    EXPLICITLY in both texts (NULLS LAST here) because the engines'
+    defaults differ — Spark puts NULLs first on ASC, DuckDB last — which
+    is exactly why the registered specs keep a non-nullable or pinned
+    ORDER BY tail."""
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, "k int, v int, id int")
+    sdf.createOrReplaceTempView("don_t")
+    direction = "DESC" if desc else "ASC"
+    got = spark.sql(
+        f"SELECT k, v, id FROM ("
+        f"SELECT k, v, id, ROW_NUMBER() OVER (PARTITION BY k "
+        f"ORDER BY v {direction} NULLS LAST, id) AS rn FROM don_t) s "
+        f"WHERE rn = 1 ORDER BY k"
+    ).collect()
+
+    import pandas as pd
+
+    duck.register("don_pd", pd.DataFrame(data, columns=["k", "v", "id"]))
+    want = duck.execute(
+        f"SELECT k, v, id FROM ("
+        f"SELECT DISTINCT ON (k) k, v, id FROM don_pd "
+        f"ORDER BY k, v {direction} NULLS LAST, id) s ORDER BY k"
+    ).fetchall()
+    assert [(r.k, r.v, r.id) for r in got] == [tuple(r) for r in want]
