@@ -107,6 +107,12 @@ HEAVY = [
     "job_t7_all_point_star",
     "tpcds_t8_qty_demand_offset_join",
     "tpcds_t8_above_avg_of_sums",
+    # round-10 additions: the DISTINCT ON rank-1 emulation (3 shuffle
+    # partitions -> WindowGroupLimit partial top-1 must pick the same
+    # row per key under giant partitions) and the mixed NULLS FIRST/
+    # LAST sort over a derived nullable key
+    "distinct_on_first_order_per_customer",
+    "pg_null_ordering_matrix",
 ]
 
 HOSTILE_CONF = {
