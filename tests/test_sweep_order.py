@@ -423,3 +423,39 @@ def test_ledger_absent_exemption_deactivates_after_blessing(monkeypatch):
     monkeypatch.setattr(fpmod, "load_ledger", lambda path=None: stale)
     green, _ = _driver_history()
     assert victim in green, "pre-blessing fresh green must stay exempt"
+
+
+def test_ledger_shas_match_git_provenance():
+    """Every ledger entry's `sha` must BE the swept tree of its round —
+    the parent of the commit that added that round's CORRECTNESS
+    artifact (r9 verdict item 2).  Recomputes the round -> swept-sha
+    map from git and requires an exact match, so a rewritten history,
+    a hand-edited ledger, or a blessing from the wrong tree fails
+    loudly."""
+    import subprocess
+    from pathlib import Path
+
+    from datafusion_umami_spark.fingerprint import load_ledger
+
+    root = Path(__file__).resolve().parents[1]
+
+    def git(*args):
+        return subprocess.run(
+            ["git", *args], cwd=root, capture_output=True, text=True,
+            check=True).stdout.strip()
+
+    swept = {}
+    for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int("".join(c for c in artifact.stem if c.isdigit()))
+        adds = git("log", "--diff-filter=A", "--format=%H", "--",
+                   artifact.name).splitlines()
+        if adds:
+            swept[rnd] = git("rev-parse", f"{adds[-1]}^")
+
+    bad = [
+        f"{n}: r{e['round']} sha {e['sha'][:10]} != swept "
+        f"{swept.get(e['round'], 'missing')[:10]}"
+        for n, e in load_ledger().items()
+        if swept.get(e.get("round")) != e.get("sha")
+    ]
+    assert not bad, f"{len(bad)} provenance mismatches: {bad[:5]}"
