@@ -143,15 +143,15 @@ def test_legacy_backlog_is_exhausted():
     names = list(REGISTRY)
     unproven = [n for n in names if n not in green]
     legacy = [n for n in unproven if n not in additions]
-    # r10 re-pin (r9 verdict item 4): the r9 sweep exhausted the legacy
-    # backlog (31 -> 0).  The sanctioned exceptions are this round's
-    # overflow-fence edits (ts_anomaly_zscore_minutes per ADVICE item 4,
-    # embedding_centroid_per_label found by the same-class self-scan),
-    # which the ledger correctly demoted.  Any OTHER demotion or
-    # backlog regrowth must fail CI loudly.
-    sanctioned = {"ts_anomaly_zscore_minutes", "embedding_centroid_per_label"}
+    # r11 re-pin (r10 verdict item 3): both r10 sanctioned overflow-fence
+    # demotions (ts_anomaly_zscore_minutes, embedding_centroid_per_label)
+    # re-earned hash-green driver rows on the fixed text in the r10
+    # sweep, so the sanctioned set is back to EMPTY.  Any future
+    # demotion or backlog regrowth must fail CI loudly until a verdict
+    # sanctions it by name here.
+    sanctioned = set()
     assert set(legacy) <= sanctioned, (
-        f"legacy backlog regrew past the r10 horizon: {legacy[:8]}"
+        f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
     assert set(names[: len(legacy)]) == set(legacy), (
         "legacy backlog is not the exact queue front — additions or "
@@ -215,32 +215,30 @@ def test_edited_spec_is_demoted_and_requeued(monkeypatch):
     assert _stale_edited({name}) == set()
 
 
-def test_r9_reproofs_landed_and_r10_edit_demoted():
-    """Round-10 re-pin of the proven-as-written lifecycle.  The specs the
-    r9 fingerprint-ledger bootstrap demoted (edited after their old
-    proofs) were re-swept green in round 9 and blessed at round start —
-    they must classify green with round-9 ledger entries.  The TWO
-    specs edited THIS round (`ts_anomaly_zscore_minutes` — the r9
-    ADVICE item-4 s2-overflow fix — and `embedding_centroid_per_label`,
-    the same defect class found by the round's self-scan; both
-    accumulators widened to DECIMAL(38,0)) must be demoted again by
-    those edits and LEAD the sweep queue."""
+def test_r10_reproofs_landed_and_queue_front_is_the_addition_tail():
+    """Round-11 re-pin of the proven-as-written lifecycle.  The two
+    specs the r10 overflow fences demoted (`ts_anomaly_zscore_minutes`,
+    `embedding_centroid_per_label` — both sum-of-squares accumulators
+    widened to DECIMAL(38,0)) re-earned hash-green driver rows on the
+    fixed text in the r10 sweep (rows 1-2 of CORRECTNESS_r10.json) and
+    were re-blessed at the r11 round start — they must classify green
+    with round-10 ledger entries.  With the sanctioned-demotion set back
+    to empty, the sweep queue front is the never-swept addition tail
+    (clickbench_closure remainder first, in module order)."""
     from datafusion_umami_spark.fingerprint import load_ledger
 
     green, _failed = _driver_history()
     ledger = load_ledger()
-    for name in ("tpch_q15", "dedup_minhash_lsh", "udf_map_in_arrow",
-                 "ts_anomaly_zscore_minutes"):
-        assert ledger[name]["round"] == 9, f"{name} not re-blessed at r9"
+    for name in ("ts_anomaly_zscore_minutes", "embedding_centroid_per_label"):
+        assert ledger[name]["round"] == 10, f"{name} not re-blessed at r10"
+        assert name in green, (
+            f"{name}: re-proven on the fenced text at r10 — must be green")
     for name in ("tpch_q15", "dedup_minhash_lsh", "udf_map_in_arrow"):
         assert name in green, f"{name} should be proven-as-written"
-    for name in ("ts_anomaly_zscore_minutes", "embedding_centroid_per_label"):
-        assert name not in green, (
-            f"{name}: the r10 overflow fence edited the spec text — "
-            "must re-queue")
-    assert set(list(REGISTRY)[:2]) == {
-        "ts_anomaly_zscore_minutes", "embedding_centroid_per_label"
-    }, "the two demoted specs must lead the sweep queue"
+    assert list(REGISTRY)[:4] == [
+        "cb_q32_watch_client_unfenced", "cb_q33_url_count_topk",
+        "cb_q37_title_pageviews", "cb_q38_link_pageviews_offset",
+    ], "queue front must be the clickbench_closure never-swept remainder"
 
 
 def test_ledger_is_committed_and_covers_the_greens():
@@ -401,26 +399,41 @@ def test_ledger_absent_exemption_deactivates_after_blessing(monkeypatch):
     driver sweep landing and the round-start blessing.  Once the
     ledger's max round equals the artifacts' max round (the blessing
     ran), an absent green name is a dropped or refused entry and must
-    demote — it may not ride the exemption for the rest of the round."""
+    demote — it may not ride the exemption for the rest of the round.
+
+    State-independent since r11 (r10 verdict "What's wrong" item 1 /
+    ADVICE item 3): both the records AND the ledger are synthetic
+    fixtures, so a freshly-landed driver artifact the blessing has not
+    seen yet — the normal round-boundary window — cannot redden this
+    test.  The round-boundary pressure to run the blessing stays with
+    the README cumulative-count pin, which is intentional."""
     import datafusion_umami_spark.fingerprint as fpmod
-    from datafusion_umami_spark.fingerprint import load_ledger
+    import datafusion_umami_spark.queries as qmod
+    from datafusion_umami_spark.fingerprint import spec_fingerprint
     from datafusion_umami_spark.queries import _driver_history
+    from datafusion_umami_spark.registry import REGISTRY
 
-    real = load_ledger()
-    victim = max(real, key=lambda n: real[n]["round"])  # a latest-round green
-    assert real[victim]["round"] == max(e["round"] for e in real.values())
+    names = [n for n, s in REGISTRY.items() if s.oracle is not None]
+    victim, other = names[0], names[1]
+    rec = {"hash_match": True, "rows_match": True, "schema_match": True,
+           "spark_rows": 4, "oracle_rows": 4, "err": None}
+    records = {victim: (rec, 7), other: (rec, 7)}
+    monkeypatch.setattr(qmod, "_latest_records", lambda root: dict(records))
+    blessed_other = {"fp": spec_fingerprint(REGISTRY[other]),
+                     "round": 7, "sha": "f" * 40}
 
-    # blessing landed (ledger max == artifact max), entry dropped -> demote
-    dropped = {n: e for n, e in real.items() if n != victim}
-    monkeypatch.setattr(fpmod, "load_ledger", lambda path=None: dropped)
+    # blessing landed (ledger max == artifact max), victim absent -> demote
+    monkeypatch.setattr(fpmod, "load_ledger",
+                        lambda path=None: {other: dict(blessed_other)})
     green, _ = _driver_history()
     assert victim not in green, "dropped entry rode the exemption"
+    assert other in green, "blessed green demoted by the fixture"
 
     # blessing NOT yet landed (ledger max behind artifacts): the same
     # absent name from the latest artifact is exempt — fresh evidence
-    stale = {n: dict(e, round=min(e["round"], real[victim]["round"] - 1))
-             for n, e in dropped.items()}
-    monkeypatch.setattr(fpmod, "load_ledger", lambda path=None: stale)
+    monkeypatch.setattr(
+        fpmod, "load_ledger",
+        lambda path=None: {other: dict(blessed_other, round=6)})
     green, _ = _driver_history()
     assert victim in green, "pre-blessing fresh green must stay exempt"
 
@@ -450,7 +463,10 @@ def test_ledger_shas_match_git_provenance():
         adds = git("log", "--diff-filter=A", "--format=%H", "--",
                    artifact.name).splitlines()
         if adds:
-            swept[rnd] = git("rev-parse", f"{adds[-1]}^")
+            # newest adding commit (r10 ADVICE item 2) — a re-added
+            # artifact re-pins its round to the newest add's parent, so
+            # ledger entries blessed from the first add fail HERE loudly
+            swept[rnd] = git("rev-parse", f"{adds[0]}^")
 
     bad = [
         f"{n}: r{e['round']} sha {e['sha'][:10]} != swept "

@@ -68,7 +68,9 @@ def swept_sha_by_round() -> dict[int, str]:
         adder = _git("log", "--diff-filter=A", "--format=%H", "--",
                      artifact.name).splitlines()
         if adder:
-            shas[rnd] = _git("rev-parse", f"{adder[-1]}^")
+            # newest adding commit (r10 ADVICE item 2): the rows in the
+            # file as it stands executed the tree before the LAST add
+            shas[rnd] = _git("rev-parse", f"{adder[0]}^")
     return shas
 
 

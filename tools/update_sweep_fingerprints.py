@@ -88,7 +88,17 @@ def swept_head(root: Path) -> tuple[str, str]:
             f"{latest.name} is not committed — the swept tree is the "
             "parent of the artifact-adding commit, so commit the driver "
             "artifacts first")
-    return adds[-1], _git(root, "rev-parse", f"{adds[-1]}^")
+    if len(adds) > 1:
+        # r10 ADVICE item 2: a deleted-and-re-added artifact has several
+        # adding commits; the rows CURRENTLY in the file executed the
+        # tree preceding the NEWEST add (git log is newest-first =
+        # adds[0]), not the first add.  Older ledger entries pinned to
+        # the first add's parent will then fail the provenance CI test
+        # loudly — which is the desired behavior, not something to
+        # paper over here.
+        print(f"WARN: {latest.name} was added {len(adds)} times; using "
+              f"the newest add {adds[0][:10]}", file=sys.stderr)
+    return adds[0], _git(root, "rev-parse", f"{adds[0]}^")
 
 
 def preflight(root: Path) -> list[str]:
@@ -153,6 +163,17 @@ def main() -> int:
                   "the blessing lands, fresh latest-artifact greens stay "
                   "classifier-exempt but unblessed — resolve promptly, "
                   "and do not edit fresh-green specs before re-running)",
+                  file=sys.stderr)
+            return 2
+        # r10 ADVICE item 1: BlessingError-class problems (no artifact,
+        # or the newest artifact uncommitted) are NON-FORCEABLE — there
+        # is no swept tree at all, so --force has nothing to vouch for.
+        try:
+            swept_head(ROOT)
+        except BlessingError as e:
+            print("REFUSING even with --force —", e, file=sys.stderr)
+            print("(--force vouches for the swept text; it cannot "
+                  "conjure a swept tree that does not exist)",
                   file=sys.stderr)
             return 2
         print("--force: blessing anyway (caller vouches for the swept "
