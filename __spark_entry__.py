@@ -91,3 +91,23 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each query (None-oracle specs
     are omitted → driver records a rows-only check)."""
     return all_oracle_sql()
+
+
+def spec_fingerprints() -> dict[str, str]:
+    """name -> sha256 fingerprint of the spec text AS LOADED in this
+    process (Spark SQL/docstring + oracle SQL + callable source + the
+    shared-semantics salt).
+
+    OPTIONAL driver hook (r10 verdict item 4 / r9 ADVICE item 1): if the
+    sweep records each swept name's fingerprint as an `"fp"` field in
+    its CORRECTNESS record, the artifact itself certifies the text the
+    green row executed — the round-start ledger blessing then reads the
+    artifact directly instead of proving working-tree == swept-tree,
+    and the sweep classifier demotes any post-sweep edit immediately
+    (queries/__init__._artifact_fp_split).  Cheap: pure hashing, no
+    Spark session required."""
+    from datafusion_umami_spark.fingerprint import spec_fingerprint
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    return {name: spec_fingerprint(spec) for name, spec in REGISTRY.items()}

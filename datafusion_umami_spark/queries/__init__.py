@@ -368,13 +368,18 @@ def _driver_history() -> tuple[set[str], set[str]]:
       artifact (r10, r9 ADVICE item 2): when the ledger's max round has
       caught up to the artifacts' max round, the round-start tool has
       run, so any still-absent green name is a dropped or refused entry
-      and must demote.  RESIDUAL (documented, not closed): if the
-      blessing never lands (tool refuses and is never resolved), the
-      exemption stays open for the round and carries no text check —
-      an absent fresh green edited mid-round would classify proven on
-      unswept text.  The enforcement point is the blessing tool itself:
-      it refuses loudly, its refusal message names this exact residue,
-      and CLAUDE.md's ROUND START step makes resolving it mandatory.
+      and must demote.  RESIDUAL (documented; CLOSED for fp-carrying
+      records since r11): if the blessing never lands (tool refuses and
+      is never resolved), the exemption stays open for the round and
+      carries no text check — an absent fresh green edited mid-round
+      would classify proven on unswept text.  The enforcement point for
+      fp-LESS records remains the blessing tool's loud refusal plus
+      CLAUDE.md's mandatory ROUND START step.  When the driver stamps
+      each record with the swept spec's fingerprint (r10 verdict item
+      4, `__spark_entry__.spec_fingerprints()`), `_artifact_fp_split`
+      checks the text DIRECTLY against the artifact: a matching fp is
+      proven-as-written with no exemption needed, a mismatching fp
+      demotes immediately — even inside the fresh-artifact window.
     """
     from datafusion_umami_spark.fingerprint import load_ledger
     from datafusion_umami_spark.registry import REGISTRY
@@ -383,9 +388,12 @@ def _driver_history() -> tuple[set[str], set[str]]:
     oracled = {n for n, spec in REGISTRY.items() if spec.oracle is not None}
     records = _latest_records(root)
     green, failed = _classify(records, oracled)
-    green -= _stale_edited(green)
+    fp_ok, fp_bad = _artifact_fp_split(records, green)
+    green -= fp_bad  # driver-stamped fp no longer matches current text
+    rest = green - fp_ok  # fp-less records: ledger logic below, unchanged
+    green -= _stale_edited(rest)
     ledger = load_ledger()
-    absent = {n for n in green if n not in ledger}
+    absent = {n for n in rest if n not in ledger and n in green}
     if absent:
         max_round = max((rnd for _, rnd in records.values()), default=0)
         ledger_max = max((e.get("round", 0) for e in ledger.values()),
@@ -395,6 +403,37 @@ def _driver_history() -> tuple[set[str], set[str]]:
         else:
             green -= {n for n in absent if records[n][1] != max_round}
     return green, failed
+
+
+def _artifact_fp_split(
+    records: dict[str, tuple[dict, int]], green: set[str]
+) -> tuple[set[str], set[str]]:
+    """(ok, bad): green names whose latest driver record carries a
+    driver-stamped spec fingerprint, split by whether it matches the
+    CURRENT spec text.
+
+    r10 verdict item 4 / r9 ADVICE item 1: when the DRIVER records each
+    swept spec's fingerprint in the CORRECTNESS artifact (via
+    `__spark_entry__.spec_fingerprints()`), the artifact itself proves
+    the text — `ok` names are proven-as-written with no ledger
+    round-bridging exemption and no working-tree consultation, and
+    `bad` names (edited since the sweep, or deleted) demote immediately
+    even inside the fresh-artifact window.  This closes the documented
+    RESIDUAL above for fp-carrying records; fp-less legacy records keep
+    the ledger path unchanged."""
+    from datafusion_umami_spark.fingerprint import spec_fingerprint
+    from datafusion_umami_spark.registry import REGISTRY
+
+    ok, bad = set(), set()
+    for n in green:
+        fp = records[n][0].get("fp")
+        if not isinstance(fp, str) or not fp:
+            continue
+        if n in REGISTRY and fp == spec_fingerprint(REGISTRY[n]):
+            ok.add(n)
+        else:
+            bad.add(n)
+    return ok, bad
 
 
 def _latest_records(root: Path) -> dict[str, tuple[dict, int]]:

@@ -475,3 +475,107 @@ def test_ledger_shas_match_git_provenance():
         if swept.get(e.get("round")) != e.get("sha")
     ]
     assert not bad, f"{len(bad)} provenance mismatches: {bad[:5]}"
+
+
+def test_artifact_fp_records_prove_text_directly(monkeypatch):
+    """r10 verdict item 4 / r9 ADVICE item 1: a green record carrying a
+    DRIVER-stamped `fp` is text-proven by the artifact itself —
+
+      - matching fp  -> green regardless of ledger state or record
+        round (even an old-round green absent from the ledger);
+      - mismatched fp -> demoted immediately, even inside the
+        fresh-latest-artifact window the ledger exemption bridges
+        (this is the documented RESIDUAL, closed for fp records).
+    """
+    import datafusion_umami_spark.fingerprint as fpmod
+    import datafusion_umami_spark.queries as qmod
+    from datafusion_umami_spark.fingerprint import spec_fingerprint
+    from datafusion_umami_spark.queries import _driver_history
+    from datafusion_umami_spark.registry import REGISTRY
+
+    names = [n for n, s in REGISTRY.items() if s.oracle is not None]
+    old_ok, fresh_bad, fresh_ok = names[0], names[1], names[2]
+    rec = {"hash_match": True, "rows_match": True, "schema_match": True,
+           "spark_rows": 1, "err": None}
+    records = {
+        # old round, ledger-absent, fp matches current text -> green
+        old_ok: (dict(rec, fp=spec_fingerprint(REGISTRY[old_ok])), 5),
+        # LATEST round, fp does NOT match (edited post-sweep) -> demote
+        fresh_bad: (dict(rec, fp="0" * 64), 9),
+        # latest round, fp matches -> green (no ledger needed at all)
+        fresh_ok: (dict(rec, fp=spec_fingerprint(REGISTRY[fresh_ok])), 9),
+    }
+    monkeypatch.setattr(qmod, "_latest_records", lambda root: dict(records))
+    monkeypatch.setattr(fpmod, "load_ledger", lambda path=None: {})
+    green, _failed = _driver_history()
+    assert old_ok in green, "matching driver fp must prove an old green"
+    assert fresh_ok in green, "matching driver fp must prove a fresh green"
+    assert fresh_bad not in green, (
+        "mismatched driver fp must demote even a latest-artifact green "
+        "(the pre-r11 exemption would have let it ride)")
+
+
+def test_blessing_tool_consumes_artifact_fps():
+    """r10 verdict item 4: `apply_blessings` blesses fp-carrying records
+    from the artifact alone — older-round greens bless from their own
+    round's swept sha, same-round artifact fps outrank tree-derived
+    entries, and fp-LESS records still require the proven tree."""
+    tool = _load_tool()
+    rec = {"hash_match": True, "spark_rows": 1, "err": None}
+    FP_A, FP_B, FP_C = "a" * 64, "b" * 64, "c" * 64
+    records = {
+        "q_old_fp": (dict(rec, fp=FP_A), 5),       # pre-latest + fp
+        "q_fresh_fp": (dict(rec, fp=FP_B), 9),     # latest + fp
+        "q_outrank": (dict(rec, fp=FP_C), 9),      # same-round override
+        "q_uncommitted_round": (dict(rec, fp=FP_A), 7),  # no sha known
+        "q_fpless_fresh": (dict(rec), 9),           # legacy record
+    }
+    greens = {n: r for n, (r, rnd) in records.items() for r in [rnd]}
+    ledger = {"q_outrank": {"fp": "tree-derived", "round": 9, "sha": "s9"}}
+    shas = {5: "s5", 9: "s9"}  # round 7's artifact is uncommitted
+
+    # tree NOT proven: fp records bless anyway; the fp-less one skips
+    added, updated, stale, skipped = tool.apply_blessings(
+        ledger, dict(greens), records, max_round=9, tree_proven=False,
+        swept=None, shas=shas, known=set(records),
+        current_fp=lambda n: (_ for _ in ()).throw(
+            AssertionError("working tree consulted on the artifact path")),
+    )
+    assert added == ["q_fresh_fp", "q_old_fp"]
+    assert updated == ["q_outrank"]
+    assert ledger["q_old_fp"] == {"fp": FP_A, "round": 5, "sha": "s5"}
+    assert ledger["q_fresh_fp"] == {"fp": FP_B, "round": 9, "sha": "s9"}
+    assert ledger["q_outrank"] == {"fp": FP_C, "round": 9, "sha": "s9"}
+    assert "q_fpless_fresh" in skipped and "q_uncommitted_round" in skipped
+    assert "q_fpless_fresh" not in ledger
+
+    # tree proven: the fp-less fresh record now blesses from the tree
+    added, updated, stale, skipped = tool.apply_blessings(
+        ledger, dict(greens), records, max_round=9, tree_proven=True,
+        swept="s9", shas=shas, known=set(records),
+        current_fp=lambda n: "tree-fp",
+    )
+    assert "q_fpless_fresh" in added
+    assert ledger["q_fpless_fresh"] == {"fp": "tree-fp", "round": 9,
+                                        "sha": "s9"}
+
+
+def test_entry_spec_fingerprints_surface():
+    """The driver hook `__spark_entry__.spec_fingerprints()` must cover
+    every registered name with the exact fingerprint the ledger
+    machinery computes (same function, same salt)."""
+    import importlib.util
+    from pathlib import Path
+
+    from datafusion_umami_spark.fingerprint import spec_fingerprint
+    from datafusion_umami_spark.registry import REGISTRY
+
+    entry_path = Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    spec = importlib.util.spec_from_file_location("__spark_entry__",
+                                                  str(entry_path))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    fps = m.spec_fingerprints()
+    assert set(fps) == set(REGISTRY)
+    for name in list(REGISTRY)[:5] + list(REGISTRY)[-5:]:
+        assert fps[name] == spec_fingerprint(REGISTRY[name])

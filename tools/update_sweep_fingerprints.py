@@ -39,6 +39,14 @@ swept tree" identity the blessing rests on.  Each blessed entry records
 the swept tree's `sha` (the parent of the commit that added the round's
 CORRECTNESS artifact) so provenance is auditable per entry.
 
+Round-11 (r10 verdict item 4): records carrying a DRIVER-stamped `"fp"`
+field (see `__spark_entry__.spec_fingerprints()`) are blessed from the
+artifact ALONE — the artifact certifies the swept text directly, so the
+tree-identity preflight, the latest-round restriction, and the
+working-tree fingerprint are all bypassed for them (older-round greens
+bless from their own round's swept sha).  The preflight + rules above
+remain in force for fp-less legacy records.
+
 Usage: python tools/update_sweep_fingerprints.py [--dry-run] [--force]
 """
 
@@ -149,35 +157,23 @@ def green_rounds(root: Path, oracled: set[str]) -> tuple[dict[str, int], int]:
     return {n: records[n][1] for n in green}, max_round
 
 
+def swept_sha_by_round(root: Path) -> dict[int, str]:
+    """round N -> sha of the tree the round-N sweep executed (the parent
+    of the newest commit adding that round's CORRECTNESS artifact).
+    Rounds whose artifact is uncommitted are absent from the map."""
+    shas: dict[int, str] = {}
+    for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int("".join(c for c in artifact.stem if c.isdigit()))
+        adds = _git(root, "log", "--diff-filter=A", "--format=%H", "--",
+                    artifact.name).splitlines()
+        if adds:
+            shas[rnd] = _git(root, "rev-parse", f"{adds[0]}^")
+    return shas
+
+
 def main() -> int:
     dry = "--dry-run" in sys.argv
     force = "--force" in sys.argv
-
-    problems = preflight(ROOT)
-    if problems:
-        for p in problems:
-            print("REFUSING to bless —", p, file=sys.stderr)
-        if not force:
-            print("(fix the tree, or re-run with --force if you have "
-                  "independently verified the swept text.  NOTE: until "
-                  "the blessing lands, fresh latest-artifact greens stay "
-                  "classifier-exempt but unblessed — resolve promptly, "
-                  "and do not edit fresh-green specs before re-running)",
-                  file=sys.stderr)
-            return 2
-        # r10 ADVICE item 1: BlessingError-class problems (no artifact,
-        # or the newest artifact uncommitted) are NON-FORCEABLE — there
-        # is no swept tree at all, so --force has nothing to vouch for.
-        try:
-            swept_head(ROOT)
-        except BlessingError as e:
-            print("REFUSING even with --force —", e, file=sys.stderr)
-            print("(--force vouches for the swept text; it cannot "
-                  "conjure a swept tree that does not exist)",
-                  file=sys.stderr)
-            return 2
-        print("--force: blessing anyway (caller vouches for the swept "
-              "text)", file=sys.stderr)
 
     from datafusion_umami_spark.fingerprint import (
         load_ledger,
@@ -185,20 +181,123 @@ def main() -> int:
         spec_fingerprint,
     )
     from datafusion_umami_spark.registry import REGISTRY
-    import datafusion_umami_spark.queries  # noqa: F401  (registers specs)
+    from datafusion_umami_spark.queries import _latest_records
 
-    _artifact, swept = swept_head(ROOT)
+    records = _latest_records(ROOT)
     oracled = {n for n, s in REGISTRY.items() if s.oracle is not None}
     greens, max_round = green_rounds(ROOT, oracled)
     ledger = load_ledger()
 
+    def _rec_fp(name: str) -> str | None:
+        fp = records[name][0].get("fp") if name in records else None
+        return fp if isinstance(fp, str) and fp else None
+
+    problems = preflight(ROOT)
+    tree_proven = not problems
+    if problems:
+        # r10 verdict item 4: records carrying a DRIVER-stamped spec
+        # fingerprint are blessed from the artifact alone — no working-
+        # tree consultation — so tree-identity problems only block the
+        # fp-LESS pending greens.
+        fpless_pending = [
+            n for n, rnd in greens.items()
+            if _rec_fp(n) is None and n in REGISTRY
+            and ledger.get(n, {}).get("round", -1) < rnd
+        ]
+        for p in problems:
+            print("REFUSING tree-based blessing —", p, file=sys.stderr)
+        if not fpless_pending:
+            print("(no fp-less pending greens — proceeding artifact-only; "
+                  "fp-carrying records bless from the artifact, others "
+                  "are already ledgered)", file=sys.stderr)
+        elif not force:
+            print("(fix the tree, or re-run with --force if you have "
+                  "independently verified the swept text.  NOTE: until "
+                  "the blessing lands, fresh latest-artifact greens stay "
+                  "classifier-exempt but unblessed — resolve promptly, "
+                  "and do not edit fresh-green specs before re-running)",
+                  file=sys.stderr)
+            return 2
+        else:
+            # r10 ADVICE item 1: BlessingError-class problems (no
+            # artifact, or the newest artifact uncommitted) are
+            # NON-FORCEABLE — there is no swept tree at all, so --force
+            # has nothing to vouch for.
+            try:
+                swept_head(ROOT)
+            except BlessingError as e:
+                print("REFUSING even with --force —", e, file=sys.stderr)
+                print("(--force vouches for the swept text; it cannot "
+                      "conjure a swept tree that does not exist)",
+                      file=sys.stderr)
+                return 2
+            print("--force: blessing anyway (caller vouches for the "
+                  "swept text)", file=sys.stderr)
+            tree_proven = True
+
+    try:
+        _artifact, swept = swept_head(ROOT)
+    except BlessingError:
+        swept = None  # artifact-only mode: per-round shas still work
+    shas = swept_sha_by_round(ROOT)
+
+    added, updated, stale, skipped = apply_blessings(
+        ledger, greens, records, max_round, tree_proven, swept, shas,
+        known=set(REGISTRY), current_fp=lambda n: spec_fingerprint(REGISTRY[n]),
+    )
+
+    print(f"green={len(greens)} added={len(added)} updated={len(updated)} "
+          f"stale(left)={len(stale)} skipped(missing,old)={len(skipped)}")
+    if stale:
+        print("stale:", ", ".join(stale))
+    if skipped:
+        print("WARN skipped (missing entry, pre-latest green row — will "
+              "re-queue):", ", ".join(skipped))
+    if not dry:
+        save_ledger(ledger)
+        print("ledger written")
+    return 0
+
+
+def apply_blessings(ledger, greens, records, max_round, tree_proven,
+                    swept, shas, known, current_fp):
+    """Mutate `ledger` per the blessing rules; return (added, updated,
+    stale, skipped) name lists.  Pure decision core of main(), split out
+    so the fp-path semantics are unit-testable without a git repo:
+    `known` is the registered-name set, `current_fp(name)` the
+    working-tree fingerprint (consulted ONLY on the tree-proven,
+    fp-less path)."""
     added, updated, stale, skipped = [], [], [], []
     for name, rnd in sorted(greens.items()):
-        spec = REGISTRY.get(name)
-        if spec is None:
+        if name not in known:
             continue  # spec deleted; keep any ledger entry harmlessly
-        fp = spec_fingerprint(spec)
         ent = ledger.get(name)
+        rec_fp = records[name][0].get("fp") if name in records else None
+        rec_fp = rec_fp if isinstance(rec_fp, str) and rec_fp else None
+        if rec_fp is not None:
+            # Artifact-proven path (r10 verdict item 4 / r9 ADVICE
+            # item 1): the driver stamped the fingerprint of the text it
+            # actually ran, so blessing needs neither tree identity nor
+            # the latest-round restriction — older-round greens bless
+            # too, from their own round's swept sha.
+            sha = shas.get(rnd)
+            if sha is None:
+                skipped.append(name)  # that round's artifact uncommitted
+            elif ent is None:
+                ledger[name] = {"fp": rec_fp, "round": rnd, "sha": sha}
+                added.append(name)
+            elif (ent.get("round", 0) < rnd
+                  or (ent.get("round") == rnd and ent.get("fp") != rec_fp)):
+                # second arm: the artifact outranks a tree-derived entry
+                # for the same round — record what the driver proved
+                ledger[name] = {"fp": rec_fp, "round": rnd, "sha": sha}
+                updated.append(name)
+            continue
+        if not tree_proven:
+            if ent is None or ent.get("round", 0) < rnd:
+                skipped.append(name)  # fp-less + unproven tree
+            continue
+        fp = current_fp(name)
         if ent is None:
             if rnd == max_round:
                 ledger[name] = {"fp": fp, "round": rnd, "sha": swept}
@@ -221,18 +320,7 @@ def main() -> int:
                 # else it re-queues for a fresh row.
         elif ent.get("fp") != fp:
             stale.append(name)  # edited after proof — left for re-sweep
-
-    print(f"green={len(greens)} added={len(added)} updated={len(updated)} "
-          f"stale(left)={len(stale)} skipped(missing,old)={len(skipped)}")
-    if stale:
-        print("stale:", ", ".join(stale))
-    if skipped:
-        print("WARN skipped (missing entry, pre-latest green row — will "
-              "re-queue):", ", ".join(skipped))
-    if not dry:
-        save_ledger(ledger)
-        print("ledger written")
-    return 0
+    return added, updated, stale, skipped
 
 
 if __name__ == "__main__":
