@@ -187,3 +187,23 @@ def test_bench_charter_covers_the_bench_set():
         f"charter missing: {sorted(bench - charter)}; "
         f"stale charter rows: {sorted(charter - bench)}"
     )
+
+
+def test_evidence_table_matches_ledger():
+    """r10 verdict item 6: EVIDENCE.md (the per-query proving-round +
+    swept-sha table) is generated from the fingerprint ledger and must
+    match a fresh regeneration byte-for-byte — a ledger blessing, a
+    demotion, or a registration that is not reflected in the committed
+    table fails here."""
+    import importlib.util
+
+    gen_path = README.parent / "tools" / "gen_evidence_table.py"
+    spec = importlib.util.spec_from_file_location("gen_evidence_table",
+                                                  str(gen_path))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    committed = (README.parent / "EVIDENCE.md").read_text()
+    assert committed == gen.render(), (
+        "EVIDENCE.md is stale — regenerate with "
+        "python tools/gen_evidence_table.py"
+    )
