@@ -593,3 +593,31 @@ def test_distinct_on_emulation_plans_window_group_limit(name, spark, sf_dir):
     makes the emulation survive a 100 TB fact table."""
     plan = plan_str(q(name, spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_pg_empty_over_rewrite_avoids_global_window(spark, sf_dir):
+    """r11 pg-compat stretch: the empty-OVER() aggregate spec must NOT
+    plan a Window node — a literal OVER () moves every row to a single
+    partition (WindowExec warns; fatal at 100 TB).  The re-expression
+    is a one-row global aggregate joined back onto the distributed
+    rows, so the plan shows the aggregate + a broadcast join and the
+    rows never single-partition."""
+    plan = plan_str(q("pg_window_empty_over_aggregates", spark, sf_dir))
+    assert "Window" not in plan, f"global window survived the rewrite\n{plan}"
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_pg_setop_base_scans_lineitem_once(spark, sf_dir):
+    """r11 pg-compat stretch: the EXCEPT ALL / INTERSECT ALL spec feeds
+    FOUR set-op inputs from one pruned base; split-materialization must
+    leave at most one lineitem parquet scan in the final plan (the
+    other three reads hit the checkpoint)."""
+    from datafusion_umami_spark.operators.materialize import (
+        fact_scan_counts,
+        release_all,
+    )
+
+    df = q("pg_setop_all_multiplicity", spark, sf_dir)
+    counts = fact_scan_counts(df)
+    release_all()
+    assert counts.get("lineitem", 0) <= 1, counts
