@@ -968,3 +968,76 @@ def test_distinct_on_emulation_matches_duckdb_native(rows, desc, spark, duck):
         f"ORDER BY k, v {direction} NULLS LAST, id) s ORDER BY k"
     ).fetchall()
     assert [(r.k, r.v, r.id) for r in got] == [tuple(r) for r in want]
+
+
+_GROUPS_FRAMES = [(-3, 1), (-3, -2), (1, 3), (0, None), (-1, 0), (2, 3)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),   # partition
+            st.integers(min_value=0, max_value=4),   # order key (ties -> peers)
+            st.integers(min_value=0, max_value=5),   # value
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    frame=st.sampled_from(_GROUPS_FRAMES),
+)
+def test_groups_frame_emulation_matches_definition(rows, frame, spark):
+    """pg_window_groups_asymmetric_frames rests on one formula: a GROUPS
+    frame over the ORDER BY key == a RANGE frame over dense_rank(key).
+    Check the formula against a pure-Python evaluation of the
+    SQL-standard GROUPS definition (peer groups of the order key,
+    offsets counted in whole groups) on adversarial micro-data: tied
+    keys, singleton groups, frames fully behind/ahead of the current
+    group (empty frame -> NULL sum), and CURRENT ROW .. UNBOUNDED
+    FOLLOWING.  Independent of BOTH engines — DuckDB 1.0.0 cannot run
+    GROUPS natively, so the registered spec's DuckDB oracle is itself a
+    reformulation; this pins the shared definition they reformulate."""
+    lo, hi = frame
+
+    def bound(n, unbounded):
+        if n is None:
+            return unbounded
+        if n < 0:
+            return f"{-n} PRECEDING"
+        return "CURRENT ROW" if n == 0 else f"{n} FOLLOWING"
+
+    data = [(p, k, v, i) for i, (p, k, v) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, "p int, k int, v int, id int")
+    sdf.createOrReplaceTempView("groups_prop_t")
+    got = spark.sql(
+        f"""
+        SELECT id, CAST(SUM(v) OVER (PARTITION BY p ORDER BY dr
+               RANGE BETWEEN {bound(lo, 'UNBOUNDED PRECEDING')}
+                         AND {bound(hi, 'UNBOUNDED FOLLOWING')})
+               AS BIGINT) AS s
+        FROM (SELECT p, v, id,
+                     DENSE_RANK() OVER (PARTITION BY p ORDER BY k) AS dr
+              FROM groups_prop_t)
+        ORDER BY id
+        """
+    ).collect()
+
+    from collections import defaultdict
+
+    bypart = defaultdict(list)
+    for p, k, v, i in data:
+        bypart[p].append((k, v, i))
+    want = {}
+    for items in bypart.values():
+        keys = sorted({k for k, _, _ in items})
+        gidx = {k: n for n, k in enumerate(keys)}
+        gsum = defaultdict(int)
+        for k, v, _ in items:
+            gsum[gidx[k]] += v
+        for k, _, i in items:
+            g = gidx[k]
+            a = 0 if lo is None else g + lo
+            b = len(keys) - 1 if hi is None else g + hi
+            span = [gsum[x] for x in range(max(a, 0), min(b, len(keys) - 1) + 1)]
+            want[i] = sum(span) if span else None
+    assert [(r.id, r.s) for r in got] == [(i, want[i]) for i in sorted(want)]

@@ -530,7 +530,7 @@ def test_blessing_tool_consumes_artifact_fps():
         "q_uncommitted_round": (dict(rec, fp=FP_A), 7),  # no sha known
         "q_fpless_fresh": (dict(rec), 9),           # legacy record
     }
-    greens = {n: r for n, (r, rnd) in records.items() for r in [rnd]}
+    greens = {n: rnd for n, (_rec, rnd) in records.items()}
     ledger = {"q_outrank": {"fp": "tree-derived", "round": 9, "sha": "s9"}}
     shas = {5: "s5", 9: "s9"}  # round 7's artifact is uncommitted
 
