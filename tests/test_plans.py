@@ -617,7 +617,9 @@ def test_pg_setop_base_scans_lineitem_once(spark, sf_dir):
         release_all,
     )
 
-    df = q("pg_setop_all_multiplicity", spark, sf_dir)
-    counts = fact_scan_counts(df)
-    release_all()
+    try:
+        df = q("pg_setop_all_multiplicity", spark, sf_dir)
+        counts = fact_scan_counts(df)
+    finally:
+        release_all()
     assert counts.get("lineitem", 0) <= 1, counts

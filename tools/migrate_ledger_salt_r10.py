@@ -61,17 +61,17 @@ def old_fingerprint(spec, salt: str) -> str:  # type: ignore[no-untyped-def]
 
 
 def swept_sha_by_round() -> dict[int, str]:
-    """round N -> sha of the tree the round-N sweep executed."""
-    shas: dict[int, str] = {}
-    for artifact in sorted(ROOT.glob("CORRECTNESS_r*.json")):
-        rnd = int("".join(c for c in artifact.stem if c.isdigit()))
-        adder = _git("log", "--diff-filter=A", "--format=%H", "--",
-                     artifact.name).splitlines()
-        if adder:
-            # newest adding commit (r10 ADVICE item 2): the rows in the
-            # file as it stands executed the tree before the LAST add
-            shas[rnd] = _git("rev-parse", f"{adder[0]}^")
-    return shas
+    """round N -> sha of the tree the round-N sweep executed.
+
+    Delegates to the blessing tool's helper so the derivation has ONE
+    source (r11 review: this logic was triplicated and the adds[-1] →
+    adds[0] fix had to be hand-synced across copies; the provenance CI
+    test keeps its own inline copy deliberately, as the independent
+    check)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from update_sweep_fingerprints import swept_sha_by_round as shared
+
+    return shared(ROOT)
 
 
 def main() -> int:

@@ -185,12 +185,12 @@ def main() -> int:
 
     records = _latest_records(ROOT)
     oracled = {n for n, s in REGISTRY.items() if s.oracle is not None}
-    greens, max_round = green_rounds(ROOT, oracled)
-    ledger = load_ledger()
+    from datafusion_umami_spark.queries import _classify
 
-    def _rec_fp(name: str) -> str | None:
-        fp = records[name][0].get("fp") if name in records else None
-        return fp if isinstance(fp, str) and fp else None
+    green_set, _failed = _classify(records, oracled)
+    greens = {n: records[n][1] for n in green_set}
+    max_round = max((rnd for _, rnd in records.values()), default=0)
+    ledger = load_ledger()
 
     problems = preflight(ROOT)
     tree_proven = not problems
@@ -198,10 +198,16 @@ def main() -> int:
         # r10 verdict item 4: records carrying a DRIVER-stamped spec
         # fingerprint are blessed from the artifact alone — no working-
         # tree consultation — so tree-identity problems only block the
-        # fp-LESS pending greens.
+        # fp-LESS pending greens.  "Pending" means a proven tree would
+        # actually bless the name (r11 review): fp-less greens from
+        # PRE-latest rounds are skipped either way (their swept text is
+        # unrecoverable), so they must not hard-refuse artifact-only
+        # mode — refusing over them blocks the fp-carrying blessings
+        # while fixing the tree would not bless the stragglers either.
         fpless_pending = [
             n for n, rnd in greens.items()
-            if _rec_fp(n) is None and n in REGISTRY
+            if _record_fp(records, n) is None and n in REGISTRY
+            and rnd == max_round
             and ledger.get(n, {}).get("round", -1) < rnd
         ]
         for p in problems:
@@ -246,6 +252,24 @@ def main() -> int:
         known=set(REGISTRY), current_fp=lambda n: spec_fingerprint(REGISTRY[n]),
     )
 
+    # Provenance reconciliation (r11 review finding 3): if an artifact
+    # was ever deleted and re-added, the recomputed round->swept-sha map
+    # re-pins that round (newest add's parent) and every old entry's sha
+    # mismatches — the provenance CI test goes red with no repair path
+    # short of hand-editing the ledger.  The round-start tool IS the
+    # sanctioned reconciler: re-pin stored shas to the recomputed map
+    # (fingerprints untouched — text proof is unaffected), loudly.
+    repaired = [
+        name for name, ent in ledger.items()
+        if shas.get(ent.get("round")) not in (None, ent.get("sha"))
+    ]
+    for name in repaired:
+        ledger[name]["sha"] = shas[ledger[name]["round"]]
+    if repaired:
+        print(f"WARN sha-repair: {len(repaired)} entries re-pinned to the "
+              "recomputed artifact provenance (artifact delete/re-add?)",
+              file=sys.stderr)
+
     print(f"green={len(greens)} added={len(added)} updated={len(updated)} "
           f"stale(left)={len(stale)} skipped(missing,old)={len(skipped)}")
     if stale:
@@ -257,6 +281,12 @@ def main() -> int:
         save_ledger(ledger)
         print("ledger written")
     return 0
+
+
+def _record_fp(records, name):
+    """The driver-stamped fingerprint of `name`'s latest record, if any."""
+    fp = records[name][0].get("fp") if name in records else None
+    return fp if isinstance(fp, str) and fp else None
 
 
 def apply_blessings(ledger, greens, records, max_round, tree_proven,
@@ -272,8 +302,7 @@ def apply_blessings(ledger, greens, records, max_round, tree_proven,
         if name not in known:
             continue  # spec deleted; keep any ledger entry harmlessly
         ent = ledger.get(name)
-        rec_fp = records[name][0].get("fp") if name in records else None
-        rec_fp = rec_fp if isinstance(rec_fp, str) and rec_fp else None
+        rec_fp = _record_fp(records, name)
         if rec_fp is not None:
             # Artifact-proven path (r10 verdict item 4 / r9 ADVICE
             # item 1): the driver stamped the fingerprint of the text it
