@@ -113,6 +113,13 @@ HEAVY = [
     # LAST sort over a derived nullable key
     "distinct_on_first_order_per_customer",
     "pg_null_ordering_matrix",
+    # round-11 additions: the GROUPS-frame emulation (dense_rank +
+    # RANGE must bin identical peer groups when 3 partitions force
+    # giant window buffers) and the EXCEPT/INTERSECT ALL multiplicity
+    # pair over one split-materialized base (no broadcast -> both set
+    # ops replan as shuffle joins over the same checkpoint)
+    "pg_window_groups_asymmetric_frames",
+    "pg_setop_all_multiplicity",
 ]
 
 HOSTILE_CONF = {
