@@ -1041,3 +1041,101 @@ def test_groups_frame_emulation_matches_definition(rows, frame, spark):
             span = [gsum[x] for x in range(max(a, 0), min(b, len(keys) - 1) + 1)]
             want[i] = sum(span) if span else None
     assert [(r.id, r.s) for r in got] == [(i, want[i]) for i in sorted(want)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),      # partition
+            st.integers(min_value=-50, max_value=50),   # integer cents
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_exclude_current_row_emulation_matches_duckdb_native(rows, spark, duck):
+    """windows.window_exclude_current_emulated rests on one formula:
+    avg-of-others over a ROWS frame == (SUM(frame) - x) / (COUNT(frame)
+    - 1), NULL when the frame is the single current row.  Check the
+    formula against DuckDB's NATIVE SQL:2011 `EXCLUDE CURRENT ROW`
+    clause on adversarial micro-data: negative values, zero-sum frames,
+    singleton partitions (frame == current row -> NULL on both), and
+    partition boundaries clipping the frame.  Domain note: the formula
+    assumes a NON-NULL value column (a NULL x would null the whole
+    subtraction while the native clause just skips it) — the registered
+    spec feeds o_totalprice cents, which is non-nullable, and this test
+    pins the formula on that domain."""
+    data = [(p, v, i) for i, (p, v) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, "p int, v long, id int")
+    sdf.createOrReplaceTempView("excl_t")
+    got = spark.sql(
+        """
+        SELECT id, CAST((SUM(v) OVER w) - v AS DOUBLE)
+                   / nullif((COUNT(*) OVER w) - 1, 0) AS avg_others
+        FROM excl_t
+        WINDOW w AS (PARTITION BY p ORDER BY id
+                     ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+        ORDER BY id
+        """
+    ).collect()
+
+    import pandas as pd
+
+    duck.register("excl_pd", pd.DataFrame(data, columns=["p", "v", "id"]))
+    want = duck.execute(
+        """
+        SELECT id, CAST(AVG(v) OVER (PARTITION BY p ORDER BY id
+                     ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING
+                     EXCLUDE CURRENT ROW) AS DOUBLE) AS avg_others
+        FROM excl_pd ORDER BY id
+        """
+    ).fetchall()
+    assert [(r.id, r.avg_others) for r in got] == [tuple(r) for r in want]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),   # partition
+            st.integers(min_value=0, max_value=4),   # value (dense ties)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_count_distinct_over_emulation_matches_duckdb_native(rows, spark, duck):
+    """windows.window_count_distinct_emulated rests on one formula:
+    COUNT(DISTINCT v) OVER (PARTITION BY p) == MAX(dense_rank(v)) OVER
+    (PARTITION BY p) — Spark rejects DISTINCT aggregates over windows,
+    so the registered spec computes the dense-rank max.  Check the
+    formula against DuckDB's NATIVE windowed COUNT(DISTINCT) on
+    micro-data with heavy ties and singleton partitions.  Domain note:
+    the formula assumes a NON-NULL value column (dense_rank gives NULLs
+    a peer group; COUNT(DISTINCT) skips them) — the registered spec
+    counts l_partkey, which is non-nullable, and this test pins the
+    formula on that domain."""
+    data = [(p, v, i) for i, (p, v) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, "p int, v int, id int")
+    sdf.createOrReplaceTempView("cdo_t")
+    got = spark.sql(
+        """
+        SELECT id, CAST(MAX(dr) OVER (PARTITION BY p) AS BIGINT) AS n_d
+        FROM (SELECT p, id,
+                     DENSE_RANK() OVER (PARTITION BY p ORDER BY v) AS dr
+              FROM cdo_t)
+        ORDER BY id
+        """
+    ).collect()
+
+    import pandas as pd
+
+    duck.register("cdo_pd", pd.DataFrame(data, columns=["p", "v", "id"]))
+    want = duck.execute(
+        """
+        SELECT id, CAST(COUNT(DISTINCT v) OVER (PARTITION BY p) AS BIGINT)
+        FROM cdo_pd ORDER BY id
+        """
+    ).fetchall()
+    assert [(r.id, r.n_d) for r in got] == [tuple(r) for r in want]
