@@ -509,21 +509,40 @@ def _stale_edited(green: set[str]) -> set[str]:
 
 
 def _reorder_for_sweep() -> None:
+    """Rebuild REGISTRY insertion order for the driver's ~50-row sweep.
+
+    Ranks: (0) unproven SWEEP_PRIORITY names, (1) latest-record FAILs,
+    (2) never-swept / demoted names in module order, (3) proven greens.
+
+    FRESHNESS ROTATION (r11 verdict item 2): within the proven-green
+    tail, names queue by ASCENDING ledger blessing round (module order
+    tiebreak), so once the unproven prefix drains, the driver's slack
+    budget lands on the rows whose evidence is OLDEST (round 1 first).
+    Each re-proof re-blesses the row at the new round and rotates it to
+    the back — self-maintaining, no manual cohort selection.  SLA
+    target: no proven row's newest driver evidence older than ~6
+    rounds (~541 rows / ~31 slack slots/round ≈ 17-round full cycle,
+    front-loaded on the oldest cohorts)."""
+    from datafusion_umami_spark.fingerprint import load_ledger
     from datafusion_umami_spark.registry import REGISTRY
 
     green, failed = _driver_history()
+    ledger = load_ledger()
     names = list(REGISTRY)
-    rank: dict[str, tuple[int, int]] = {}
+    rank: dict[str, tuple[int, int, int]] = {}
     prio = {n: i for i, n in enumerate(SWEEP_PRIORITY)}
     for pos, name in enumerate(names):
         if name in prio and name not in green:
-            rank[name] = (0, prio[name])
+            rank[name] = (0, 0, prio[name])
         elif name in failed:
-            rank[name] = (1, pos)
+            rank[name] = (1, 0, pos)
         elif name not in green:
-            rank[name] = (2, pos)
+            rank[name] = (2, 0, pos)
         else:
-            rank[name] = (3, pos)
+            # ledger-absent greens carry fresh (latest-artifact) evidence
+            # -> newest, back of the rotation
+            rnd = ledger.get(name, {}).get("round", 10**6)
+            rank[name] = (3, rnd, pos)
     ordered = sorted(names, key=rank.__getitem__)
     snapshot = {name: REGISTRY[name] for name in ordered}
     REGISTRY.clear()
