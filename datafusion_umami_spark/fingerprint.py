@@ -42,10 +42,29 @@ from __future__ import annotations
 import hashlib
 import inspect
 import json
+import re
 from functools import lru_cache
 from pathlib import Path
 
 LEDGER_PATH = Path(__file__).resolve().parent / "queries" / "sweep_fingerprints.json"
+
+_FP_SHAPE = re.compile(r"[0-9a-f]{64}")
+
+
+def record_fp(rec) -> str | None:  # type: ignore[no-untyped-def]
+    """The driver-stamped spec fingerprint of a CORRECTNESS record, iff
+    it carries a WELL-FORMED one (64-char lowercase-hex sha256).
+
+    Single extraction point for both consumers (r11 ADVICE item 4): the
+    sweep classifier (`queries/__init__._artifact_fp_split`) and the
+    blessing tool (`tools/update_sweep_fingerprints.py`) must agree on
+    what counts as an fp-carrying record or blessing and demotion
+    drift.  A malformed/truncated value is treated as fp-ABSENT, which
+    routes the record to the fail-safe ledger path (demotes unless the
+    ledger proves the current text) rather than trusting garbage on
+    either path."""
+    fp = rec.get("fp") if isinstance(rec, dict) else None
+    return fp if isinstance(fp, str) and _FP_SHAPE.fullmatch(fp) else None
 
 
 @lru_cache(maxsize=1)

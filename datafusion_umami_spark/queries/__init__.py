@@ -420,14 +420,19 @@ def _artifact_fp_split(
     `bad` names (edited since the sweep, or deleted) demote immediately
     even inside the fresh-artifact window.  This closes the documented
     RESIDUAL above for fp-carrying records; fp-less legacy records keep
-    the ledger path unchanged."""
-    from datafusion_umami_spark.fingerprint import spec_fingerprint
+    the ledger path unchanged.
+
+    fp extraction + shape validation live in `fingerprint.record_fp`
+    (r11 ADVICE item 4) — shared with the blessing tool so the two
+    consumers cannot drift; malformed values route to the fail-safe
+    ledger path."""
+    from datafusion_umami_spark.fingerprint import record_fp, spec_fingerprint
     from datafusion_umami_spark.registry import REGISTRY
 
     ok, bad = set(), set()
     for n in green:
-        fp = records[n][0].get("fp")
-        if not isinstance(fp, str) or not fp:
+        fp = record_fp(records[n][0])
+        if fp is None:
             continue
         if n in REGISTRY and fp == spec_fingerprint(REGISTRY[n]):
             ok.add(n)

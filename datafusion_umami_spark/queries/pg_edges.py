@@ -377,6 +377,9 @@ register_split_sql(
 # same semantics INDEPENDENTLY: per-peer-group partial sums, a
 # partition-local self-join, and one FILTER per frame shape — the
 # emulation is checked against a different algorithm, not itself.
+# LIMIT 2000 on both sides (r11 ADVICE item 5): the ORDER BY tail is a
+# total order, so the cap enforces the driver-sweep row budget by TEXT
+# instead of leaning on TPC-H keygen density under l_orderkey < 700.
 register_sql(
     "pg_window_groups_asymmetric_frames",
     """
@@ -402,6 +405,7 @@ register_sql(
                 AS BIGINT) AS sum_cur_unbounded
     FROM ranked
     ORDER BY l_orderkey, l_linenumber
+    LIMIT 2000
     """,
     oracle="""
     WITH ranked AS (
@@ -434,6 +438,7 @@ register_sql(
     FROM ranked r
     JOIN gwin w ON w.l_returnflag = r.l_returnflag AND w.dr = r.dr
     ORDER BY r.l_orderkey, r.l_linenumber
+    LIMIT 2000
     """,
     tags=("pg-compat", "window", "groups-frame", "emulation"),
 )

@@ -607,6 +607,86 @@ def test_blessing_tool_consumes_artifact_fps():
                                         "sha": "s9"}
 
 
+def test_record_fp_shape_validation():
+    """r11 ADVICE item 4: both fp consumers share `fingerprint.record_fp`,
+    which accepts ONLY a well-formed 64-char lowercase-hex sha256 —
+    malformed values are treated as fp-absent so they route to the
+    fail-safe ledger path instead of being trusted on either side."""
+    from datafusion_umami_spark.fingerprint import record_fp
+
+    good = "ab01" * 16
+    assert record_fp({"fp": good}) == good
+    for bad in ("", "deadbeef", good[:-1], good + "0", good.upper(),
+                "g" * 64, 42, None, ["x"]):
+        assert record_fp({"fp": bad}) is None, bad
+    assert record_fp({}) is None
+    assert record_fp(None) is None
+    assert record_fp("not-a-dict") is None
+
+
+def test_malformed_fp_routes_to_ledger_path(monkeypatch):
+    """A record with a malformed fp must behave exactly like an fp-less
+    record: classified by the ledger (here: blessed entry -> green),
+    never demoted by the fp mismatch arm."""
+    import datafusion_umami_spark.fingerprint as fpmod
+    import datafusion_umami_spark.queries as qmod
+    from datafusion_umami_spark.fingerprint import spec_fingerprint
+    from datafusion_umami_spark.queries import _driver_history
+
+    name = next(n for n, s in REGISTRY.items() if s.oracle is not None)
+    rec = {"hash_match": True, "rows_match": True, "schema_match": True,
+           "spark_rows": 1, "err": None, "fp": "THIS-IS-NOT-HEX"}
+    monkeypatch.setattr(qmod, "_latest_records",
+                        lambda root: {name: (rec, 9)})
+    monkeypatch.setattr(
+        fpmod, "load_ledger",
+        lambda path=None: {name: {"fp": spec_fingerprint(REGISTRY[name]),
+                                  "round": 9, "sha": "f" * 40}})
+    green, _failed = _driver_history()
+    assert name in green, "malformed fp must fall back to the ledger proof"
+
+
+def test_reconcile_provenance_requires_reproof_or_vouch():
+    """r11 ADVICE item 1: after an artifact delete/re-add, the sha-repair
+    re-pins ONLY entries whose round's current artifact re-proves their
+    text (matching driver-stamped fp); fp-less or mismatching entries
+    are held unless --repair-provenance vouches."""
+    tool = _load_tool()
+    FP = "a" * 64
+    art = {
+        "q_reproven": {"hash_match": True, "fp": FP},
+        "q_wrong_fp": {"hash_match": True, "fp": "b" * 64},
+        "q_fpless": {"hash_match": True},
+    }
+
+    def fresh_ledger():
+        return {
+            "q_reproven": {"fp": FP, "round": 3, "sha": "old"},
+            "q_wrong_fp": {"fp": FP, "round": 3, "sha": "old"},
+            "q_fpless": {"fp": FP, "round": 3, "sha": "old"},
+            "q_ok": {"fp": FP, "round": 3, "sha": "new"},
+            "q_unknown_round": {"fp": FP, "round": 7, "sha": "old"},
+        }
+
+    shas = {3: "new"}  # round 7's artifact uncommitted -> untouched
+    ledger = fresh_ledger()
+    repaired, held = tool.reconcile_provenance(
+        ledger, shas, record_of=lambda rnd, name: art.get(name))
+    assert repaired == ["q_reproven"]
+    assert sorted(held) == ["q_fpless", "q_wrong_fp"]
+    assert ledger["q_reproven"]["sha"] == "new"
+    assert ledger["q_fpless"]["sha"] == "old"  # held: CI flags it loudly
+    assert ledger["q_wrong_fp"]["sha"] == "old"
+    assert ledger["q_unknown_round"]["sha"] == "old"
+
+    ledger = fresh_ledger()
+    repaired, held = tool.reconcile_provenance(
+        ledger, shas, record_of=lambda rnd, name: art.get(name), vouch=True)
+    assert sorted(repaired) == ["q_fpless", "q_reproven", "q_wrong_fp"]
+    assert not held
+    assert ledger["q_fpless"]["sha"] == "new"
+
+
 def test_entry_spec_fingerprints_surface():
     """The driver hook `__spark_entry__.spec_fingerprints()` must cover
     every registered name with the exact fingerprint the ledger

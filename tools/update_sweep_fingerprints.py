@@ -48,6 +48,13 @@ bless from their own round's swept sha).  The preflight + rules above
 remain in force for fp-less legacy records.
 
 Usage: python tools/update_sweep_fingerprints.py [--dry-run] [--force]
+           [--repair-provenance]
+
+--repair-provenance (r11 ADVICE item 1): after an artifact
+delete/re-add, entries whose round's current artifact re-proves their
+text (matching driver-stamped fp) re-pin their sha automatically;
+fp-less entries are HELD (the provenance CI test flags them loudly)
+unless this flag vouches for the re-pin explicitly.
 """
 
 from __future__ import annotations
@@ -143,15 +150,20 @@ def preflight(root: Path) -> list[str]:
     return problems
 
 
-def green_rounds(root: Path, oracled: set[str]) -> tuple[dict[str, int], int]:
+def green_rounds(
+    root: Path, oracled: set[str], records: dict | None = None
+) -> tuple[dict[str, int], int]:
     """({green name -> round of its latest record}, latest artifact round).
 
     Reuses the classifier's own record walk and green semantics
     (`_latest_records` / `_classify`) so the ledger can never bless a
-    name the sweep considers unproven, or vice versa."""
+    name the sweep considers unproven, or vice versa.  `records` lets
+    main() pass its already-walked record map (r11 ADVICE item 2: main
+    must call THIS function, not re-derive the same thing inline)."""
     from datafusion_umami_spark.queries import _classify, _latest_records
 
-    records = _latest_records(root)
+    if records is None:
+        records = _latest_records(root)
     green, _failed = _classify(records, oracled)
     max_round = max((rnd for _, rnd in records.values()), default=0)
     return {n: records[n][1] for n in green}, max_round
@@ -174,6 +186,7 @@ def swept_sha_by_round(root: Path) -> dict[int, str]:
 def main() -> int:
     dry = "--dry-run" in sys.argv
     force = "--force" in sys.argv
+    repair_provenance = "--repair-provenance" in sys.argv
 
     from datafusion_umami_spark.fingerprint import (
         load_ledger,
@@ -185,11 +198,7 @@ def main() -> int:
 
     records = _latest_records(ROOT)
     oracled = {n for n, s in REGISTRY.items() if s.oracle is not None}
-    from datafusion_umami_spark.queries import _classify
-
-    green_set, _failed = _classify(records, oracled)
-    greens = {n: records[n][1] for n in green_set}
-    max_round = max((rnd for _, rnd in records.values()), default=0)
+    greens, max_round = green_rounds(ROOT, oracled, records)
     ledger = load_ledger()
 
     problems = preflight(ROOT)
@@ -252,22 +261,20 @@ def main() -> int:
         known=set(REGISTRY), current_fp=lambda n: spec_fingerprint(REGISTRY[n]),
     )
 
-    # Provenance reconciliation (r11 review finding 3): if an artifact
-    # was ever deleted and re-added, the recomputed round->swept-sha map
-    # re-pins that round (newest add's parent) and every old entry's sha
-    # mismatches — the provenance CI test goes red with no repair path
-    # short of hand-editing the ledger.  The round-start tool IS the
-    # sanctioned reconciler: re-pin stored shas to the recomputed map
-    # (fingerprints untouched — text proof is unaffected), loudly.
-    repaired = [
-        name for name, ent in ledger.items()
-        if shas.get(ent.get("round")) not in (None, ent.get("sha"))
-    ]
-    for name in repaired:
-        ledger[name]["sha"] = shas[ledger[name]["round"]]
+    repaired, held = reconcile_provenance(
+        ledger, shas,
+        record_of=lambda rnd, name: _artifact_record(ROOT, rnd, name),
+        vouch=repair_provenance,
+    )
     if repaired:
         print(f"WARN sha-repair: {len(repaired)} entries re-pinned to the "
               "recomputed artifact provenance (artifact delete/re-add?)",
+              file=sys.stderr)
+    if held:
+        print(f"WARN sha-repair HELD for {len(held)} fp-less entries whose "
+              "re-added artifact does not re-prove their text (provenance "
+              "CI will flag them; re-run with --repair-provenance to "
+              "re-pin anyway): " + ", ".join(sorted(held)[:8]),
               file=sys.stderr)
 
     print(f"green={len(greens)} added={len(added)} updated={len(updated)} "
@@ -284,9 +291,62 @@ def main() -> int:
 
 
 def _record_fp(records, name):
-    """The driver-stamped fingerprint of `name`'s latest record, if any."""
-    fp = records[name][0].get("fp") if name in records else None
-    return fp if isinstance(fp, str) and fp else None
+    """The driver-stamped fingerprint of `name`'s latest record, if any.
+
+    Extraction + shape validation delegate to `fingerprint.record_fp`
+    (r11 ADVICE item 4) so the blessing tool and the sweep classifier
+    can never disagree on what counts as an fp-carrying record."""
+    from datafusion_umami_spark.fingerprint import record_fp
+
+    return record_fp(records[name][0]) if name in records else None
+
+
+def reconcile_provenance(ledger, shas, record_of, vouch=False):
+    """Re-pin ledger `sha` fields after an artifact delete/re-add; return
+    (repaired, held) name lists.
+
+    r11 review finding 3: a re-added artifact re-pins its round's swept
+    sha (newest add's parent), so every older entry's stored sha
+    mismatches and the provenance CI test goes red with no repair path
+    short of hand-editing.  The round-start tool is the sanctioned
+    reconciler — but ONLY for entries the NEW artifact itself re-proves
+    (r12, r11 ADVICE item 1): an entry whose round's current artifact
+    carries a MATCHING driver-stamped fp has its text certified by the
+    very file that now defines the round's provenance, so re-pinning is
+    sound.  An fp-LESS entry was blessed from the ORIGINAL swept tree;
+    the re-added artifact never proved its text, so silently rewriting
+    its sha would fabricate provenance — those are HELD (provenance CI
+    fails loudly, per swept_head's own warning) unless `vouch`
+    (--repair-provenance) vouches explicitly.
+
+    `record_of(rnd, name)` returns `name`'s record in round `rnd`'s
+    CURRENT artifact (injectable for tests)."""
+    from datafusion_umami_spark.fingerprint import record_fp
+
+    repaired, held = [], []
+    for name, ent in ledger.items():
+        if shas.get(ent.get("round")) in (None, ent.get("sha")):
+            continue
+        rec = record_of(ent["round"], name)
+        fp = record_fp(rec)
+        if (fp is not None and fp == ent.get("fp")) or vouch:
+            ledger[name]["sha"] = shas[ent["round"]]
+            repaired.append(name)
+        else:
+            held.append(name)
+    return repaired, held
+
+
+def _artifact_record(root: Path, rnd: int, name: str):
+    """`name`'s record in round `rnd`'s CORRECTNESS artifact, or None."""
+    import json
+
+    path = root / f"CORRECTNESS_r{rnd:02d}.json"
+    try:
+        rows = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return None
+    return rows.get(name) if isinstance(rows, dict) else None
 
 
 def apply_blessings(ledger, greens, records, max_round, tree_proven,
