@@ -55,6 +55,16 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", str(args.threads))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Root cause of the r9/r10/r12 one-off sweep transients (found
+        # r12: "Not enough memory to build and broadcast the table",
+        # ~537 queries into an sf0.1 leg): PySpark's self-launched JVM
+        # defaults to -Xmx1g, so the whole 541-query sweep shares 1 GiB
+        # of heap with every accumulated broadcast.  Size the heap for
+        # the job — this is tool configuration, not query semantics
+        # (the hostile leg still proves parity under 3 partitions with
+        # broadcast disabled).  Takes effect only because THIS process
+        # launches the JVM (driver.memory is a pre-launch setting).
+        .config("spark.driver.memory", "8g")
     )
     if args.hostile:
         b = (
@@ -83,7 +93,20 @@ def main() -> int:
 
     bad = []
     t0 = time.time()
-    for name in names:
+    for i, name in enumerate(names):
+        if i and i % 50 == 0:
+            # Accretion mitigation (r9/r10/r12 transients: one sf0.1 FAIL
+            # ~500 queries into the shared JVM, never reproducible
+            # isolated): Spark reclaims broadcast/shuffle blocks only
+            # when the DRIVER GCs the py4j handles (ContextCleaner is
+            # GC-driven), and a long single-process sweep may never
+            # trigger a full collection — force one periodically so
+            # executor memory doesn't carry ~50 queries of dead
+            # broadcast state into the next heavy join.
+            import gc
+
+            gc.collect()
+            spark._jvm.System.gc()
         try:
             spdf = qs[name](spark, args.sf_dir).toPandas()
             if args.rerun:
