@@ -520,19 +520,24 @@ def _reorder_for_sweep() -> None:
     (2) never-swept / demoted names in module order, (3) proven greens.
 
     FRESHNESS ROTATION (r11 verdict item 2): within the proven-green
-    tail, names queue by ASCENDING ledger blessing round (module order
-    tiebreak), so once the unproven prefix drains, the driver's slack
-    budget lands on the rows whose evidence is OLDEST (round 1 first).
-    Each re-proof re-blesses the row at the new round and rotates it to
-    the back — self-maintaining, no manual cohort selection.  SLA
-    target: no proven row's newest driver evidence older than ~6
+    tail, names queue by ASCENDING round of their latest driver record
+    (module order tiebreak), so once the unproven prefix drains, the
+    driver's slack budget lands on the rows whose evidence is OLDEST
+    (round 1 first).  Each re-proof lands a newer record and rotates
+    the row to the back — self-maintaining, no manual cohort selection.
+    The age key is the RECORD round, not the ledger blessing round (r12
+    review: a green can be legitimately ledger-absent — e.g. an
+    fp-proven old-round record whose round's artifact commit is unknown
+    — and treating those as "fresh" would exempt exactly the stalest
+    rows from the rotation; every green has a record by construction).
+    SLA target: no proven row's newest driver evidence older than ~6
     rounds (~541 rows / ~31 slack slots/round ≈ 17-round full cycle,
     front-loaded on the oldest cohorts)."""
-    from datafusion_umami_spark.fingerprint import load_ledger
     from datafusion_umami_spark.registry import REGISTRY
 
     green, failed = _driver_history()
-    ledger = load_ledger()
+    root = Path(__file__).resolve().parents[2]
+    records = _latest_records(root)
     names = list(REGISTRY)
     rank: dict[str, tuple[int, int, int]] = {}
     prio = {n: i for i, n in enumerate(SWEEP_PRIORITY)}
@@ -544,9 +549,7 @@ def _reorder_for_sweep() -> None:
         elif name not in green:
             rank[name] = (2, 0, pos)
         else:
-            # ledger-absent greens carry fresh (latest-artifact) evidence
-            # -> newest, back of the rotation
-            rnd = ledger.get(name, {}).get("round", 10**6)
+            rnd = records[name][1] if name in records else 10**6
             rank[name] = (3, rnd, pos)
     ordered = sorted(names, key=rank.__getitem__)
     snapshot = {name: REGISTRY[name] for name in ordered}

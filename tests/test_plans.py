@@ -607,8 +607,9 @@ def test_pg_empty_over_rewrite_avoids_global_window(spark, sf_dir):
     plan = plan_str(q("pg_window_empty_over_aggregates", spark, sf_dir))
     # match the exec node, not the bare substring (r11 ADVICE item 3):
     # WindowGroupLimit is a DIFFERENT, desirable operator this suite
-    # asserts FOR elsewhere and must not trip this gate
-    hit = re.search(r"\bWindow\b(?!GroupLimit)", plan)
+    # asserts FOR elsewhere and must not trip this gate — the trailing
+    # \b alone spares it (no word boundary inside "WindowGroupLimit")
+    hit = re.search(r"\bWindow\b", plan)
     assert not hit, f"global window survived the rewrite\n{plan}"
     assert "HashAggregate" in plan or "SortAggregate" in plan, plan
 

@@ -263,29 +263,34 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
 
 def test_green_tail_rotates_oldest_evidence_first():
     """r11 verdict item 2 (freshness rotation): behind the unproven
-    prefix, proven greens queue by ASCENDING ledger blessing round, so
-    the driver's slack sweep budget always lands on the rows whose
-    evidence is oldest.  Once the prove-down completes (zero unproven),
-    this becomes the whole queue-front assertion: position 0 holds a
-    green from the OLDEST round still in the ledger."""
-    from datafusion_umami_spark.fingerprint import load_ledger
+    prefix, proven greens queue by ASCENDING round of their latest
+    driver record, so the driver's slack sweep budget always lands on
+    the rows whose evidence is oldest.  Once the prove-down completes
+    (zero unproven), this becomes the whole queue-front assertion:
+    position 0 holds the green with the OLDEST driver evidence.  Age is
+    the RECORD round (r12 review: ledger-absent greens are not
+    necessarily fresh, and deregistered ledger entries must not skew
+    the expectation — every green name has a record by construction)."""
+    from pathlib import Path
+
+    from datafusion_umami_spark.queries import _latest_records
 
     green, _failed = _driver_history()
-    ledger = load_ledger()
+    records = _latest_records(Path(__file__).resolve().parents[1])
     names = list(REGISTRY)
     tail = [n for n in names if n in green]
+    if not tail:
+        return  # bootstrap state: nothing proven yet, nothing to rotate
     # greens occupy exactly the suffix (contiguous-prefix test pins the
-    # complement); their ledger rounds must be non-decreasing
-    rounds = [ledger.get(n, {}).get("round", 10**6) for n in tail]
+    # complement); their evidence rounds must be non-decreasing
+    rounds = [records[n][1] if n in records else 10**6 for n in tail]
     assert rounds == sorted(rounds), (
         "green tail not in ascending-evidence-age order: first offender "
         f"{next(tail[i] for i in range(1, len(rounds)) if rounds[i] < rounds[i-1])!r}"
     )
-    if tail:
-        oldest = min(e.get("round", 10**6) for n, e in ledger.items()
-                     if n in green)
-        assert rounds[0] == oldest, (
-            f"rotation front is r{rounds[0]} evidence but r{oldest} rows exist")
+    oldest = min(rounds)
+    assert rounds[0] == oldest, (
+        f"rotation front is r{rounds[0]} evidence but r{oldest} rows exist")
 
 
 def test_ledger_is_committed_and_covers_the_greens():
@@ -647,44 +652,56 @@ def test_malformed_fp_routes_to_ledger_path(monkeypatch):
 
 
 def test_reconcile_provenance_requires_reproof_or_vouch():
-    """r11 ADVICE item 1: after an artifact delete/re-add, the sha-repair
-    re-pins ONLY entries whose round's current artifact re-proves their
-    text (matching driver-stamped fp); fp-less or mismatching entries
-    are held unless --repair-provenance vouches."""
+    """r11 ADVICE item 1 + r12 review hardening: after an artifact
+    delete/re-add, the sha-repair re-pins ONLY entries whose round's
+    current artifact re-proves their text — matching driver-stamped fp
+    on a PASSING row.  fp-less entries are held unless
+    --repair-provenance vouches; entries the artifact CONTRADICTS
+    (different fp, or a matching fp on a failed row) are never
+    repaired, vouch or not."""
     tool = _load_tool()
     FP = "a" * 64
     art = {
         "q_reproven": {"hash_match": True, "fp": FP},
         "q_wrong_fp": {"hash_match": True, "fp": "b" * 64},
+        "q_fp_but_fail": {"hash_match": False, "fp": FP},
         "q_fpless": {"hash_match": True},
+        "q_rows_only": {"err": "no_oracle", "spark_rows": 3, "fp": FP},
     }
 
     def fresh_ledger():
         return {
             "q_reproven": {"fp": FP, "round": 3, "sha": "old"},
             "q_wrong_fp": {"fp": FP, "round": 3, "sha": "old"},
+            "q_fp_but_fail": {"fp": FP, "round": 3, "sha": "old"},
             "q_fpless": {"fp": FP, "round": 3, "sha": "old"},
+            "q_rows_only": {"fp": FP, "round": 3, "sha": "old"},
             "q_ok": {"fp": FP, "round": 3, "sha": "new"},
             "q_unknown_round": {"fp": FP, "round": 7, "sha": "old"},
         }
 
     shas = {3: "new"}  # round 7's artifact uncommitted -> untouched
     ledger = fresh_ledger()
-    repaired, held = tool.reconcile_provenance(
+    repaired, held, contradicted = tool.reconcile_provenance(
         ledger, shas, record_of=lambda rnd, name: art.get(name))
-    assert repaired == ["q_reproven"]
-    assert sorted(held) == ["q_fpless", "q_wrong_fp"]
+    assert sorted(repaired) == ["q_reproven", "q_rows_only"]
+    assert held == ["q_fpless"]
+    assert sorted(contradicted) == ["q_fp_but_fail", "q_wrong_fp"]
     assert ledger["q_reproven"]["sha"] == "new"
     assert ledger["q_fpless"]["sha"] == "old"  # held: CI flags it loudly
     assert ledger["q_wrong_fp"]["sha"] == "old"
+    assert ledger["q_fp_but_fail"]["sha"] == "old"
     assert ledger["q_unknown_round"]["sha"] == "old"
 
     ledger = fresh_ledger()
-    repaired, held = tool.reconcile_provenance(
+    repaired, held, contradicted = tool.reconcile_provenance(
         ledger, shas, record_of=lambda rnd, name: art.get(name), vouch=True)
-    assert sorted(repaired) == ["q_fpless", "q_reproven", "q_wrong_fp"]
+    # vouch covers ONLY the fp-less stray; contradictions stand
+    assert sorted(repaired) == ["q_fpless", "q_reproven", "q_rows_only"]
     assert not held
+    assert sorted(contradicted) == ["q_fp_but_fail", "q_wrong_fp"]
     assert ledger["q_fpless"]["sha"] == "new"
+    assert ledger["q_wrong_fp"]["sha"] == "old"
 
 
 def test_entry_spec_fingerprints_surface():

@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import subprocess
 import sys
+from functools import lru_cache as _functools_lru_cache
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[1]
@@ -261,7 +262,7 @@ def main() -> int:
         known=set(REGISTRY), current_fp=lambda n: spec_fingerprint(REGISTRY[n]),
     )
 
-    repaired, held = reconcile_provenance(
+    repaired, held, contradicted = reconcile_provenance(
         ledger, shas,
         record_of=lambda rnd, name: _artifact_record(ROOT, rnd, name),
         vouch=repair_provenance,
@@ -274,8 +275,15 @@ def main() -> int:
         print(f"WARN sha-repair HELD for {len(held)} fp-less entries whose "
               "re-added artifact does not re-prove their text (provenance "
               "CI will flag them; re-run with --repair-provenance to "
-              "re-pin anyway): " + ", ".join(sorted(held)[:8]),
+              "re-pin THESE anyway): " + ", ".join(sorted(held)[:8]),
               file=sys.stderr)
+    if contradicted:
+        print(f"WARN sha-repair REFUSED for {len(contradicted)} entries the "
+              "re-added artifact CONTRADICTS (its record carries a "
+              "different fp, or the row is no longer a pass — the text the "
+              "ledger claims proven was never proven by this artifact; "
+              "--repair-provenance does NOT override; demote or re-sweep): "
+              + ", ".join(sorted(contradicted)[:8]), file=sys.stderr)
 
     print(f"green={len(greens)} added={len(added)} updated={len(updated)} "
           f"stale(left)={len(stale)} skipped(missing,old)={len(skipped)}")
@@ -303,7 +311,7 @@ def _record_fp(records, name):
 
 def reconcile_provenance(ledger, shas, record_of, vouch=False):
     """Re-pin ledger `sha` fields after an artifact delete/re-add; return
-    (repaired, held) name lists.
+    (repaired, held, contradicted) name lists.
 
     r11 review finding 3: a re-added artifact re-pins its round's swept
     sha (newest add's parent), so every older entry's stored sha
@@ -311,42 +319,86 @@ def reconcile_provenance(ledger, shas, record_of, vouch=False):
     short of hand-editing.  The round-start tool is the sanctioned
     reconciler — but ONLY for entries the NEW artifact itself re-proves
     (r12, r11 ADVICE item 1): an entry whose round's current artifact
-    carries a MATCHING driver-stamped fp has its text certified by the
-    very file that now defines the round's provenance, so re-pinning is
-    sound.  An fp-LESS entry was blessed from the ORIGINAL swept tree;
-    the re-added artifact never proved its text, so silently rewriting
-    its sha would fabricate provenance — those are HELD (provenance CI
-    fails loudly, per swept_head's own warning) unless `vouch`
-    (--repair-provenance) vouches explicitly.
+    carries a MATCHING driver-stamped fp on a PASSING row (r12 review:
+    a failed row proves nothing, whatever fp it carries) has its text
+    certified by the very file that now defines the round's provenance,
+    so re-pinning is sound.  Three other cases:
+      - fp-LESS record (or record absent): the entry was blessed from
+        the ORIGINAL swept tree and the re-added artifact is silent —
+        HELD (provenance CI fails loudly, per swept_head's own warning)
+        unless `vouch` (--repair-provenance) vouches explicitly;
+      - record fp DIFFERS from the entry's, or the row is not a pass:
+        the artifact affirmatively CONTRADICTS the ledger's claim —
+        never repaired, `vouch` does not override (r12 review: the
+        blanket vouch would launder disproven provenance while the
+        operator thinks they are vouching for fp-less strays only);
+        resolve by demoting/re-sweeping the name.
 
     `record_of(rnd, name)` returns `name`'s record in round `rnd`'s
     CURRENT artifact (injectable for tests)."""
     from datafusion_umami_spark.fingerprint import record_fp
 
-    repaired, held = [], []
+    repaired, held, contradicted = [], [], []
     for name, ent in ledger.items():
         if shas.get(ent.get("round")) in (None, ent.get("sha")):
             continue
         rec = record_of(ent["round"], name)
         fp = record_fp(rec)
-        if (fp is not None and fp == ent.get("fp")) or vouch:
+        if fp is None:
+            if vouch:
+                ledger[name]["sha"] = shas[ent["round"]]
+                repaired.append(name)
+            else:
+                held.append(name)
+        elif fp == ent.get("fp") and _is_pass(rec):
             ledger[name]["sha"] = shas[ent["round"]]
             repaired.append(name)
         else:
-            held.append(name)
-    return repaired, held
+            contradicted.append(name)
+    return repaired, held, contradicted
+
+
+def _is_pass(rec) -> bool:
+    """A CORRECTNESS record counts as a pass: hash-green, or a rows-only
+    run for an oracle-less spec (mirrors `queries/__init__._classify`;
+    conservative — reconcile only re-pins provenance of entries that
+    were blessed green in the first place)."""
+    if not isinstance(rec, dict):
+        return False
+    return bool(rec.get("hash_match")) or (
+        rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+    )
 
 
 def _artifact_record(root: Path, rnd: int, name: str):
     """`name`'s record in round `rnd`'s CORRECTNESS artifact, or None."""
-    import json
+    rows = _round_rows(root, rnd)
+    return rows.get(name)
 
-    path = root / f"CORRECTNESS_r{rnd:02d}.json"
-    try:
-        rows = json.loads(path.read_text())
-    except (OSError, ValueError):
-        return None
-    return rows.get(name) if isinstance(rows, dict) else None
+
+@_functools_lru_cache(maxsize=None)
+def _round_rows(root: Path, rnd: int) -> dict:
+    """All records of round `rnd`'s artifact, parsed once per round.
+
+    Walks the same glob as `_latest_records`/`swept_sha_by_round` (r12
+    review: a hardcoded zero-padded filename would silently treat a
+    differently-padded artifact's entries as absent) and caches per
+    (root, round) so reconciling ~50 entries of a re-added round parses
+    its JSON once, not once per entry."""
+    import json
+    import re
+
+    for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", artifact.name)
+        if not (m and int(m.group(1)) == rnd):
+            continue
+        try:
+            rows = json.loads(artifact.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            return rows
+    return {}
 
 
 def apply_blessings(ledger, greens, records, max_round, tree_proven,
