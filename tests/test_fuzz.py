@@ -1139,3 +1139,138 @@ def test_count_distinct_over_emulation_matches_duckdb_native(rows, spark, duck):
         """
     ).fetchall()
     assert [(r.id, r.n_d) for r in got] == [tuple(r) for r in want]
+
+
+# ---------------------------------------------------------------------------
+# Round-12 property tests: the two iterative distributed operators and the
+# tumbling-window primitive, each against a pure-Python reference.  These
+# target operators/ helpers (not spec texts), so they harden the machinery
+# without demoting any proven-as-written ledger row.
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(edges, spark):
+    """large-star/small-star CC == pure-Python union-find on random
+    graphs — self-loops, duplicate edges, and both orientations included
+    (the operator's normalization contract) — and every label is its
+    component's MINIMUM node id (the operator's labeling contract).
+    Random-shape complement to the deterministic chain/clique fixtures:
+    the alternating rounds' correctness depends on per-round min
+    propagation across arbitrary topologies, exactly what a fixed
+    fixture can't cover."""
+    from datafusion_umami_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {(r.n, r.cluster_id) for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes: set[int] = set()
+    for a, b in edges:
+        if a == b:
+            continue  # operator drops self-loops (and their nodes if isolated)
+        nodes |= {a, b}
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, set[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), set()).add(n)
+    want = {(n, min(members)) for members in comp.values() for n in members}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    und=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    iters=st.integers(1, 3),
+)
+def test_pagerank_matches_integer_reference(und, iters, spark):
+    """Integer-exact PageRank == a pure-Python reference running the
+    same micro-unit truncating arithmetic.  The operator's determinism
+    contract (operators/pagerank.py docstring) promises bit-identical
+    results regardless of partitioning or merge order, so the check is
+    set equality on exact (node, pr) pairs, no tolerance.  Bidirectional
+    edges per the operator's every-node-is-a-src contract."""
+    from datafusion_umami_spark.operators.pagerank import (
+        DAMP_NUM,
+        MICRO,
+        TELEPORT,
+        pagerank,
+    )
+
+    bidir = sorted({(a, b) for a, b in und} | {(b, a) for a, b in und})
+    df = spark.createDataFrame(bidir, "src long, dst long")
+    got = {(r.node, r.pr) for r in pagerank(df, iterations=iters).collect()}
+
+    outdeg: dict[int, int] = {}
+    for s, _d in bidir:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {n: MICRO for n in outdeg}
+    for _ in range(iters):
+        mass = {n: 0 for n in outdeg}
+        for s, d in bidir:
+            mass[d] += pr[s] // outdeg[s]
+        pr = {n: TELEPORT + (DAMP_NUM * mass[n]) // MICRO for n in outdeg}
+    assert got == set(pr.items())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    offsets_s=st.lists(
+        st.integers(0, 10_000_000), min_size=1, max_size=25, unique=True
+    ),
+    stride_s=st.integers(1, 100_000),
+    origin_off_s=st.integers(0, 1_000_000),
+)
+def test_date_bin_matches_python_floor_arithmetic(
+    offsets_s, stride_s, origin_off_s, spark
+):
+    """operators/date_bin.py == origin + ((ts - origin) // stride) * stride
+    in pure-Python integer seconds, over its documented domain
+    (ts >= origin; the column formula uses dividend-sign %, which equals
+    floor division only for nonnegative deltas).  Randomizes stride,
+    origin, and timestamps together — the spec fixtures pin only two
+    stride/origin combinations."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as FF
+
+    from datafusion_umami_spark.operators.date_bin import date_bin
+
+    base = _dt.datetime(2000, 1, 1)
+    origin = base + _dt.timedelta(seconds=origin_off_s)
+    rows = [(base + _dt.timedelta(seconds=origin_off_s + o),) for o in offsets_s]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz")
+    got = sorted(
+        r.b
+        for r in df.select(
+            date_bin("ts", stride_s, origin.isoformat(sep=" ")).alias("b")
+        ).collect()
+    )
+    want = sorted(
+        origin + _dt.timedelta(seconds=(o // stride_s) * stride_s)
+        for o in offsets_s
+    )
+    assert got == want
