@@ -1274,3 +1274,52 @@ def test_date_bin_matches_python_floor_arithmetic(
         for o in offsets_s
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    offsets_s=st.lists(
+        st.integers(0, 10_000_000), min_size=1, max_size=25, unique=True
+    ),
+    stride_s=st.integers(1, 100_000),
+    origin_off_s=st.integers(0, 1_000_000),
+)
+def test_date_bin_twins_agree_cross_engine(
+    offsets_s, stride_s, origin_off_s, spark, duck
+):
+    """The Spark column formula (operators/date_bin.date_bin) and its
+    DuckDB oracle twin (date_bin_oracle_sql) must produce identical
+    bucket starts on the same random timestamps — the shared-text
+    contract every timeseries/streaming oracle rides on, here checked
+    over randomized stride/origin instead of the two fixture
+    combinations."""
+    import datetime as _dt
+
+    from datafusion_umami_spark.operators.date_bin import (
+        date_bin,
+        date_bin_oracle_sql,
+    )
+
+    base = _dt.datetime(2000, 1, 1)
+    origin = base + _dt.timedelta(seconds=origin_off_s)
+    ts = sorted(
+        base + _dt.timedelta(seconds=origin_off_s + o) for o in offsets_s
+    )
+    df = spark.createDataFrame([(t,) for t in ts], "ts timestamp_ntz")
+    got = [
+        r.b
+        for r in df.select(
+            date_bin("ts", stride_s, origin.isoformat(sep=" ")).alias("b")
+        )
+        .orderBy("b")
+        .collect()
+    ]
+    vals = ", ".join(f"(TIMESTAMP '{t.isoformat(sep=' ')}')" for t in ts)
+    twin = date_bin_oracle_sql("ts", stride_s, origin.isoformat(sep=" "))
+    want = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {twin} AS b FROM (VALUES {vals}) AS t(ts) ORDER BY b"
+        ).fetchall()
+    ]
+    assert got == want
