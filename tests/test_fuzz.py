@@ -1323,3 +1323,421 @@ def test_date_bin_twins_agree_cross_engine(
         ).fetchall()
     ]
     assert got == want
+
+
+# --- round-12 (cont.): training-pipeline formula pins ------------------------
+# The dedup / text-analysis specs rest on hand-built arithmetic (affine
+# MinHash permutations, banded SimHash pigeonhole, polynomial rolling
+# hash, frequency-weighted percentile expansion, Morton interleave).
+# Each formula is pinned here against an independent pure-Python
+# evaluation of its textbook definition on adversarial micro-data —
+# same strategy as the GROUPS-frame / EXCLUDE CURRENT ROW pins above.
+
+import hashlib as _hashlib
+import itertools as _it
+
+
+def _md5_60(s: str) -> int:
+    """Python mirror of queries/dedup.py _sp_h/_du_h: the first 15 hex
+    chars of md5 as a 60-bit integer (exact in int64 on both engines)."""
+    return int(_hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+_MH_P = 2_147_483_647
+_MH_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+
+def _minhash_sig_py(text: str) -> list[int]:
+    """Textbook MinHash over clamped word 3-shingles with the affine
+    permutation family ((2s+1)·h + s·12582917) mod p — the definition
+    queries/dedup.py:_SP_MINHASH_SIGS unrolls in SQL."""
+    ws = text.split(" ")
+    n = len(ws)
+    shingles = [
+        " ".join((ws[i], ws[min(i + 1, n - 1)], ws[min(i + 2, n - 1)]))
+        for i in range(max(n - 2, 1))
+    ]
+    hs = [_md5_60(sh) % _MH_P for sh in shingles]
+    return [
+        min(((2 * s + 1) * h + s * 12_582_917) % _MH_P for h in hs)
+        for s in range(8)
+    ]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    word_lists=st.lists(
+        st.lists(st.sampled_from(_MH_WORDS), min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_minhash_signature_matches_python_reference(word_lists, spark):
+    """The single-scan SQL signature builder (one md5 per shingle, all 8
+    components in one groupBy — queries/dedup.py:_SP_MINHASH_SIGS) must
+    equal the per-document textbook evaluation: same shingle clamping at
+    short docs (n<=2 repeats the last word), same MIN-over-multiset ==
+    MIN-over-set shortcut, same permutation arithmetic.  Runs the
+    registered text verbatim over a swapped-in `documents` view."""
+    from datafusion_umami_spark.queries.dedup import _SP_MINHASH_SIGS
+
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("documents")
+    got = {r.doc_id: list(r.mhs) for r in spark.sql(_SP_MINHASH_SIGS).collect()}
+    want = {i: _minhash_sig_py(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    word_lists=st.lists(
+        st.lists(st.sampled_from(_MH_WORDS), min_size=1, max_size=6),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_minhash_lsh_banding_matches_python_reference(word_lists, spark):
+    """LSH banding (4 bands x 2 rows) + signature-estimated Jaccard
+    (queries/dedup.py:_SP_MINHASH_PAIRS_FROM_SIGS) == brute-force over
+    the Python signatures: a pair is a candidate iff SOME band's two
+    components both match, and est_jaccard is the matching-component
+    fraction (k/8 is exact in binary, so ROUND(...,4) is the identity
+    on both sides).  Every doc is duplicated, so the exact-duplicate
+    guarantee — identical text ALWAYS surfaces with est_jaccard 1.0 —
+    is exercised on every example."""
+    from datafusion_umami_spark.queries.dedup import (
+        _SP_MINHASH_PAIRS_FROM_SIGS,
+        _SP_MINHASH_SIGS,
+    )
+
+    base = [" ".join(ws) for ws in word_lists]
+    texts = base + base  # ids n..2n-1 duplicate ids 0..n-1
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("documents")
+    spark.sql(_SP_MINHASH_SIGS).createOrReplaceTempView("mh_sigs_prop")
+    got = {
+        (r.da, r.db): r.est_jaccard
+        for r in spark.sql(
+            _SP_MINHASH_PAIRS_FROM_SIGS.replace("__SIGS__", "mh_sigs_prop")
+        ).collect()
+    }
+    sig = {i: _minhash_sig_py(t) for i, t in enumerate(texts)}
+    want = {}
+    for a, b in _it.combinations(range(len(texts)), 2):
+        if any(
+            sig[a][2 * band : 2 * band + 2] == sig[b][2 * band : 2 * band + 2]
+            for band in range(4)
+        ):
+            want[(a, b)] = sum(x == y for x, y in zip(sig[a], sig[b])) / 8.0
+    assert got == want
+    n = len(base)
+    for i in range(n):
+        assert got[(i, i + n)] == 1.0
+
+
+def _simhash_py(text: str) -> int:
+    """Textbook 16-bit SimHash: per-bit +/-1 votes over the DISTINCT
+    words' 60-bit hashes, bit set iff the vote is strictly positive
+    (ties at even word counts -> 0) — the definition
+    queries/dedup.py:_SP_SIMHASH_SIG expresses as two groupBys."""
+    hs = [_md5_60(w) for w in set(text.split(" "))]
+    out = 0
+    for b in range(16):
+        if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0:
+            out |= 1 << b
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    word_lists=st.lists(
+        st.lists(st.sampled_from(_MH_WORDS), min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_simhash_signature_matches_python_reference(word_lists, spark):
+    """queries/dedup.py:_SP_SIMHASH_SIG verbatim over a swapped-in
+    `documents` view == the per-document Python evaluation, including
+    the word-DISTINCT step (repeated words vote once) and the tie->0
+    rule."""
+    from datafusion_umami_spark.queries.dedup import _SP_SIMHASH_SIG
+
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("documents")
+    got = {
+        r.doc_id: r.simhash for r in spark.sql(_SP_SIMHASH_SIG).collect()
+    }
+    want = {i: _simhash_py(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    sigs=st.lists(st.integers(0, 65535), min_size=2, max_size=18)
+)
+def test_simhash_banding_finds_exactly_the_close_pairs(sigs, spark):
+    """The 6+5+5-bit banded equi-join
+    (queries/dedup.py:_SP_SIMHASH_PAIRS_FROM_SIG) returns EXACTLY the
+    pairs within hamming distance 2 — the pigeonhole completeness claim
+    the 100 TB plan rests on (<=2 differing bits touch <=2 of 3 bands,
+    so one band matches exactly; the hamming fence then discards far
+    candidates).  Checked against brute-force over arbitrary 16-bit
+    signatures, including duplicates (hamming 0)."""
+    from datafusion_umami_spark.queries.dedup import (
+        _SP_SIMHASH_PAIRS_FROM_SIG,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(sigs)), "doc_id long, simhash long"
+    )
+    df.createOrReplaceTempView("sh_sig_prop")
+    got = {
+        (r.da, r.db): r.hamming
+        for r in spark.sql(
+            _SP_SIMHASH_PAIRS_FROM_SIG.replace("__SIG__", "sh_sig_prop")
+        ).collect()
+    }
+    want = {
+        (a, b): bin(sa ^ sb).count("1")
+        for (a, sa), (b, sb) in _it.combinations(enumerate(sigs), 2)
+        if bin(sa ^ sb).count("1") <= 2
+    }
+    assert got == want
+
+
+def _winnow_py(text: str) -> tuple[int, int, int]:
+    """Textbook MOSS winnowing (k=8, w=4, base 257 mod 1e9+7): rolling
+    polynomial hash of every k-gram, min of each w-window, distinct set
+    — the definition queries/textanalysis.py unrolls as higher-order
+    array expressions."""
+    K, W, B, M = 8, 4, 257, 1_000_000_007
+    cs = [ord(c) for c in text]
+    kh = [
+        sum(c * pow(B, K - 1 - j, M) for j, c in enumerate(cs[i : i + K])) % M
+        for i in range(len(cs) - K + 1)
+    ]
+    fps = {min(kh[i : i + W]) for i in range(len(kh) - W + 1)}
+    return len(fps), sum(fps), min(fps)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=11, max_size=48),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_winnowing_fingerprint_matches_python_reference(texts, spark):
+    """The registered text_winnowing_fingerprint Spark SQL (pulled from
+    the registry, run verbatim over a swapped-in `documents` view) must
+    equal the Python textbook evaluation.  The tiny alphabet forces
+    repeated k-grams (hash ties across windows, array_distinct doing
+    real work) — the degenerate inputs sf-scale corpora never hit."""
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    sql = REGISTRY["text_winnowing_fingerprint"].fn.__doc__
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("documents")
+    got = {
+        r.doc_id: (r.n_fingerprints, r.fp_sum, r.fp_min)
+        for r in spark.sql(sql).collect()
+    }
+    want = {i: _winnow_py(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(1, 5)),
+        min_size=1,
+        max_size=30,
+    ),
+    p=st.sampled_from([0.25, 0.5, 0.75]),
+)
+def test_weighted_percentile_equals_expanded_multiset_quantile(
+    rows, p, spark, duck
+):
+    """agg_weighted_percentile's whole oracle strategy is the identity
+    `Spark percentile(v, p, w) == quantile_cont over the w-expanded
+    multiset`.  Pin that identity itself on random micro-data, three
+    ways: Spark's frequency-weighted percentile, numpy's linear
+    interpolation over the expanded list, and DuckDB's quantile_cont
+    over the expanded list must all agree (ties, singleton groups,
+    all-equal values, weights that skew the median onto a boundary)."""
+    import numpy as np
+    import pandas as pd
+
+    df = spark.createDataFrame(rows, "v long, w int")
+    df.createOrReplaceTempView("wp_prop_t")
+    got = (
+        spark.sql(f"SELECT percentile(v, {p}, w) AS q FROM wp_prop_t")
+        .collect()[0]
+        .q
+    )
+    expanded = [v for v, w in rows for _ in range(w)]
+    want = float(np.percentile(expanded, p * 100, method="linear"))
+    duck.register("wp_prop_pd", pd.DataFrame({"v": expanded}))
+    want_du = duck.execute(
+        f"SELECT quantile_cont(v, {p}) FROM wp_prop_pd"
+    ).fetchone()[0]
+    tol = 1e-9 * max(1.0, abs(want))
+    assert abs(got - want) <= tol
+    assert abs(want_du - want) <= tol
+
+
+def test_zorder_formula_interleave_and_tile_band_property():
+    """layout_zorder_tiles (queries/catalog_ddl.py) rests on two claims
+    checked here exhaustively over the full 256x256 key domain,
+    engine-independently: (1) the portable floor-div/mod expression
+    equals the Morton bit-interleave (pk bit b -> position 2b, sk bit b
+    -> 2b+1); (2) every 16x16 aligned tile maps onto ONE contiguous
+    256-slot z band with base 256*interleave4(tile_p, tile_s) — i.e.
+    the zval set restricted to a tile is exactly [base, base+255], and
+    globally z is a bijection onto [0, 65535].  This is the property
+    that turns a 2-D range fence into a handful of contiguous scans at
+    100 TB; the registered spec can only check it on tiles present in
+    the sf data."""
+    import math
+
+    def zval_as_written(pk: int, sk: int) -> int:
+        return sum(
+            (int(math.floor(pk / float(1 << b))) % 2) * (1 << (2 * b))
+            + (int(math.floor(sk / float(1 << b))) % 2) * (1 << (2 * b + 1))
+            for b in range(8)
+        )
+
+    def interleave(pk: int, sk: int, nbits: int) -> int:
+        out = 0
+        for b in range(nbits):
+            out |= ((pk >> b) & 1) << (2 * b)
+            out |= ((sk >> b) & 1) << (2 * b + 1)
+        return out
+
+    seen = set()
+    for pk in range(256):
+        for sk in range(256):
+            z = zval_as_written(pk, sk)
+            assert z == interleave(pk, sk, 8)
+            base = 256 * interleave(pk // 16, sk // 16, 4)
+            assert base <= z <= base + 255
+            seen.add(z)
+    assert seen == set(range(65536))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_portable_h64_agrees_across_spark_duckdb_python(texts, spark, duck):
+    """queries/hashing.py is the single source of the portable 60-bit
+    hash every hash-driven selection rides on (dedup, decontamination,
+    sampling, train/val/test splitting).  The Spark text, the DuckDB
+    text, and the Python mirror must agree on arbitrary unicode —
+    including the empty string and non-BMP codepoints (both engines
+    md5 the UTF-8 bytes) — or cross-engine selection silently picks
+    DIFFERENT rows while every aggregate still looks plausible."""
+    import pandas as pd
+
+    from datafusion_umami_spark.queries.hashing import DUCK_H64, SPARK_H64
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, s string"
+    )
+    df.createOrReplaceTempView("h64_prop_t")
+    got_sp = {
+        r.id: r.h
+        for r in spark.sql(
+            f"SELECT id, {SPARK_H64.format(s='s')} AS h FROM h64_prop_t"
+        ).collect()
+    }
+    duck.register("h64_prop_pd", pd.DataFrame({"id": range(len(texts)), "s": texts}))
+    got_du = {
+        i: h
+        for i, h in duck.execute(
+            f"SELECT id, {DUCK_H64.format(s='s')} AS h FROM h64_prop_pd"
+        ).fetchall()
+    }
+    want = {i: _md5_60(t) for i, t in enumerate(texts)}
+    assert got_sp == want
+    assert got_du == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=64, max_size=64
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_lsh_bucket_expr_matches_python_and_duckdb(vecs, spark, duck):
+    """The 12-hyperplane LSH bucket id (queries/simsearch.py
+    _sp_bucket_expr/_du_bucket_expr: sign of each literal-plane dot,
+    left-fold accumulation) must agree bit-for-bit across Spark, DuckDB
+    and a Python mirror of the same fold order — the bucket IS the
+    partition/cluster key at 100 TB, so a one-bit disagreement silently
+    probes the wrong bucket.  Integer-valued components keep each
+    product's rounding identical across all three evaluations, and the
+    zero vector pins the dot==0 boundary (strict > 0 -> bit unset)."""
+    import pandas as pd
+
+    from datafusion_umami_spark.queries.simsearch import (
+        _PLANES,
+        _du_bucket_expr,
+        _sp_bucket_expr,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    df.createOrReplaceTempView("lsh_prop_t")
+    got_sp = {
+        r.vec_id: r.bucket
+        for r in spark.sql(
+            f"SELECT vec_id, {_sp_bucket_expr('v')} AS bucket FROM lsh_prop_t"
+        ).collect()
+    }
+    duck.register(
+        "lsh_prop_pd",
+        pd.DataFrame({"vec_id": [i for i, _ in rows], "v": [v for _, v in rows]}),
+    )
+    got_du = {
+        i: b
+        for i, b in duck.execute(
+            f"SELECT vec_id, {_du_bucket_expr('v')} AS bucket FROM lsh_prop_pd"
+        ).fetchall()
+    }
+
+    def bucket_py(v: list[float]) -> int:
+        out = 0
+        for i, p in enumerate(_PLANES):
+            acc = 0.0
+            for x, y in zip(v, p):
+                acc += x * float(y)
+            if acc > 0:
+                out |= 1 << i
+        return out
+
+    want = {i: bucket_py(v) for i, (_, v) in enumerate(rows)}
+    assert got_sp == want
+    assert got_du == want
