@@ -112,16 +112,19 @@ register_sql(
 # integer arithmetic (cross-engine exact); the allocation table is
 # |sources|-sized — trivially small at any corpus scale, computed from
 # one aggregation over the corpus.
-_MIX_BODY = """
+_MIX_BODY_T = """
     tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_toks FROM src),
     alloc AS (
-      -- exact integer floor-division on both engines: (a - a%b)/b is an
-      -- exact multiple of b, and the quotient stays under 2^53, so the
-      -- double division is lossless (Spark DIV / DuckDB // differ in
-      -- syntax; this form is portable AND exact)
+      -- NATIVE integer floor division on each engine (Spark DIV,
+      -- DuckDB //) — all operands positive, so both truncate == floor,
+      -- exactly.  The previous "portable" form (a - a%b)/b routed the
+      -- numerator through DOUBLE division, which silently loses ulps
+      -- once a = toks*100000 exceeds 2^53, i.e. for any source past
+      -- ~9e10 tokens — the live regime at 100 TB (caught by
+      -- tests/test_fuzz.py::
+      -- test_mixture_budget_matches_largest_remainder_reference).
       SELECT s.source, s.toks,
-             CAST((s.toks * 100000 - (s.toks * 100000) % t.total_toks)
-                  / t.total_toks AS BIGINT) AS base_alloc,
+             CAST({idiv} AS BIGINT) AS base_alloc,
              (s.toks * 100000) % t.total_toks AS rem
       FROM src s CROSS JOIN tot t),
     ranked AS (
@@ -137,6 +140,9 @@ _MIX_BODY = """
     ORDER BY r.source
 """
 
+_MIX_BODY_SP = _MIX_BODY_T.format(idiv="(s.toks * 100000) DIV t.total_toks")
+_MIX_BODY_DU = _MIX_BODY_T.format(idiv="(s.toks * 100000) // t.total_toks")
+
 register_split_sql(
     "cur_source_mixture_budget",
     # |sources|-row token-sum aggregate materialized once: inlined, the
@@ -151,7 +157,7 @@ register_split_sql(
             "mix_src_m",
         )
     ],
-    final_sql="WITH " + _MIX_BODY.replace("FROM src", "FROM mix_src_m"),
+    final_sql="WITH " + _MIX_BODY_SP.replace("FROM src", "FROM mix_src_m"),
     oracle=r"""
     WITH src AS (
       SELECT source,
@@ -159,7 +165,7 @@ register_split_sql(
                AS toks
       FROM documents GROUP BY source),
     """
-    + _MIX_BODY,
+    + _MIX_BODY_DU,
     tags=("curation", "mixture", "llm-pipeline"),
 )
 

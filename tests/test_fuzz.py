@@ -1741,3 +1741,344 @@ def test_lsh_bucket_expr_matches_python_and_duckdb(vecs, spark, duck):
     want = {i: bucket_py(v) for i, (_, v) in enumerate(rows)}
     assert got_sp == want
     assert got_du == want
+
+
+def _grams_py(ws: list[str], n: int) -> list[str]:
+    """Clamped word n-grams (dedup.py / decontam.py tail convention:
+    docs shorter than n repeat the last word)."""
+    L = len(ws)
+    return [
+        " ".join(ws[min(i + j, L - 1)] for j in range(n))
+        for i in range(max(L - n + 1, 1))
+    ]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.booleans(),  # True -> eval slice (src0)
+            st.lists(st.sampled_from(_MH_WORDS), min_size=1, max_size=8),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_decontam_flags_match_python_reference(docs, spark):
+    """text_decontam_flags (registered Spark SQL verbatim over a
+    swapped-in `documents` view) == the per-document Python evaluation:
+    clamped 5-grams, hash-set intersection against the WHOLE eval
+    slice (an n-gram hit by several eval docs counts once), the
+    n_hit*5 >= n_total flag, and the empty-corpus / empty-eval edges
+    (no eval docs -> zero contamination, no corpus docs -> empty
+    result)."""
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    sql = REGISTRY["text_decontam_flags"].fn.__doc__
+    rows = [
+        (i, " ".join(ws), "src0" if is_eval else "src1")
+        for i, (is_eval, ws) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.createOrReplaceTempView("documents")
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_contaminated, r.contamination_frac,
+                   r.flag_contaminated)
+        for r in spark.sql(sql).collect()
+    }
+    eval_hashes = set()
+    for i, (is_eval, ws) in enumerate(docs):
+        if is_eval:
+            eval_hashes.update(_md5_60(g) for g in _grams_py(ws, 5))
+    want = {}
+    for i, (is_eval, ws) in enumerate(docs):
+        if is_eval:
+            continue
+        hs = {_md5_60(g) for g in _grams_py(ws, 5)}
+        n_total, n_hit = len(hs), len(hs & eval_hashes)
+        want[i] = (
+            n_total,
+            n_hit,
+            round(n_hit / n_total, 6),
+            1 if n_hit * 5 >= n_total else 0,
+        )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    word_lists=st.lists(
+        st.lists(st.sampled_from(_MH_WORDS), min_size=1, max_size=10),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repetition_gopher_matches_python_reference(word_lists, spark):
+    """text_repetition_gopher (registered Spark SQL verbatim) == the
+    Python evaluation of the Gopher repetition signals: duplicate-word
+    fraction 1 - n_uniq/n_tok, top-bigram fraction 2*top_c/n_tok over
+    clamped bigrams (a 1-word doc yields the self-pair), and the
+    integer-arithmetic flag (n_uniq*10 <= n_tok*3 OR top_c*10 >=
+    n_tok*2).  The tiny alphabet makes heavily repetitive docs — the
+    regime the filter exists for — the COMMON case instead of the
+    never-generated one."""
+    from collections import Counter
+
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    sql = REGISTRY["text_repetition_gopher"].fn.__doc__
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("documents")
+    got = {
+        r.doc_id: (r.n_tok, r.dup_word_frac, r.top_bigram_frac,
+                   r.flag_repetitive)
+        for r in spark.sql(sql).collect()
+    }
+    want = {}
+    for i, ws in enumerate(word_lists):
+        n_tok, n_uniq = len(ws), len(set(ws))
+        top_c = max(Counter(_grams_py(ws, 2)).values())
+        want[i] = (
+            n_tok,
+            round(1.0 - n_uniq / n_tok, 6),
+            round(2.0 * top_c / n_tok, 6),
+            1 if n_uniq * 10 <= n_tok * 3 or top_c * 10 >= n_tok * 2 else 0,
+        )
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    toks=st.lists(
+        st.integers(min_value=1, max_value=10**12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_mixture_budget_matches_largest_remainder_reference(toks, spark, duck):
+    """cur_source_mixture_budget's allocation core (queries/curation.py
+    _MIX_BODY_SP / _MIX_BODY_DU, run verbatim over swapped-in
+    source-counts relations on BOTH engines) == the textbook
+    largest-remainder method in exact Python integers: base =
+    floor(toks*B/total), +1 to the largest remainders (ties broken by
+    source name, the ROW_NUMBER total order).  Also asserts the two
+    quota invariants the method guarantees: allocations sum to EXACTLY
+    the budget, and every source gets base or base+1.  1e12-token
+    sources push toks*B past 2^53 — the regime where the original
+    double-division base silently under-allocated (caught by this
+    test, fixed to native integer DIV / //)."""
+    import pandas as pd
+
+    from datafusion_umami_spark.queries.curation import (
+        _MIX_BODY_DU,
+        _MIX_BODY_SP,
+    )
+
+    B = 100_000
+    rows = [(f"s{i}", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "source string, toks long")
+    df.createOrReplaceTempView("mix_prop_src")
+    got = {
+        r.source: r.allocated_tokens
+        for r in spark.sql(
+            "WITH " + _MIX_BODY_SP.replace("FROM src", "FROM mix_prop_src")
+        ).collect()
+    }
+    duck.register(
+        "mix_prop_pd",
+        pd.DataFrame({"source": [s for s, _ in rows],
+                      "toks": [t for _, t in rows]}),
+    )
+    got_du = {
+        r[0]: r[2]
+        for r in duck.execute(
+            "WITH " + _MIX_BODY_DU.replace("FROM src", "FROM mix_prop_pd")
+        ).fetchall()
+    }
+    total = sum(toks)
+    base = {s: (t * B) // total for s, t in rows}
+    rem = {s: (t * B) % total for s, t in rows}
+    topup = B - sum(base.values())
+    order = sorted(rows, key=lambda r: (-rem[r[0]], r[0]))
+    want = dict(base)
+    for s, _ in order[:topup]:
+        want[s] += 1
+    assert got == want
+    assert got_du == want
+    assert sum(got.values()) == B
+    assert all(got[s] - base[s] in (0, 1) for s, _ in rows)
+
+
+# Spark ROUND(double, 6) goes through BigDecimal HALF_UP of the
+# double's shortest decimal repr — python's round() is banker's, which
+# DIVERGES on exact ties (e.g. 1/128 = 0.0078125 at 6dp).  Mirror
+# Spark's semantics for ratio pins whose denominators can be powers
+# of two.
+def _round6_half_up(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+_TEXT_TOKENS = ["the", "a", "of", "and", "el", "la", "der", "und",
+                "le", "les", "zz9", "Qx", ".", "!!", "7"]
+
+
+def _text_feats_py(t: str) -> tuple[int, int, int, int]:
+    """Python mirror of the text_token_stats / text_quality_score
+    feature extraction (Spark semantics: split(trim, '\\s+') keeps a
+    single empty token for the empty string)."""
+    import re as _re
+
+    n_chars = len(t)
+    n_tokens_ws = len(_re.split(r"\s+", t.strip()))
+    n_word = len(_re.findall(r"[a-z0-9]+", t))
+    n_bpe = len(_re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", t))
+    return n_chars, n_tokens_ws, n_word, n_bpe
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    word_lists=st.lists(
+        st.lists(st.sampled_from(_TEXT_TOKENS), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_token_stats_match_python_reference(word_lists, spark):
+    """text_token_stats (registered Spark SQL verbatim) == Python `re`
+    over the same patterns: whitespace tokens, [a-z0-9]+ word tokens,
+    the BPE-ish alternation (letters | digits | single non-alnum), and
+    the chars-per-token ratio under HALF_UP rounding.  Mixed-case and
+    punctuation tokens exercise every branch of the alternation."""
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    sql = REGISTRY["text_token_stats"].fn.__doc__
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("documents")
+    got = {
+        r.doc_id: (r.n_chars_measured, r.n_tokens_ws, r.n_word_tokens,
+                   r.n_bpe_ish_tokens, r.chars_per_token)
+        for r in spark.sql(sql).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        n_chars, n_ws, n_word, n_bpe = _text_feats_py(t)
+        want[i] = (
+            n_chars, n_ws, n_word, n_bpe,
+            _round6_half_up(float(n_chars) / max(n_ws, 1)),
+        )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    word_lists=st.lists(
+        st.lists(st.sampled_from(_TEXT_TOKENS), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_langid_argmax_matches_python_reference(word_lists, spark):
+    """text_langid_ngram (registered Spark SQL verbatim) == Python `re`
+    marker counting plus the fixed-order argmax tie-break (en >= es >=
+    de >= fr).  The token pool overlaps markers across languages ('la'
+    scores es AND fr; 'a' scores en) so ties and cross-language hits
+    are the common case."""
+    import re as _re
+
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    sql = REGISTRY["text_langid_ngram"].fn.__doc__
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        [(i, t, "xx") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    df.createOrReplaceTempView("documents")
+    got = {
+        r.doc_id: (r.s_en, r.s_es, r.s_de, r.s_fr, r.lang_pred)
+        for r in spark.sql(sql).collect()
+    }
+    pats = {
+        "en": r"\b(the|a|of)\b",
+        "es": r"\b(el|la|de|que)\b",
+        "de": r"\b(der|die|das|und)\b",
+        "fr": r"\b(le|la|et|les)\b",
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        s = {k: len(list(_re.finditer(p, t))) for k, p in pats.items()}
+        if s["en"] >= s["es"] and s["en"] >= s["de"] and s["en"] >= s["fr"]:
+            pred = "en"
+        elif s["es"] >= s["de"] and s["es"] >= s["fr"]:
+            pred = "es"
+        elif s["de"] >= s["fr"]:
+            pred = "de"
+        else:
+            pred = "fr"
+        want[i] = (s["en"], s["es"], s["de"], s["fr"], pred)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    word_lists=st.lists(
+        st.lists(st.sampled_from(_TEXT_TOKENS), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quality_score_matches_python_reference(word_lists, spark):
+    """text_quality_score (registered Spark SQL verbatim) == the Python
+    evaluation of the same feature ratios and the weighted score, with
+    HALF_UP 6dp rounding (power-of-two denominators DO occur here —
+    python round()'s banker's rule would silently disagree).  The
+    punct feature counts everything outside [a-z0-9 ], so uppercase
+    and '!' tokens exercise it."""
+    import re as _re
+
+    from datafusion_umami_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    sql = REGISTRY["text_quality_score"].fn.__doc__
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("documents")
+    got = {
+        r.doc_id: (r.punct_ratio, r.stopword_ratio, r.mean_token_len,
+                   r.quality_score)
+        for r in spark.sql(sql).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        n_chars = float(len(t))
+        n_tokens = float(len(_re.split(r"\s+", t.strip())))
+        n_punct = float(len(_re.findall(r"[^a-z0-9 ]", t)))
+        n_stop = float(
+            len(list(_re.finditer(r"\b(the|a|of|and|is|in|to)\b", t)))
+        )
+        score = (
+            min(n_tokens / 50.0, 1.0) * 0.4
+            + min(n_stop / max(n_tokens, 1.0) * 5.0, 1.0) * 0.4
+            + (1.0 - min(n_punct / max(n_chars, 1.0) * 10.0, 1.0)) * 0.2
+        )
+        want[i] = (
+            _round6_half_up(n_punct / max(n_chars, 1.0)),
+            _round6_half_up(n_stop / max(n_tokens, 1.0)),
+            _round6_half_up(n_chars / max(n_tokens, 1.0)),
+            _round6_half_up(score),
+        )
+    assert got == want

@@ -146,10 +146,21 @@ def test_legacy_backlog_is_exhausted():
     # r11 re-pin (r10 verdict item 3): both r10 sanctioned overflow-fence
     # demotions (ts_anomaly_zscore_minutes, embedding_centroid_per_label)
     # re-earned hash-green driver rows on the fixed text in the r10
-    # sweep, so the sanctioned set is back to EMPTY.  Any future
+    # sweep, so the sanctioned set was back to EMPTY.  Any future
     # demotion or backlog regrowth must fail CI loudly until a verdict
     # sanctions it by name here.
-    sanctioned = set()
+    # r12 sanctioned demotion (same class as the r10 pair — a self-found
+    # big-input arithmetic bug, fixed and deliberately demoted to
+    # re-earn a driver row on the corrected text):
+    # cur_source_mixture_budget's base allocation used (a - a%b)/b,
+    # which routes through DOUBLE division and loses ulps once
+    # a = toks*100000 > 2^53 (any source past ~9e10 tokens — the live
+    # regime at 100 TB).  Caught by tests/test_fuzz.py::
+    # test_mixture_budget_matches_largest_remainder_reference
+    # (falsifying example toks=[1, 1, 224_094_516_748] under-allocated
+    # the big source by 1); fixed to native integer division (Spark
+    # DIV / DuckDB //) in queries/curation.py.
+    sanctioned = {"cur_source_mixture_budget"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -254,7 +265,16 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                  "tpcds_t8_qty_demand_offset_join"):
         assert name in green, f"r11-swept {name} must classify green"
         assert ledger[name]["round"] == 11, f"{name} not blessed at r11"
-    still_unproven = [n for n in R12_PROVEDOWN_FRONT if n not in green]
+    # The r12 sanctioned demotion (cur_source_mixture_budget, see
+    # test_legacy_backlog_is_exhausted) re-enters the queue AHEAD of the
+    # addition tail — curation is a priority module in the sweep order —
+    # until a fresh driver row lands on the fixed text.
+    demoted = [
+        n for n in ("cur_source_mixture_budget",) if n not in green
+    ]
+    still_unproven = demoted + [
+        n for n in R12_PROVEDOWN_FRONT if n not in green
+    ]
     front = list(REGISTRY)[: len(still_unproven)]
     assert front == still_unproven, (
         f"queue front must be the unproven prove-down tail: "
