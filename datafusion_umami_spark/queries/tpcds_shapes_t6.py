@@ -370,17 +370,43 @@ register_split_sql(
 )
 
 # --- q49: dual ranks of the return ratio, per channel, in one pass --------
-register_sql(
-    "tpcds_dual_rank_return_ratio",
-    """
+# Integer ppm = floor(1e6 * returned / total) must be EXACT: it feeds
+# RANK(), so a one-ulp flip reorders the output.  The sums are
+# aggregate-scale (they grow with the corpus), so the ratio uses native
+# integer division on each engine — Spark DIV over DECIMAL(38,0),
+# DuckDB // over HUGEINT — never `/`, which routes through DOUBLE and
+# floors off-by-one at exact ppm boundaries once 1e6*returned_cents
+# exceeds 2^53 (~$90M returned per group; see CLAUDE.md's
+# aggregate-scale division rule, found r12).  Both forms are
+# property-tested at adversarial magnitudes in tests/test_fuzz.py::
+# test_exact_ppm_ratio_matches_python_reference.
+
+
+def _ppm_sp(r: str, t: str) -> str:
+    """Spark exact integer ppm: floor(1e6*r/t) for nonnegative r, t>0."""
+    return (
+        f"CAST((1000000 * CAST({r} AS DECIMAL(38,0)))"
+        f" DIV CAST({t} AS DECIMAL(38,0)) AS BIGINT)"
+    )
+
+
+def _ppm_du(r: str, t: str) -> str:
+    """DuckDB exact integer ppm (HUGEINT division truncates == floor)."""
+    return (
+        f"CAST((1000000 * CAST({r} AS HUGEINT))"
+        f" // CAST({t} AS HUGEINT) AS BIGINT)"
+    )
+
+
+_Q49_R = """SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END)"""
+_Q49_T = "SUM(CAST(round(l_extendedprice * 100) AS BIGINT))"
+
+_Q49_BODY = """
     WITH ratios AS (
         SELECT l_linestatus AS channel, l_partkey AS part,
-               CAST(FLOOR((1e6 * CAST(SUM(CASE WHEN l_returnflag = 'R'
-                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
-                         ELSE 0 END) AS DOUBLE))
-                    / CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-                           AS DOUBLE))
-                    AS BIGINT) AS ratio_ppm
+               {ppm} AS ratio_ppm
         FROM lineitem
         GROUP BY l_linestatus, l_partkey
         HAVING SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) > 0),
@@ -397,7 +423,12 @@ register_sql(
     WHERE r_asc <= 10 OR r_desc <= 10
     ORDER BY channel, part
     LIMIT 100
-    """,
+    """
+
+register_sql(
+    "tpcds_dual_rank_return_ratio",
+    _Q49_BODY.format(ppm=_ppm_sp(_Q49_R, _Q49_T)),
+    oracle=_Q49_BODY.format(ppm=_ppm_du(_Q49_R, _Q49_T)),
     tags=("tpcds", "q49", "dual-rank"),
 )
 

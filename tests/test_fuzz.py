@@ -2082,3 +2082,48 @@ def test_quality_score_matches_python_reference(word_lists, spark):
             _round6_half_up(score),
         )
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data())
+def test_exact_ppm_ratio_matches_python_reference(data, spark, duck):
+    """tpcds_dual_rank_return_ratio's integer-ppm builders
+    (queries/tpcds_shapes_t6.py _ppm_sp / _ppm_du) == Python's exact
+    (1e6*r)//t on BOTH engines at aggregate-scale magnitudes — the
+    regime where the original FLOOR(double/double) form flipped at
+    exact ppm boundaries (counterexample pinned below: exact ratio
+    915164, double floor gave 915163).  The ppm feeds RANK(), so a
+    one-ulp flip reorders the query output."""
+    import pandas as pd
+
+    from datafusion_umami_spark.queries.tpcds_shapes_t6 import (
+        _ppm_du,
+        _ppm_sp,
+    )
+
+    pairs = [(6_384_050_450_056, 6_975_854_000_000)]  # review counterexample
+    for _ in range(data.draw(st.integers(1, 6), label="n")):
+        t = data.draw(st.integers(1, 9 * 10**15), label="t")
+        r = data.draw(st.integers(0, t), label="r")
+        pairs.append((r, t))
+    rows = [(i, r, t) for i, (r, t) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, r long, t long")
+    df.createOrReplaceTempView("ppm_prop_t")
+    got_sp = {
+        row.id: row.ppm
+        for row in spark.sql(
+            f"SELECT id, {_ppm_sp('r', 't')} AS ppm FROM ppm_prop_t"
+        ).collect()
+    }
+    duck.register(
+        "ppm_prop_pd",
+        pd.DataFrame(rows, columns=["id", "r", "t"]),
+    )
+    got_du = dict(
+        duck.execute(
+            f"SELECT id, {_ppm_du('r', 't')} AS ppm FROM ppm_prop_pd"
+        ).fetchall()
+    )
+    want = {i: (10**6 * r) // t for i, (r, t) in enumerate(pairs)}
+    assert got_sp == want
+    assert got_du == want

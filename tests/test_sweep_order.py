@@ -160,7 +160,14 @@ def test_legacy_backlog_is_exhausted():
     # (falsifying example toks=[1, 1, 224_094_516_748] under-allocated
     # the big source by 1); fixed to native integer division (Spark
     # DIV / DuckDB //) in queries/curation.py.
-    sanctioned = {"cur_source_mixture_budget"}
+    # Second r12 instance, found by the post-fix code-review probe of
+    # the same class: tpcds_dual_rank_return_ratio's integer ppm used
+    # FLOOR(double/double) over aggregate-scale cent sums, which flips
+    # at exact ppm boundaries past ~$90M returned per group and feeds
+    # RANK(); fixed to Spark DIV over DECIMAL(38,0) / DuckDB // over
+    # HUGEINT (queries/tpcds_shapes_t6.py, pinned by tests/test_fuzz.py
+    # ::test_exact_ppm_ratio_matches_python_reference).
+    sanctioned = {"cur_source_mixture_budget", "tpcds_dual_rank_return_ratio"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -270,7 +277,10 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
     # addition tail — curation is a priority module in the sweep order —
     # until a fresh driver row lands on the fixed text.
     demoted = [
-        n for n in ("cur_source_mixture_budget",) if n not in green
+        n
+        for n in ("cur_source_mixture_budget",
+                  "tpcds_dual_rank_return_ratio")
+        if n not in green
     ]
     still_unproven = demoted + [
         n for n in R12_PROVEDOWN_FRONT if n not in green
