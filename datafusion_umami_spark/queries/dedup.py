@@ -396,11 +396,16 @@ _SP_COSINE_FROM_BUCKETS = """
       FROM __B__ a JOIN __B__ b
         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
     normed AS (
-      SELECT vec_id, v,
-             sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
-                            (acc, x) -> acc + x)) AS nrm
-      FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings))
+      -- zero-norm fence: cosine undefined for the zero vector; an
+      -- unfenced division ANSI-crashes on one corrupt/padded row
+      -- (r12, simsearch.py ann_bruteforce_topk has the full note)
+      SELECT * FROM (
+        SELECT vec_id, v,
+               sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
+                              (acc, x) -> acc + x)) AS nrm
+        FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)) t
+      WHERE nrm > 0)
     SELECT c.ia, c.ib,
            ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
                            (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS cosine
@@ -445,9 +450,11 @@ _SP_COSINE_FROM_BUCKETS = """
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
     normed AS (
-      SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-      FROM e),
+      SELECT * FROM (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e) t
+      WHERE nrm > 0),
     pairs AS (
       SELECT c.ia, c.ib,
              list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))

@@ -117,10 +117,16 @@ register_sql(
     f"""
     WITH e AS (SELECT vec_id, {_SP_V} AS v FROM embeddings),
     normed AS (
-      SELECT vec_id, v,
-             sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
-                            (acc, x) -> acc + x)) AS nrm
-      FROM e),
+      -- zero-norm fence: cosine is undefined for the zero vector, and
+      -- an unfenced division ANSI-crashes the whole query on one
+      -- corrupt/padded embedding row (found r12 by the IVF property
+      -- pin; valid at any corpus scale)
+      SELECT * FROM (
+        SELECT vec_id, v,
+               sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
+                              (acc, x) -> acc + x)) AS nrm
+        FROM e) t
+      WHERE nrm > 0),
     q AS (SELECT v, nrm FROM normed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_SP_COS}, 6) AS cosine
     FROM normed a CROSS JOIN q
@@ -131,8 +137,10 @@ register_sql(
     oracle=f"""
     WITH e AS (SELECT vec_id, {_DU_V} AS v FROM embeddings),
     normed AS (
-      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-      FROM e),
+      SELECT * FROM (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e) t
+      WHERE nrm > 0),
     q AS (SELECT v, nrm FROM normed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
     FROM normed a CROSS JOIN q
@@ -150,8 +158,10 @@ register_sql(
     oracle=f"""
     WITH e AS (SELECT vec_id, {_DU_V} AS v FROM embeddings),
     normed AS (
-      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-      FROM e),
+      SELECT * FROM (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e) t
+      WHERE nrm > 0),
     q AS (SELECT v, nrm FROM normed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
     FROM normed a CROSS JOIN q
@@ -182,16 +192,26 @@ def ann_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = np.asarray(qvec, dtype=np.float64)
     qn = np.sqrt(np.sum(q * q))
     k = 10
+    if qn == 0.0:
+        # zero-norm query: cosine undefined for every candidate (the
+        # SQL twins' fence drops the query row and return empty) —
+        # short-circuit instead of emitting NaN rows
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
 
     def topk_per_batch(batches):
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy()
-            mask = ids != 0
+            mat_all = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # zero-norm fence: numpy division would yield NaN silently
+            # (not an error like the SQL path) and NaN rows could
+            # displace real candidates in the local top-k
+            nrms_all = np.sqrt(np.add.reduce(mat_all * mat_all, axis=1))
+            mask = (ids != 0) & (nrms_all > 0)
             if not mask.any():
                 continue
-            mat = np.stack(pdf.loc[mask, "embedding"].to_numpy()).astype(np.float64)
+            mat = mat_all[mask]
             dots = np.add.reduce(mat * q, axis=1)
-            nrms = np.sqrt(np.add.reduce(mat * mat, axis=1))
+            nrms = nrms_all[mask]
             cos_r = np.round(dots / (nrms * qn), 6)
             # select by the SAME total order the global merge / oracle
             # uses: (rounded cosine DESC, vec_id ASC) — lexsort's last
@@ -229,11 +249,14 @@ register_sql(
     f"""
     WITH e AS (SELECT vec_id, {_SP_V} AS v FROM embeddings),
     bucketed AS (
-      SELECT vec_id, v,
-             sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
-                            (acc, x) -> acc + x)) AS nrm,
-             {_sp_bucket_expr("v")} AS bucket
-      FROM e),
+      -- zero-norm fence (cosine undefined; see ann_bruteforce_topk)
+      SELECT * FROM (
+        SELECT vec_id, v,
+               sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
+                              (acc, x) -> acc + x)) AS nrm,
+               {_sp_bucket_expr("v")} AS bucket
+        FROM e) t
+      WHERE nrm > 0),
     q AS (SELECT v, nrm, bucket FROM bucketed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_SP_COS}, 6) AS cosine
     FROM bucketed a JOIN q ON a.bucket = q.bucket
@@ -244,10 +267,12 @@ register_sql(
     oracle=f"""
     WITH e AS (SELECT vec_id, {_DU_V} AS v FROM embeddings),
     bucketed AS (
-      SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-             {_du_bucket_expr("v")} AS bucket
-      FROM e),
+      SELECT * FROM (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               {_du_bucket_expr("v")} AS bucket
+        FROM e) t
+      WHERE nrm > 0),
     q AS (SELECT v, nrm, bucket FROM bucketed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
     FROM bucketed a JOIN q ON a.bucket = q.bucket
@@ -263,12 +288,15 @@ register_sql(
     f"""
     WITH e AS (SELECT vec_id, {_SP_V} AS v FROM embeddings),
     cells AS (
-      SELECT vec_id, v,
-             sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
-                            (acc, x) -> acc + x)) AS nrm,
-             CAST(floor(element_at(v, 1) / 0.1) AS BIGINT) AS cx,
-             CAST(floor(element_at(v, 2) / 0.1) AS BIGINT) AS cy
-      FROM e),
+      -- zero-norm fence (cosine undefined; see ann_bruteforce_topk)
+      SELECT * FROM (
+        SELECT vec_id, v,
+               sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
+                              (acc, x) -> acc + x)) AS nrm,
+               CAST(floor(element_at(v, 1) / 0.1) AS BIGINT) AS cx,
+               CAST(floor(element_at(v, 2) / 0.1) AS BIGINT) AS cy
+        FROM e) t
+      WHERE nrm > 0),
     q AS (SELECT v, nrm, cx, cy FROM cells WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_SP_COS}, 6) AS cosine
     FROM cells a JOIN q
@@ -281,11 +309,13 @@ register_sql(
     oracle=f"""
     WITH e AS (SELECT vec_id, {_DU_V} AS v FROM embeddings),
     cells AS (
-      SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-             CAST(floor(v[1] / 0.1) AS BIGINT) AS cx,
-             CAST(floor(v[2] / 0.1) AS BIGINT) AS cy
-      FROM e),
+      SELECT * FROM (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               CAST(floor(v[1] / 0.1) AS BIGINT) AS cx,
+               CAST(floor(v[2] / 0.1) AS BIGINT) AS cy
+        FROM e) t
+      WHERE nrm > 0),
     q AS (SELECT v, nrm, cx, cy FROM cells WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
     FROM cells a JOIN q
@@ -411,10 +441,15 @@ _SP_IVF_A2 = f"""
 
 _SP_IVF_FINAL = f"""
     WITH nrmed AS (
-      SELECT vec_id, v, cid,
-             sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
-                            (acc, x) -> acc + x)) AS nrm
-      FROM __A2__),
+      -- zero-norm fence on the PROBE only: zero vectors cluster fine
+      -- (L2 argmin is defined) but have no cosine (see
+      -- ann_bruteforce_topk)
+      SELECT * FROM (
+        SELECT vec_id, v, cid,
+               sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
+                              (acc, x) -> acc + x)) AS nrm
+        FROM __A2__) t
+      WHERE nrm > 0),
     q AS (SELECT v, nrm, cid FROM nrmed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_SP_COS}, 6) AS cosine
     FROM nrmed a JOIN q ON a.cid = q.cid
@@ -457,9 +492,11 @@ _SP_IVF_FINAL = f"""
         FROM e CROSS JOIN c1 c) t
       WHERE rn = 1),
     nrmed AS (
-      SELECT vec_id, v, cid,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-      FROM a2),
+      SELECT * FROM (
+        SELECT vec_id, v, cid,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM a2) t
+      WHERE nrm > 0),
     q AS (SELECT v, nrm, cid FROM nrmed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
     FROM nrmed a JOIN q ON a.cid = q.cid
@@ -496,11 +533,14 @@ register_sql(
     f"""
     WITH e AS (SELECT vec_id, {_SP_V} AS v FROM embeddings),
     normed AS (
-      SELECT vec_id, v,
-             sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
-                            (acc, x) -> acc + x)) AS nrm,
-             {_sp_bucket4_expr("v")} AS bucket
-      FROM e),
+      -- zero-norm fence (cosine undefined; see ann_bruteforce_topk)
+      SELECT * FROM (
+        SELECT vec_id, v,
+               sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
+                              (acc, x) -> acc + x)) AS nrm,
+               {_sp_bucket4_expr("v")} AS bucket
+        FROM e) t
+      WHERE nrm > 0),
     q AS (SELECT vec_id AS qid, v, nrm, bucket FROM normed WHERE vec_id < 10),
     scored AS (
       SELECT q.qid, a.vec_id,
@@ -525,10 +565,12 @@ register_sql(
     oracle=f"""
     WITH e AS (SELECT vec_id, {_DU_V} AS v FROM embeddings),
     normed AS (
-      SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-             {_du_bucket4_expr("v")} AS bucket
-      FROM e),
+      SELECT * FROM (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               {_du_bucket4_expr("v")} AS bucket
+        FROM e) t
+      WHERE nrm > 0),
     q AS (SELECT vec_id AS qid, v, nrm, bucket FROM normed WHERE vec_id < 10),
     scored AS (
       SELECT q.qid, a.vec_id,

@@ -226,15 +226,22 @@ def stream_stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
 # --- session windows (batch sessionization; gaps-and-islands oracle) --------
 @register(
     "session_window_agg",
-    # DuckDB twin: classic gaps-and-islands — a new session starts when
-    # the gap to the previous event is >= 30 minutes (Spark session
-    # windows are [start, last_ts + gap), so an event landing exactly on
-    # the boundary opens a new session).
+    # DuckDB twin: classic gaps-and-islands — a new session starts only
+    # when the gap to the previous event STRICTLY exceeds 30 minutes.
+    # Spark merges session windows that touch: per-event windows are
+    # [ts, ts + gap), and an event landing EXACTLY on a session's end
+    # boundary is merged into it (empirically pinned by
+    # tests/test_fuzz.py::test_session_window_matches_gaps_and_islands_
+    # reference — events at t and t+gap form ONE session of span
+    # [t, t + 2*gap)).  The original oracle split on >=, which can never
+    # disagree on the sf data (µs-resolution timestamps never land an
+    # exact 30-minute gap) but diverges on any corpus with quantized
+    # timestamps — the property test's 1-second grid hits it instantly.
     oracle="""
     WITH o AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

@@ -2127,3 +2127,177 @@ def test_exact_ppm_ratio_matches_python_reference(data, spark, duck):
     want = {i: (10**6 * r) // t for i, (r, t) in enumerate(pairs)}
     assert got_sp == want
     assert got_du == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),     # user
+            st.integers(0, 40),    # ts offset (seconds); gap = 10s
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_session_window_matches_gaps_and_islands_reference(rows, spark):
+    """session_window_agg rests on one semantic claim: Spark MERGES
+    session windows that touch — per-event windows are [ts, ts+gap),
+    and an event landing EXACTLY gap after the previous one joins the
+    SAME session, so the gaps-and-islands oracle must split on
+    `> gap`, not `>= gap`.  This test FALSIFIED the spec's original
+    `>=` oracle (events at t=0 and t=10 with a 10s gap: Spark returns
+    one session [0, 20) x2 events) — invisible on sf data whose
+    µs-resolution timestamps never land an exact 30-minute gap, instant
+    on this 1-second grid where boundary ties are the common case.
+    Pins F.session_window itself against the pure-Python definition."""
+    import datetime as _dt
+
+    from collections import defaultdict
+
+    from pyspark.sql import functions as FF
+
+    base = _dt.datetime(2024, 1, 1)
+    data = [
+        (u, base + _dt.timedelta(seconds=o)) for u, o in rows
+    ]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp_ntz")
+    got = [
+        (r.user_id, r.session_start, r.session_end, r.events)
+        for r in (
+            df.groupBy("user_id", FF.session_window("ts", "10 seconds"))
+            .agg(FF.count("*").alias("events"))
+            .select(
+                "user_id",
+                FF.col("session_window.start")
+                .cast("timestamp_ntz")
+                .alias("session_start"),
+                FF.col("session_window.end")
+                .cast("timestamp_ntz")
+                .alias("session_end"),
+                "events",
+            )
+            .orderBy("user_id", "session_start")
+            .collect()
+        )
+    ]
+    byuser = defaultdict(list)
+    for u, t in data:
+        byuser[u].append(t)
+    want = []
+    gap = _dt.timedelta(seconds=10)
+    for u in sorted(byuser):
+        ts = sorted(byuser[u])
+        sess = [[ts[0]]]
+        for prev, cur in zip(ts, ts[1:]):
+            if cur - prev > gap:
+                sess.append([cur])
+            else:
+                sess[-1].append(cur)
+        for s in sess:
+            want.append((u, s[0], s[-1] + gap, len(s)))
+    assert got == want
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark ROUND(double, nd): BigDecimal of the shortest decimal repr,
+    HALF_UP — python round() is banker's and diverges on exact ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-8, max_value=8), min_size=8, max_size=8
+        ),
+        min_size=9,
+        max_size=14,
+    )
+)
+def test_ivf_kmeans_matches_python_lloyd_reference(vecs, spark):
+    """ann_ivf_trained's three registered SQL stages (run verbatim over
+    a swapped-in `embeddings` view, plain temp views standing in for
+    the materialization checkpoints) == a pure-Python Lloyd's pass:
+    seed centroids vec_id<8, argmin assignment over HALF_UP-9dp L2²
+    with centroid-id tie-break, EXACT scaled-integer per-dimension
+    means, one refinement, then the cosine top-5 probe inside vec 0's
+    cluster.  Quarter-valued 8-dim embeddings keep v*10000 exact while
+    the centroid means stay genuinely fractional doubles — the fold
+    order (left-to-right aggregate) is mirrored so every IEEE
+    intermediate matches bit-for-bit.  Duplicate vectors (equidistant
+    ties) are common at this density, and so are ALL-ZERO vectors —
+    the case that falsified the unfenced probe (ANSI divide-by-zero
+    killed the whole query on one zero-norm row): zero vectors must
+    CLUSTER (L2 argmin is defined) but be excluded from the cosine
+    probe, and a zero-norm QUERY vector yields an empty result."""
+    import math
+
+    from datafusion_umami_spark.queries.simsearch import (
+        _SP_IVF_A2,
+        _SP_IVF_C1,
+        _SP_IVF_FINAL,
+    )
+
+    dim = 8
+    data = [
+        (i, [x / 4.0 for x in v] + [0.0] * (64 - dim))
+        for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    df.createOrReplaceTempView("embeddings")
+    spark.sql(_SP_IVF_C1).createOrReplaceTempView("ivf_c1_prop")
+    spark.sql(
+        _SP_IVF_A2.replace("__C1__", "ivf_c1_prop")
+    ).createOrReplaceTempView("ivf_a2_prop")
+    got = [
+        (r.vec_id, r.cosine)
+        for r in spark.sql(
+            _SP_IVF_FINAL.replace("__A2__", "ivf_a2_prop")
+        ).collect()
+    ]
+
+    def l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def argmin(v, cents):
+        return min(cents, key=lambda c: (_round_half_up(l2(v, cents[c]), 9), c))
+
+    vs = {i: v for i, v in data}
+    seeds = {i: vs[i] for i in vs if i < 8}
+    a1 = {i: argmin(v, seeds) for i, v in vs.items()}
+    cents = {}
+    for c in set(a1.values()):
+        members = [vs[i] for i in vs if a1[i] == c]
+        n = len(members)
+        cents[c] = [
+            sum(int(_round_half_up(v[j] * 10000, 0)) for v in members)
+            / (10000.0 * n)
+            for j in range(64)
+        ]
+    a2 = {i: argmin(v, cents) for i, v in vs.items()}
+
+    def nrm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    qc, qv, qn = a2[0], vs[0], nrm(vs[0])
+    scored = []
+    if qn > 0:
+        for i, v in vs.items():
+            if i == 0 or a2[i] != qc or nrm(v) == 0.0:
+                continue
+            acc = 0.0
+            for x, y in zip(v, qv):
+                acc += x * y
+            scored.append((i, _round_half_up(acc / (nrm(v) * qn), 6)))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+    assert got == scored[:5]
