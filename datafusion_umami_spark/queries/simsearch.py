@@ -200,6 +200,8 @@ def ann_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def topk_per_batch(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue  # np.stack raises on an empty batch
             ids = pdf["vec_id"].to_numpy()
             mat_all = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             # zero-norm fence: numpy division would yield NaN silently
@@ -212,7 +214,13 @@ def ann_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             mat = mat_all[mask]
             dots = np.add.reduce(mat * q, axis=1)
             nrms = nrms_all[mask]
-            cos_r = np.round(dots / (nrms * qn), 6)
+            cos = dots / (nrms * qn)
+            # HALF-AWAY-FROM-ZERO at 6dp, matching Spark/DuckDB ROUND on
+            # decimal midpoints — np.round is banker's (half-to-even) and
+            # flips exact-midpoint cosines like 1/128 to the OTHER value
+            # (same masked-boundary class as the session-window find;
+            # repr-level ulp disagreements remain and stay measure-zero)
+            cos_r = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6, cos)
             # select by the SAME total order the global merge / oracle
             # uses: (rounded cosine DESC, vec_id ASC) — lexsort's last
             # key is primary

@@ -625,7 +625,7 @@ def test_fuzz_cross_engine(sql, small_splits, spark, duck, sf_dir):
 # --- property-based roundtrip/identity checks (hypothesis) ------------------
 import math
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _avro_row = st.tuples(
@@ -1337,6 +1337,20 @@ import hashlib as _hashlib
 import itertools as _it
 
 
+import pytest as _pytest
+
+
+@_pytest.fixture()
+def restore_views(spark, sf_dir):
+    """The table-swapping property pins replace session-scoped shared
+    views (`documents`, `embeddings`) with hypothesis micro-data; this
+    re-registers the sf parquet views afterwards so a later test that
+    reads them WITHOUT re-registering can't silently consume poisoned
+    data (every spec callable re-registers, but tests may not)."""
+    yield
+    register_views(spark, sf_dir)
+
+
 def _md5_60(s: str) -> int:
     """Python mirror of queries/dedup.py _sp_h/_du_h: the first 15 hex
     chars of md5 as a 60-bit integer (exact in int64 on both engines)."""
@@ -1364,7 +1378,8 @@ def _minhash_sig_py(text: str) -> list[int]:
     ]
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     word_lists=st.lists(
         st.lists(st.sampled_from(_MH_WORDS), min_size=1, max_size=8),
@@ -1372,7 +1387,7 @@ def _minhash_sig_py(text: str) -> list[int]:
         max_size=6,
     )
 )
-def test_minhash_signature_matches_python_reference(word_lists, spark):
+def test_minhash_signature_matches_python_reference(word_lists, spark, restore_views):
     """The single-scan SQL signature builder (one md5 per shingle, all 8
     components in one groupBy — queries/dedup.py:_SP_MINHASH_SIGS) must
     equal the per-document textbook evaluation: same shingle clamping at
@@ -1391,7 +1406,8 @@ def test_minhash_signature_matches_python_reference(word_lists, spark):
     assert got == want
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     word_lists=st.lists(
         st.lists(st.sampled_from(_MH_WORDS), min_size=1, max_size=6),
@@ -1399,7 +1415,7 @@ def test_minhash_signature_matches_python_reference(word_lists, spark):
         max_size=4,
     )
 )
-def test_minhash_lsh_banding_matches_python_reference(word_lists, spark):
+def test_minhash_lsh_banding_matches_python_reference(word_lists, spark, restore_views):
     """LSH banding (4 bands x 2 rows) + signature-estimated Jaccard
     (queries/dedup.py:_SP_MINHASH_PAIRS_FROM_SIGS) == brute-force over
     the Python signatures: a pair is a candidate iff SOME band's two
@@ -1453,7 +1469,8 @@ def _simhash_py(text: str) -> int:
     return out
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     word_lists=st.lists(
         st.lists(st.sampled_from(_MH_WORDS), min_size=1, max_size=8),
@@ -1461,7 +1478,7 @@ def _simhash_py(text: str) -> int:
         max_size=6,
     )
 )
-def test_simhash_signature_matches_python_reference(word_lists, spark):
+def test_simhash_signature_matches_python_reference(word_lists, spark, restore_views):
     """queries/dedup.py:_SP_SIMHASH_SIG verbatim over a swapped-in
     `documents` view == the per-document Python evaluation, including
     the word-DISTINCT step (repeated words vote once) and the tie->0
@@ -1529,7 +1546,8 @@ def _winnow_py(text: str) -> tuple[int, int, int]:
     return len(fps), sum(fps), min(fps)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     texts=st.lists(
         st.text(alphabet="ab x", min_size=11, max_size=48),
@@ -1537,7 +1555,7 @@ def _winnow_py(text: str) -> tuple[int, int, int]:
         max_size=5,
     )
 )
-def test_winnowing_fingerprint_matches_python_reference(texts, spark):
+def test_winnowing_fingerprint_matches_python_reference(texts, spark, restore_views):
     """The registered text_winnowing_fingerprint Spark SQL (pulled from
     the registry, run verbatim over a swapped-in `documents` view) must
     equal the Python textbook evaluation.  The tiny alphabet forces
@@ -1753,7 +1771,8 @@ def _grams_py(ws: list[str], n: int) -> list[str]:
     ]
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     docs=st.lists(
         st.tuples(
@@ -1764,7 +1783,7 @@ def _grams_py(ws: list[str], n: int) -> list[str]:
         max_size=6,
     )
 )
-def test_decontam_flags_match_python_reference(docs, spark):
+def test_decontam_flags_match_python_reference(docs, spark, restore_views):
     """text_decontam_flags (registered Spark SQL verbatim over a
     swapped-in `documents` view) == the per-document Python evaluation:
     clamped 5-grams, hash-set intersection against the WHOLE eval
@@ -1806,7 +1825,8 @@ def test_decontam_flags_match_python_reference(docs, spark):
     assert got == want
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     word_lists=st.lists(
         st.lists(st.sampled_from(_MH_WORDS), min_size=1, max_size=10),
@@ -1814,7 +1834,7 @@ def test_decontam_flags_match_python_reference(docs, spark):
         max_size=6,
     )
 )
-def test_repetition_gopher_matches_python_reference(word_lists, spark):
+def test_repetition_gopher_matches_python_reference(word_lists, spark, restore_views):
     """text_repetition_gopher (registered Spark SQL verbatim) == the
     Python evaluation of the Gopher repetition signals: duplicate-word
     fraction 1 - n_uniq/n_tok, top-bigram fraction 2*top_c/n_tok over
@@ -1942,7 +1962,8 @@ def _text_feats_py(t: str) -> tuple[int, int, int, int]:
     return n_chars, n_tokens_ws, n_word, n_bpe
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     word_lists=st.lists(
         st.lists(st.sampled_from(_TEXT_TOKENS), min_size=1, max_size=12),
@@ -1950,7 +1971,7 @@ def _text_feats_py(t: str) -> tuple[int, int, int, int]:
         max_size=6,
     )
 )
-def test_token_stats_match_python_reference(word_lists, spark):
+def test_token_stats_match_python_reference(word_lists, spark, restore_views):
     """text_token_stats (registered Spark SQL verbatim) == Python `re`
     over the same patterns: whitespace tokens, [a-z0-9]+ word tokens,
     the BPE-ish alternation (letters | digits | single non-alnum), and
@@ -1980,7 +2001,8 @@ def test_token_stats_match_python_reference(word_lists, spark):
     assert got == want
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     word_lists=st.lists(
         st.lists(st.sampled_from(_TEXT_TOKENS), min_size=1, max_size=12),
@@ -1988,7 +2010,7 @@ def test_token_stats_match_python_reference(word_lists, spark):
         max_size=6,
     )
 )
-def test_langid_argmax_matches_python_reference(word_lists, spark):
+def test_langid_argmax_matches_python_reference(word_lists, spark, restore_views):
     """text_langid_ngram (registered Spark SQL verbatim) == Python `re`
     marker counting plus the fixed-order argmax tie-break (en >= es >=
     de >= fr).  The token pool overlaps markers across languages ('la'
@@ -2031,7 +2053,8 @@ def test_langid_argmax_matches_python_reference(word_lists, spark):
     assert got == want
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     word_lists=st.lists(
         st.lists(st.sampled_from(_TEXT_TOKENS), min_size=1, max_size=12),
@@ -2039,7 +2062,7 @@ def test_langid_argmax_matches_python_reference(word_lists, spark):
         max_size=6,
     )
 )
-def test_quality_score_matches_python_reference(word_lists, spark):
+def test_quality_score_matches_python_reference(word_lists, spark, restore_views):
     """text_quality_score (registered Spark SQL verbatim) == the Python
     evaluation of the same feature ratios and the weighted score, with
     HALF_UP 6dp rounding (power-of-two denominators DO occur here —
@@ -2208,7 +2231,8 @@ def _round_half_up(x: float, nd: int) -> float:
     return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     vecs=st.lists(
         st.lists(
@@ -2218,7 +2242,7 @@ def _round_half_up(x: float, nd: int) -> float:
         max_size=14,
     )
 )
-def test_ivf_kmeans_matches_python_lloyd_reference(vecs, spark):
+def test_ivf_kmeans_matches_python_lloyd_reference(vecs, spark, restore_views):
     """ann_ivf_trained's three registered SQL stages (run verbatim over
     a swapped-in `embeddings` view, plain temp views standing in for
     the materialization checkpoints) == a pure-Python Lloyd's pass:
