@@ -7,9 +7,17 @@ Covers SURVEY.md §2.5 — reference WindowAggExec
 ranking + analytic functions (functions-window/src/lib.rs:68-78).
 GROUPS frames have no Spark equivalent — documented gap (README).
 
-Determinism: every ORDER BY inside a window includes a unique tiebreaker
-so rank/lead/lag are well-defined on both engines; sums over frames use
-the decimal convention.
+Determinism, two distinct invariants (don't conflate them):
+- ranking/analytic windows (rank/lead/lag/row_number): the ORDER BY
+  includes a unique tiebreaker so the picked row is well-defined on
+  both engines;
+- value-offset RANGE frames (window_time_range_frame, the GROUPS
+  emulation's RANGE-over-dense_rank): Spark REJECTS multi-column ORDER
+  BY there, so no tiebreaker is possible — these are deterministic for
+  a different reason: frame AGGREGATES are peer-uniform (every row
+  sharing the ORDER BY value sees the same frame), so no per-row
+  choice exists to break.
+Sums over frames use the decimal convention.
 """
 
 from __future__ import annotations
@@ -177,8 +185,13 @@ register_sql(
 # Spark has only ROWS/RANGE.  Exact emulation: GROUPS distance over the
 # ORDER BY key == RANGE distance over dense_rank(key), so a first window
 # pass computes dense_rank and a second applies a RANGE frame on it.
-# DuckDB runs the real GROUPS frame as the oracle — a native cross-check
-# that the emulation is exact (including peer-row duplicates).
+# DuckDB v1.0.0 ALSO lacks GROUPS frames ("GROUPS mode ... not
+# implemented yet"), so there is NO native cross-check available: the
+# oracle below is a structurally independent reformulation (per-peer-
+# group aggregation + self-join on dense-rank distance), and the shared
+# SQL-standard definition both sides reformulate is pinned engine-
+# independently by the hypothesis evaluator in tests/test_fuzz.py::
+# test_groups_frame_emulation_matches_definition.
 register_sql(
     "window_groups_frame_emulated",
     """
@@ -282,8 +295,13 @@ register_sql(
 # Spark (like most engines) rejects COUNT(DISTINCT) as a window
 # function; the standard workaround is MAX(DENSE_RANK) within the
 # partition: rank the distinct-key space, then the running/total
-# distinct count is a plain MAX over the rank.  Exercised as "distinct
-# parts each customer ever ordered", attached to every order row.
+# distinct count is a plain MAX over the rank.  NOTE what this spec
+# verifies: the final SELECT collapses to one row per custkey, so the
+# driver row checks the per-partition distinct count, not the windowed
+# value on every order row — the PER-ROW emulation semantics are pinned
+# separately against DuckDB's native windowed COUNT(DISTINCT) by
+# tests/test_fuzz.py::
+# test_count_distinct_over_emulation_matches_duckdb_native.
 register_sql(
     "window_count_distinct_emulated",
     """

@@ -39,7 +39,21 @@ def normalize_events_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFra
     epoch-ns ~1.7e18 > 2^53) or native timestamp[us].  Batch uses
     TIMESTAMP_NTZ (matches DuckDB's naive timestamps; session TZ pinned
     UTC ⇒ identical wall-clock); streaming uses TIMESTAMP because
-    withWatermark rejects NTZ event time."""
+    withWatermark rejects NTZ event time.
+
+    KNOWN ASYMMETRY (r12 windows.py review): this truncation happens on
+    the SPARK side only — the DuckDB oracle (local mirror AND the
+    driver's view registration) reads the raw parquet, so under the
+    ns-as-long generator variant a ts with NONZERO sub-µs components
+    would be µs-truncated here but ns-precise there, flipping
+    RANGE-frame membership / LAG peers at exact-µs boundaries.  Every
+    generator version observed so far emits zero sub-µs components
+    (probed r12: current fixtures are native-µs; the historical ns
+    encoding was µs-grained values stored as ns), so the divergence set
+    is empty in practice; if a future generator emits true sub-µs
+    ticks, the oracle texts of the ts-ordered specs need a matching
+    epoch-µs truncation (date_trunc cannot express it in DuckDB —
+    use make_timestamp(epoch_us(ts)))."""
     from pyspark.sql import functions as F
 
     if dict(df.dtypes)["ts"] == "bigint":
