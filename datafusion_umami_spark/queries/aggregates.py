@@ -10,8 +10,10 @@ approx_* (HLL / t-digest), string_agg, bit_*, bool_*, grouping,
 nth_value.
 
 Determinism: order-sensitive float stats are rounded on both sides;
-approx sketches (HLL/t-digest) differ by algorithm → rows-only checks,
-mirroring the driver contract's weaker gate for them.
+approx sketches (HLL/t-digest) differ by algorithm across engines, so
+their specs hash-check EXACT counts plus a tolerance-band flag (the
+oracle pins the flag to 1) — upgraded from the original rows-only
+check in round 7; see the comment at agg_approx_distinct.
 """
 
 from __future__ import annotations
@@ -111,6 +113,14 @@ register_sql(
     tags=("agg", "stats"),
 )
 
+# REGR_SXX/SYY/SXY are raw sums of squared deviations — they GROW with
+# SF, so rounding them at a fixed decimal place leaves shrinking ulp
+# headroom (r12 aggregates review: Spark and DuckDB already differ by
+# 1 ulp on SYY ~ 1.8e13 at sf0.01, and past ulp(SYY) > 0.5 any
+# disagreement flips the rounded value).  Output the per-row-scale
+# quotients S**/n instead: same information, SF-INVARIANT magnitude,
+# so the 1e-16 relative cross-engine slack stays ~9 orders below the
+# rounding boundary at every scale.
 register_sql(
     "agg_regression",
     """
@@ -121,9 +131,15 @@ register_sql(
            ROUND(CAST(REGR_R2(l_extendedprice, l_quantity) AS DOUBLE), 6) AS r2,
            ROUND(CAST(REGR_AVGX(l_extendedprice, l_quantity) AS DOUBLE), 6) AS avgx,
            ROUND(CAST(REGR_AVGY(l_extendedprice, l_quantity) AS DOUBLE), 4) AS avgy,
-           ROUND(CAST(REGR_SXX(l_extendedprice, l_quantity) AS DOUBLE), 2) AS sxx,
-           ROUND(CAST(REGR_SYY(l_extendedprice, l_quantity) AS DOUBLE), 0) AS syy,
-           ROUND(CAST(REGR_SXY(l_extendedprice, l_quantity) AS DOUBLE), 1) AS sxy
+           ROUND(CAST(REGR_SXX(l_extendedprice, l_quantity)
+                      / NULLIF(REGR_COUNT(l_extendedprice, l_quantity), 0)
+                      AS DOUBLE), 4) AS sxx_n,
+           ROUND(CAST(REGR_SYY(l_extendedprice, l_quantity)
+                      / NULLIF(REGR_COUNT(l_extendedprice, l_quantity), 0)
+                      AS DOUBLE), 2) AS syy_n,
+           ROUND(CAST(REGR_SXY(l_extendedprice, l_quantity)
+                      / NULLIF(REGR_COUNT(l_extendedprice, l_quantity), 0)
+                      AS DOUBLE), 3) AS sxy_n
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "regression"),
@@ -197,7 +213,15 @@ def agg_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     → sorted distinct array element (1-indexed on both engines)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.element_at(F.array_sort(F.collect_set("l_suppkey")), 3).alias("third_supp")
+        # try_element_at, not element_at: under the session's pinned
+        # ANSI mode element_at THROWS on out-of-bounds while the DuckDB
+        # oracle's list[3] yields NULL — a group with <3 distinct
+        # suppliers would crash the whole query instead of matching the
+        # oracle's NULL row (r12 aggregates review; invisible on the
+        # generated fixtures where every group is wide)
+        F.try_element_at(F.array_sort(F.collect_set("l_suppkey")), F.lit(3)).alias(
+            "third_supp"
+        )
     )
 
 
@@ -343,6 +367,8 @@ register_sql(
     FROM lineitem
     GROUP BY l_partkey
     HAVING COUNT(*) > 30 AND SUM(CAST(l_quantity AS DECIMAL(12,2))) > 500
+    ORDER BY l_partkey
+    LIMIT 1000
     """,
     tags=("agg", "having"),
 )
