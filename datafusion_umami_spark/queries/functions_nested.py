@@ -23,6 +23,18 @@ from datafusion_umami_spark.functions import array_distance, array_replace_all, 
 from datafusion_umami_spark.registry import register, register_sql
 from datafusion_umami_spark.tables import table
 
+# PRECONDITION (r12 ANSI-crash-class audit): the element_at(embedding,
+# <literal index>) calls in this module ride the generator contract
+# that `embeddings.embedding` is fixed 64-dim and non-empty
+# (TESTDATA.md).  Under the session's pinned ANSI mode element_at
+# THROWS on an empty array where DuckDB's list[i] yields NULL — the
+# same crash class fenced in agg_nth_value (data-dependent index) and
+# the zero-norm cosine batch (data-dependent value).  These specs
+# exercise the array-function SURFACE on schema-shaped data, so the
+# fixed-dim precondition is documented rather than fenced; a pipeline
+# ingesting UNTRUSTED variable-length arrays must fence with
+# try_element_at / size() guards first.
+
 register_sql(
     "arr_basic_ops",
     """
