@@ -15,8 +15,24 @@ capability-superset work from the build brief.
   events), so every post-aggregation join broadcasts;
 - the cohort matrix and histogram group on (low-card, low-card) keys —
   the final exchanges carry KBs;
+- KNOWN EXCEPTION (r12 review): evt_rfm_segments' three NTILE(4)
+  quartile windows are GLOBAL (exact quartiles need a total order), so
+  the |users|-sized RFM table sorts through one partition — fine at
+  the scale where |users| ≪ |events|, but at billions of users the
+  scalable rewrite is: compute the three quartile BOUNDARIES
+  (percentile/approx_percentile, a 3-value aggregate), broadcast them,
+  and band by comparison — trading exact rank-ties at the boundaries
+  for a fully parallel plan.  Kept exact here because the DuckDB twin
+  hash-matches only under identical tie handling;
 - money/value arithmetic is integer cents end-to-end (registry.py
-  determinism conventions), window tie-breaks are total orders.
+  determinism conventions), window tie-breaks are total orders; the
+  funnel conversion is exact integer ppm (engine ROUND(double)
+  midpoint behavior differs — see _FUNNEL_OUT);
+- the funnel's hand-rolled stage materialization predates
+  operators/materialize.register_split_sql; migrating it would add
+  the split-vs-inlined equivalence gate for free (deferred r12 — a
+  refactor, not a defect; the oracle already checks end-to-end
+  equivalence cross-engine).
 """
 
 from __future__ import annotations
@@ -88,13 +104,20 @@ _FUNNEL_P = """
       SELECT e.user_id, MIN(e.ts) AS t_purchase
       FROM events e JOIN {c} c ON e.user_id = c.user_id AND e.ts > c.t_click
       WHERE e.event_type = 'purchase' GROUP BY e.user_id"""
+# conversion as EXACT integer ppm, not ROUND(double, 6): the engines
+# round doubles differently (Spark HALF_UP on the shortest decimal
+# repr, DuckDB FP multiply/round), and real count pairs diverge —
+# probed r12: round(41/640.0, 6) = 0.064063 on Spark, 0.064062 on
+# DuckDB (36 diverging pairs under q=5000).  Native integer division
+# per engine ({idiv} = Spark DIV / DuckDB //), exact at any corpus
+# scale (counts*1e6 < 2^63).
 _FUNNEL_OUT = """
     SELECT CAST((SELECT COUNT(*) FROM {v}) AS BIGINT) AS n_view,
            CAST((SELECT COUNT(*) FROM {c}) AS BIGINT) AS n_view_click,
            CAST((SELECT COUNT(*) FROM {p}) AS BIGINT) AS n_full_funnel,
-           ROUND(CAST((SELECT COUNT(*) FROM {p}) AS DOUBLE)
-                 / greatest((SELECT COUNT(*) FROM {v}), 1), 6)
-             AS conversion_rate
+           CAST((1000000 * (SELECT COUNT(*) FROM {p}))
+                {idiv} greatest((SELECT COUNT(*) FROM {v}), 1) AS BIGINT)
+             AS conversion_ppm
     """
 
 
@@ -105,7 +128,7 @@ _FUNNEL_OUT = """
         f"WITH v AS ({_FUNNEL_V}),\n"
         f"c AS ({_FUNNEL_C.format(v='v')}),\n"
         f"p AS ({_FUNNEL_P.format(c='c')})\n"
-        f"{_FUNNEL_OUT.format(v='v', c='c', p='p')}"
+        f"{_FUNNEL_OUT.format(v='v', c='c', p='p', idiv='//')}"
     ),
     tags=("events", "funnel", "analytics"),
 )
@@ -127,7 +150,9 @@ def evt_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "funnel_p", spark.sql(_FUNNEL_P.format(c="funnel_c_m")), "funnel_p_m"
     )
     return spark.sql(
-        _FUNNEL_OUT.format(v="funnel_v_m", c="funnel_c_m", p="funnel_p_m")
+        _FUNNEL_OUT.format(
+            v="funnel_v_m", c="funnel_c_m", p="funnel_p_m", idiv="DIV"
+        )
     )
 
 # --- RFM quartile segmentation --------------------------------------------
@@ -140,19 +165,26 @@ register_sql(
       SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events),
     rfm AS (
       SELECT user_id,
-             datediff(mx.max_day,
-                      MAX(CAST(date_trunc('day', ts) AS DATE))) AS recency_days,
+             MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
              COUNT(*) AS frequency,
              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                AS monetary_c
-      FROM events CROSS JOIN mx
-      GROUP BY user_id, mx.max_day),
+      FROM events
+      GROUP BY user_id),
+    rec AS (
+      -- scalar subquery, not CROSS JOIN mx: the 1-row cross join
+      -- planned a BroadcastNestedLoopJoin (the pattern the TF-IDF
+      -- spec removed); Spark inlines the uncorrelated scalar once
+      SELECT user_id,
+             datediff((SELECT max_day FROM mx), last_day) AS recency_days,
+             frequency, monetary_c
+      FROM rfm),
     seg AS (
       SELECT user_id, recency_days, frequency, monetary_c,
              NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r_q,
              NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
              NTILE(4) OVER (ORDER BY monetary_c DESC, user_id) AS m_q
-      FROM rfm)
+      FROM rec)
     SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
            CAST(frequency AS BIGINT) AS frequency, monetary_c,
            CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
@@ -168,19 +200,24 @@ register_sql(
       SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events),
     rfm AS (
       SELECT user_id,
-             date_diff('day', MAX(CAST(date_trunc('day', ts) AS DATE)),
-                       mx.max_day) AS recency_days,
+             MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
              COUNT(*) AS frequency,
              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                AS monetary_c
-      FROM events CROSS JOIN mx
-      GROUP BY user_id, mx.max_day),
+      FROM events
+      GROUP BY user_id),
+    rec AS (
+      SELECT user_id,
+             date_diff('day', last_day, (SELECT max_day FROM mx))
+               AS recency_days,
+             frequency, monetary_c
+      FROM rfm),
     seg AS (
       SELECT user_id, recency_days, frequency, monetary_c,
              NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r_q,
              NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
              NTILE(4) OVER (ORDER BY monetary_c DESC, user_id) AS m_q
-      FROM rfm)
+      FROM rec)
     SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
            CAST(frequency AS BIGINT) AS frequency, monetary_c,
            CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
@@ -195,15 +232,20 @@ register_sql(
 )
 
 # --- fixed-width value histogram per event type ---------------------------
-# Bands of 50 currency units computed on integer cents (floor of an
-# exactly-representable division) — deterministic across engines, no
-# log-scale float edges.
+# Bands of 50 currency units computed on integer cents.  The division
+# must go through an EXPLICIT double cast: BIGINT/5000.0 types as
+# exact DECIMAL(27,6) in Spark but DOUBLE in DuckDB (the CLAUDE.md
+# x/100.0 decimal-literal rule), so the un-cast form's floor can
+# disagree once cents magnitudes pass 2^53 — with the cast both
+# engines do identical IEEE division (per-row cents are bounded, so
+# the double path is exact here anyway).
 register_sql(
     "evt_value_band_histogram",
     """
     WITH b AS (
       SELECT event_type,
-             CAST(floor(CAST(round(value * 100) AS BIGINT) / 5000.0) AS BIGINT)
+             CAST(floor(CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)
+                        / 5000.0) AS BIGINT)
                AS band
       FROM events)
     SELECT event_type, band, band * 50 AS band_lo_value,

@@ -194,12 +194,22 @@ def test_legacy_backlog_is_exhausted():
     # guard; agg_having was uncapped (891 rows at the sweep scale,
     # 9k at sf0.1) -> ORDER BY l_partkey LIMIT 1000 per the CLAUDE.md
     # row-budget convention.
+    # r12 batch 6 (eventanalytics.py high-effort review): the funnel's
+    # conversion_rate ROUND(double, 6) diverges between engines on real
+    # count pairs (probed: 41/640 -> 0.064063 Spark vs 0.064062 DuckDB)
+    # -> exact integer ppm via native DIV / //; the histogram band's
+    # BIGINT/5000.0 types DECIMAL(27,6) on Spark but DOUBLE on DuckDB
+    # (CLAUDE.md decimal-literal rule) -> explicit double cast; RFM's
+    # 1-row CROSS JOIN planned a BroadcastNestedLoopJoin -> scalar
+    # subquery (plan hygiene, matches the TF-IDF pattern).
     sanctioned = {"cur_source_mixture_budget", "tpcds_dual_rank_return_ratio",
                   "session_window_agg",
                   "ann_bruteforce_topk", "ann_bruteforce_vectorized",
                   "ann_lsh_probe", "ann_ivf_grid", "ann_recall_eval",
                   "ann_ivf_trained", "dedup_embedding_cosine",
-                  "agg_regression", "agg_nth_value", "agg_having"}
+                  "agg_regression", "agg_nth_value", "agg_having",
+                  "evt_funnel_ordered", "evt_rfm_segments",
+                  "evt_value_band_histogram"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -312,10 +322,12 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
         n
         for n in ("session_window_agg", "ann_bruteforce_topk",
                   "ann_bruteforce_vectorized", "ann_lsh_probe",
-                  "ann_ivf_grid", "ann_recall_eval",
-                  "cur_source_mixture_budget", "agg_regression",
-                  "agg_nth_value", "agg_having", "dedup_embedding_cosine",
-                  "ann_ivf_trained", "tpcds_dual_rank_return_ratio")
+                  "ann_ivf_grid", "evt_funnel_ordered",
+                  "evt_rfm_segments", "evt_value_band_histogram",
+                  "ann_recall_eval", "cur_source_mixture_budget",
+                  "agg_regression", "agg_nth_value", "agg_having",
+                  "dedup_embedding_cosine", "ann_ivf_trained",
+                  "tpcds_dual_rank_return_ratio")
         if n not in green
     ]
     still_unproven = demoted + [
