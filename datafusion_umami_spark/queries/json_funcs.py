@@ -42,13 +42,19 @@ register_sql(
 # --- from_json with explicit schema → typed struct ---------------------------
 @register(
     "json_from_json_struct",
+    # TRY_CAST, not CAST: Spark's from_json is PERMISSIVE (a
+    # non-integer k parses to NULL and the filter drops the row), so
+    # the oracle must mirror that — a strict CAST would raise a
+    # DuckDB Conversion Error on the same row the Spark side handles
+    # gracefully (r12 json review; latent while the generator emits
+    # only clean integer k).
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            event_type
     FROM events
     WHERE event_id < 400
-      AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
     """,
     tags=("json", "struct", "schema"),
 )
@@ -80,7 +86,9 @@ register_sql(
 )
 
 
-# --- multi-path extraction: json_tuple, array length, nested paths ----------
+# --- multi-path extraction: json_tuple (real single-pass multi-field
+# extraction via LATERAL VIEW — top-level fields only, by design),
+# array length, nested paths via get_json_object ----------------------------
 register_sql(
     "json_tuple_arrays",
     """
@@ -94,13 +102,14 @@ register_sql(
                'meta', named_struct('len', length(n_name)))) AS doc
       FROM nation)
     SELECT n_nationkey,
-           get_json_object(doc, '$.name') AS name,
-           CAST(get_json_object(doc, '$.region') AS BIGINT) AS region,
+           jt.jname AS name,
+           CAST(jt.jregion AS BIGINT) AS region,
            CAST(json_array_length(get_json_object(doc, '$.tags')) AS BIGINT)
              AS n_tags,
            get_json_object(doc, '$.tags[0]') AS first_tag,
            CAST(get_json_object(doc, '$.meta.len') AS BIGINT) AS name_len
     FROM j
+    LATERAL VIEW json_tuple(doc, 'name', 'region') jt AS jname, jregion
     """,
     oracle="""
     WITH j AS (
@@ -124,17 +133,27 @@ register_sql(
 
 
 # --- VARIANT: open-schema semi-structured type (Spark 4) --------------------
+# The VARIANT doc is built with to_json(named_struct(...)), never by
+# string concatenation (r12 json review): hand-spliced text (a) nulls
+# the WHOLE doc when one field is NULL while the oracle stays
+# field-wise, and (b) breaks on any quote/backslash in a value, which
+# parse_json turns into a query-killing error under the session's
+# pinned ANSI mode.  to_json escapes correctly; the shared
+# k-IS-NOT-NULL fence keeps both sides row-aligned if a generator ever
+# emits props without k (the json_extract_agg guard, applied here too).
 register_sql(
     "json_variant_ops",
     """
     WITH v AS (
       SELECT event_id,
-             parse_json(concat('{"k": ', get_json_object(props, '$.k'),
-                               ', "type": "', event_type,
-                               '", "nested": {"half": ',
-                               CAST(CAST(get_json_object(props, '$.k') AS BIGINT) / 2.0
-                                    AS STRING), '}}')) AS doc
-      FROM events WHERE event_id < 500)
+             parse_json(to_json(named_struct(
+               'k', CAST(get_json_object(props, '$.k') AS BIGINT),
+               'type', event_type,
+               'nested', named_struct(
+                 'half', CAST(CAST(get_json_object(props, '$.k') AS BIGINT)
+                              AS DOUBLE) / 2.0)))) AS doc
+      FROM events
+      WHERE event_id < 500 AND get_json_object(props, '$.k') IS NOT NULL)
     SELECT event_id,
            variant_get(doc, '$.k', 'bigint') AS k,
            variant_get(doc, '$.type', 'string') AS type,
@@ -148,7 +167,8 @@ register_sql(
            event_type AS type,
            ROUND(CAST(json_extract_string(props, '$.k') AS BIGINT) / 2.0, 6) AS half,
            CAST(NULL AS BIGINT) AS absent
-    FROM events WHERE event_id < 500
+    FROM events
+    WHERE event_id < 500 AND json_extract_string(props, '$.k') IS NOT NULL
     """,
     tags=("json", "variant", "semi-structured", "spark4"),
 )

@@ -202,6 +202,16 @@ def test_legacy_backlog_is_exhausted():
     # (CLAUDE.md decimal-literal rule) -> explicit double cast; RFM's
     # 1-row CROSS JOIN planned a BroadcastNestedLoopJoin -> scalar
     # subquery (plan hygiene, matches the TF-IDF pattern).
+    # r12 batch 7 (json_funcs.py high-effort review, closing the
+    # campaign): json_variant_ops hand-concatenated its JSON doc (a
+    # NULL k nulled the WHOLE doc vs the oracle's field-wise NULLs,
+    # and an unescaped quote in a value would ANSI-crash parse_json)
+    # -> to_json(named_struct(...)) + the shared k-IS-NOT-NULL fence;
+    # json_from_json_struct's oracle used strict CAST where Spark's
+    # from_json is permissive (a non-integer k would crash DuckDB on a
+    # row Spark drops) -> TRY_CAST; json_tuple_arrays never actually
+    # called json_tuple (coverage overstatement) -> LATERAL VIEW
+    # json_tuple for the top-level fields.
     sanctioned = {"cur_source_mixture_budget", "tpcds_dual_rank_return_ratio",
                   "session_window_agg",
                   "ann_bruteforce_topk", "ann_bruteforce_vectorized",
@@ -209,7 +219,9 @@ def test_legacy_backlog_is_exhausted():
                   "ann_ivf_trained", "dedup_embedding_cosine",
                   "agg_regression", "agg_nth_value", "agg_having",
                   "evt_funnel_ordered", "evt_rfm_segments",
-                  "evt_value_band_histogram"}
+                  "evt_value_band_histogram",
+                  "json_variant_ops", "json_from_json_struct",
+                  "json_tuple_arrays"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -320,7 +332,9 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
     # until a fresh driver row lands on the fixed text.
     demoted = [
         n
-        for n in ("session_window_agg", "ann_bruteforce_topk",
+        for n in ("session_window_agg", "json_from_json_struct",
+                  "json_tuple_arrays", "json_variant_ops",
+                  "ann_bruteforce_topk",
                   "ann_bruteforce_vectorized", "ann_lsh_probe",
                   "ann_ivf_grid", "evt_funnel_ordered",
                   "evt_rfm_segments", "evt_value_band_histogram",
