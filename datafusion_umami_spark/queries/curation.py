@@ -123,9 +123,15 @@ _MIX_BODY_T = """
       -- ~9e10 tokens — the live regime at 100 TB (caught by
       -- tests/test_fuzz.py::
       -- test_mixture_budget_matches_largest_remainder_reference).
+      -- r13 (ADVICE item 3): the numerator is WIDENED like the ppm
+      -- helpers — toks*100000 in BIGINT throws on ANSI overflow once a
+      -- single source passes ~9.2e13 tokens, one order of magnitude
+      -- over the per-source regime the 100 TB plan describes.  Spark
+      -- accumulates in DECIMAL(38,0), DuckDB in HUGEINT (both exact
+      -- far past any corpus; probed identical), remainder included.
       SELECT s.source, s.toks,
              CAST({idiv} AS BIGINT) AS base_alloc,
-             (s.toks * 100000) % t.total_toks AS rem
+             {rem} AS rem
       FROM src s CROSS JOIN tot t),
     ranked AS (
       SELECT source, toks, base_alloc,
@@ -140,8 +146,15 @@ _MIX_BODY_T = """
     ORDER BY r.source
 """
 
-_MIX_BODY_SP = _MIX_BODY_T.format(idiv="(s.toks * 100000) DIV t.total_toks")
-_MIX_BODY_DU = _MIX_BODY_T.format(idiv="(s.toks * 100000) // t.total_toks")
+_MIX_BODY_SP = _MIX_BODY_T.format(
+    idiv="CAST(s.toks AS DECIMAL(38,0)) * 100000 DIV t.total_toks",
+    rem="CAST(CAST(s.toks AS DECIMAL(38,0)) * 100000 % t.total_toks"
+    " AS DECIMAL(38,0))",
+)
+_MIX_BODY_DU = _MIX_BODY_T.format(
+    idiv="CAST(s.toks AS HUGEINT) * 100000 // t.total_toks",
+    rem="CAST(s.toks AS HUGEINT) * 100000 % t.total_toks",
+)
 
 register_split_sql(
     "cur_source_mixture_budget",
@@ -172,20 +185,59 @@ register_split_sql(
 # --- curriculum buckets by quality score ----------------------------------
 # Quality deciles (same score recipe as text_quality_score) with
 # per-bucket profiles — the ordering a curriculum loader consumes.
-# NTILE over (score, doc_id) is a total order → deterministic buckets.
-_CURR_BODY = """
-    scored AS (
+# r13 (verdict weak item): boundary-banded, not NTILE — the global
+# NTILE(10) sorted ALL documents through one partition; the nine
+# decile boundaries are a percentile_disc ordered-set aggregate over
+# the rounded score (state = distinct q values), broadcast as scalar
+# subqueries, and each doc bands by value comparison.  The boundaries
+# are actual q elements, so the double compares are exact and
+# identical cross-engine; ties on a boundary take the better bucket.
+_CURR_BOUNDS = ",\n".join(
+    f"        percentile_disc(0.{k}) WITHIN GROUP (ORDER BY q DESC) AS b{k}"
+    for k in range(1, 10)
+)
+_CURR_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN q >= (SELECT b{k} FROM bounds) THEN {k}" for k in range(1, 10)
+    )
+    + " ELSE 10 END"
+)
+_CURR_SCORED_T = """
       SELECT doc_id,
              ROUND(least(n_tokens / 50.0, 1.0) * 0.4
                    + least(n_stop / greatest(n_tokens, 1.0) * 5.0, 1.0) * 0.4
                    + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0,
                                   1.0)) * 0.2,
                    6) AS q
-      FROM feats),
+      FROM ({feats}) feats"""
+_CURR_FEATS_SPARK = r"""
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(size(split(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+             CAST(regexp_count(text, '[^a-z0-9 ]') AS DOUBLE) AS n_punct,
+             CAST(regexp_count(text, '\\b(the|a|of|and|is|in|to)\\b') AS DOUBLE)
+               AS n_stop
+      FROM documents"""
+_CURR_FEATS_DUCK = r"""
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+               AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+               AS n_punct,
+             CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|in|to)\b'))
+               AS DOUBLE) AS n_stop
+      FROM documents"""
+_CURR_BODY = f"""
+    bounds AS (
+      SELECT
+{_CURR_BOUNDS}
+      FROM {{sc}}),
     buckets AS (
       SELECT doc_id, q,
-             NTILE(10) OVER (ORDER BY q DESC, doc_id) AS bucket
-      FROM scored)
+             {_CURR_CASE} AS bucket
+      FROM {{sc}})
     SELECT CAST(bucket AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            ROUND(MIN(q), 6) AS min_q,
@@ -195,32 +247,18 @@ _CURR_BODY = """
     ORDER BY bucket
 """
 
-register_sql(
+register_split_sql(
     "cur_quality_curriculum_buckets",
-    r"""
-    WITH feats AS (
-      SELECT doc_id,
-             CAST(length(text) AS DOUBLE) AS n_chars,
-             CAST(size(split(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
-             CAST(regexp_count(text, '[^a-z0-9 ]') AS DOUBLE) AS n_punct,
-             CAST(regexp_count(text, '\\b(the|a|of|and|is|in|to)\\b') AS DOUBLE)
-               AS n_stop
-      FROM documents),
-    """
-    + _CURR_BODY,
-    oracle=r"""
-    WITH feats AS (
-      SELECT doc_id,
-             CAST(length(text) AS DOUBLE) AS n_chars,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
-               AS n_tokens,
-             CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-               AS n_punct,
-             CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is|in|to)\b'))
-               AS DOUBLE) AS n_stop
-      FROM documents),
-    """
-    + _CURR_BODY,
+    # the |docs|-sized scored table feeds the boundary aggregate AND
+    # the banding pass — materialized once (one documents scan).
+    stages=[
+        (_CURR_SCORED_T.format(feats=_CURR_FEATS_SPARK), "curr_scored_m")
+    ],
+    final_sql="WITH " + _CURR_BODY.format(sc="curr_scored_m").lstrip(),
+    oracle="WITH scored AS ("
+    + _CURR_SCORED_T.format(feats=_CURR_FEATS_DUCK)
+    + "),\n"
+    + _CURR_BODY.format(sc="scored").lstrip(),
     tags=("curation", "curriculum", "llm-pipeline"),
 )
 
@@ -228,28 +266,66 @@ register_sql(
 # Select documents by quality-per-token value until a 10k-token budget
 # is spent: rank by (quality desc, doc_id), take docs while the
 # cumulative token count of STRICTLY better docs stays under budget.
-# Exact integers end-to-end (quality scaled to micro-units); one sort +
-# one running-sum window — the greedy knapsack every data-mix bake-off
-# runs.
-_BUDGET_BODY = """
-    ranked AS (
+# Exact integers end-to-end (quality scaled to micro-units).
+# r13 (verdict weak item): the single global running-sum window forced
+# every document through one partition.  Now a TWO-LEVEL prefix sum:
+# (1) coarse-band each doc by q_micro decile boundaries
+# (percentile_disc — a tiny ordered-set aggregate, broadcast); bands
+# are order-prefixes of (q_micro DESC, doc_id) because the band is a
+# monotone function of q_micro alone; (2) per-band token totals (≤10
+# rows) turn into per-band OFFSETS via a tiny band<band self-join;
+# (3) the running sum windows PARTITION BY band, offset by the band's
+# predecessor total.  toks_before = offset + within-band prefix is
+# IDENTICAL to the old global prefix sum — same output, bit for bit
+# (pinned against a pure-Python greedy reference in tests/test_fuzz.py)
+# — but the widest window partition is one decile, not the corpus.
+# Worst case (all q_micro equal) degenerates to one band — a data-skew
+# bound, not a plan bound.
+_BUDGET_BOUNDS = ",\n".join(
+    "        CAST(percentile_disc(0.%d) WITHIN GROUP (ORDER BY q_micro DESC)"
+    " AS BIGINT) AS b%d" % (k, k)
+    for k in range(1, 10)
+)
+_BUDGET_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN q_micro >= (SELECT b{k} FROM bounds) THEN {k}"
+        for k in range(1, 10)
+    )
+    + " ELSE 10 END"
+)
+_BUDGET_BODY = f"""
+    bounds AS (
+      SELECT
+{_BUDGET_BOUNDS}
+      FROM {{sc}}),
+    banded AS (
       SELECT doc_id, n_toks, q_micro,
-             CAST(SUM(n_toks) OVER (ORDER BY q_micro DESC, doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                  AS BIGINT) AS toks_before
-      FROM scored)
-    SELECT doc_id, n_toks, q_micro,
-           COALESCE(toks_before, 0) AS toks_before
+             {_BUDGET_CASE} AS band
+      FROM {{sc}}),
+    btot AS (
+      SELECT band, CAST(SUM(n_toks) AS BIGINT) AS btoks
+      FROM banded GROUP BY band),
+    boff AS (
+      SELECT a.band,
+             CAST(COALESCE(SUM(b.btoks), 0) AS BIGINT) AS off_toks
+      FROM btot a LEFT JOIN btot b ON b.band < a.band
+      GROUP BY a.band),
+    ranked AS (
+      SELECT d.doc_id, d.n_toks, d.q_micro,
+             o.off_toks
+               + CAST(COALESCE(SUM(d.n_toks) OVER (PARTITION BY d.band
+                        ORDER BY d.q_micro DESC, d.doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS toks_before
+      FROM banded d JOIN boff o ON d.band = o.band)
+    SELECT doc_id, n_toks, q_micro, toks_before
     FROM ranked
-    WHERE COALESCE(toks_before, 0) < 10000
+    WHERE toks_before < 10000
     ORDER BY q_micro DESC, doc_id
     LIMIT 2000
 """
-
-register_sql(
-    "cur_token_budget_greedy",
-    r"""
-    WITH scored AS (
+_BUDGET_SCORED_SPARK = r"""
       SELECT doc_id,
              CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_toks,
              CAST(round(
@@ -257,11 +333,8 @@ register_sql(
                 + (1.0 - least(CAST(regexp_count(text, '[^a-z0-9 ]') AS DOUBLE)
                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.4)
                * 1000000) AS BIGINT) AS q_micro
-      FROM documents),
-    """
-    + _BUDGET_BODY,
-    oracle=r"""
-    WITH scored AS (
+      FROM documents"""
+_BUDGET_SCORED_DUCK = r"""
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
                AS n_toks,
@@ -272,8 +345,17 @@ register_sql(
                                     AS DOUBLE)
                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.4)
                * 1000000) AS BIGINT) AS q_micro
-      FROM documents),
-    """
-    + _BUDGET_BODY,
+      FROM documents"""
+
+register_split_sql(
+    "cur_token_budget_greedy",
+    # the |docs|-sized scored table feeds the boundary aggregate AND the
+    # banding pass — materialized once (one documents scan).
+    stages=[(_BUDGET_SCORED_SPARK, "tbg_scored_m")],
+    final_sql="WITH " + _BUDGET_BODY.format(sc="tbg_scored_m").lstrip(),
+    oracle="WITH scored AS ("
+    + _BUDGET_SCORED_DUCK
+    + "),\n"
+    + _BUDGET_BODY.format(sc="scored").lstrip(),
     tags=("curation", "token-budget", "llm-pipeline"),
 )

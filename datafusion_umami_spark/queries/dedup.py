@@ -405,7 +405,8 @@ _SP_COSINE_FROM_BUCKETS = """
                               (acc, x) -> acc + x)) AS nrm
         FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings)) t
-      WHERE nrm > 0)
+      WHERE nrm > 0 AND NOT isnan(nrm)
+        AND nrm < CAST('Infinity' AS DOUBLE))
     SELECT c.ia, c.ib,
            ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
                            (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS cosine
@@ -454,7 +455,8 @@ _SP_COSINE_FROM_BUCKETS = """
         SELECT vec_id, v,
                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
         FROM e) t
-      WHERE nrm > 0),
+      WHERE nrm > 0 AND NOT isnan(nrm)
+        AND nrm < CAST('Infinity' AS DOUBLE)),
     pairs AS (
       SELECT c.ia, c.ib,
              list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))

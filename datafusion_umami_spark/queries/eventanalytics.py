@@ -15,15 +15,20 @@ capability-superset work from the build brief.
   events), so every post-aggregation join broadcasts;
 - the cohort matrix and histogram group on (low-card, low-card) keys —
   the final exchanges carry KBs;
-- KNOWN EXCEPTION (r12 review): evt_rfm_segments' three NTILE(4)
-  quartile windows are GLOBAL (exact quartiles need a total order), so
-  the |users|-sized RFM table sorts through one partition — fine at
-  the scale where |users| ≪ |events|, but at billions of users the
-  scalable rewrite is: compute the three quartile BOUNDARIES
-  (percentile/approx_percentile, a 3-value aggregate), broadcast them,
-  and band by comparison — trading exact rank-ties at the boundaries
-  for a fully parallel plan.  Kept exact here because the DuckDB twin
-  hash-matches only under identical tie handling;
+- the RFM quartiles are BOUNDARY-BANDED (r13, closing the r12 KNOWN
+  EXCEPTION / r12 verdict weak item): the three per-metric quartile
+  boundaries come from percentile_disc (a 9-value ordered-set
+  aggregate — probed value-identical Spark vs DuckDB across ties,
+  n<k, all-equal, and DESC orders; see tests/test_fuzz.py round-13
+  banding pins), broadcast via scalar subqueries, and every user is
+  banded by comparison — no global window, no single-partition sort
+  of the |users|-sized table.  percentile_disc's aggregation state is
+  a value→count map (distinct metric values, not rows), the
+  documented exact-boundary compromise; the production path at
+  extreme cardinality swaps in approx_percentile.  Boundary-tie
+  semantics differ from NTILE by design: ALL ties on a boundary take
+  the better band (a pure function of the metric value), identical on
+  both engines;
 - money/value arithmetic is integer cents end-to-end (registry.py
   determinism conventions), window tie-breaks are total orders; the
   funnel conversion is exact integer ppm (engine ROUND(double)
@@ -39,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datafusion_umami_spark.operators.materialize import register_split_sql
 from datafusion_umami_spark.registry import register, register_sql
 
 # --- day-cohort retention matrix ------------------------------------------
@@ -155,79 +161,111 @@ def evt_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-# --- RFM quartile segmentation --------------------------------------------
-# Recency/Frequency/Monetary per user, each NTILE(4)-banded with a full
-# total-order tiebreak so the quartile assignment is deterministic.
-register_sql(
+# --- RFM quartile segmentation (boundary-banded) ---------------------------
+# Recency/Frequency/Monetary per user, quartile-banded by comparison
+# against percentile_disc boundaries (scale-safe: no global window —
+# see the module docstring).  Ties on a boundary take the BETTER band
+# on both engines: the band is a pure function of the metric value.
+_RFM_REC_SPARK = """
+    WITH mx AS (
+      SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events),
+    rfm AS (
+      SELECT user_id,
+             MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM events
+      GROUP BY user_id)
+    -- scalar subquery, not CROSS JOIN mx: the 1-row cross join
+    -- planned a BroadcastNestedLoopJoin (the pattern the TF-IDF
+    -- spec removed); Spark inlines the uncorrelated scalar once
+    SELECT user_id,
+           datediff((SELECT max_day FROM mx), last_day) AS recency_days,
+           frequency, monetary_c
+    FROM rfm"""
+
+_RFM_REC_DUCK = """
+    rfm AS (
+      SELECT user_id,
+             MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM events
+      GROUP BY user_id),
+    rec AS (
+      SELECT user_id,
+             date_diff('day', last_day,
+                       (SELECT MAX(CAST(date_trunc('day', ts) AS DATE))
+                        FROM events)) AS recency_days,
+             frequency, monetary_c
+      FROM rfm)"""
+
+# shared banding text: {rec} = per-user relation, {vc} = STRING/VARCHAR.
+# Spark's percentile_disc returns DOUBLE -> CAST back to BIGINT; every
+# metric here is per-user bounded (cents of one user's lifetime spend),
+# so the double round-trip is exact (value-level class, CLAUDE.md).
+_RFM_BAND_T = """
+    bounds AS (
+      SELECT
+        CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days)
+             AS BIGINT) AS r1,
+        CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_days)
+             AS BIGINT) AS r2,
+        CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days)
+             AS BIGINT) AS r3,
+        CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency DESC)
+             AS BIGINT) AS f1,
+        CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency DESC)
+             AS BIGINT) AS f2,
+        CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency DESC)
+             AS BIGINT) AS f3,
+        CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary_c DESC)
+             AS BIGINT) AS m1,
+        CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary_c DESC)
+             AS BIGINT) AS m2,
+        CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary_c DESC)
+             AS BIGINT) AS m3
+      FROM {rec}),
+    seg AS (
+      SELECT user_id, recency_days, frequency, monetary_c,
+             CASE WHEN recency_days <= (SELECT r1 FROM bounds) THEN 1
+                  WHEN recency_days <= (SELECT r2 FROM bounds) THEN 2
+                  WHEN recency_days <= (SELECT r3 FROM bounds) THEN 3
+                  ELSE 4 END AS r_q,
+             CASE WHEN frequency >= (SELECT f1 FROM bounds) THEN 1
+                  WHEN frequency >= (SELECT f2 FROM bounds) THEN 2
+                  WHEN frequency >= (SELECT f3 FROM bounds) THEN 3
+                  ELSE 4 END AS f_q,
+             CASE WHEN monetary_c >= (SELECT m1 FROM bounds) THEN 1
+                  WHEN monetary_c >= (SELECT m2 FROM bounds) THEN 2
+                  WHEN monetary_c >= (SELECT m3 FROM bounds) THEN 3
+                  ELSE 4 END AS m_q
+      FROM {rec})
+    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary_c,
+           CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           concat(CAST(r_q AS {vc}), CAST(f_q AS {vc}),
+                  CAST(m_q AS {vc})) AS segment
+    FROM seg
+    ORDER BY user_id
+    LIMIT 2000
+"""
+
+register_split_sql(
     "evt_rfm_segments",
-    """
-    WITH mx AS (
-      SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events),
-    rfm AS (
-      SELECT user_id,
-             MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
-             COUNT(*) AS frequency,
-             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS monetary_c
-      FROM events
-      GROUP BY user_id),
-    rec AS (
-      -- scalar subquery, not CROSS JOIN mx: the 1-row cross join
-      -- planned a BroadcastNestedLoopJoin (the pattern the TF-IDF
-      -- spec removed); Spark inlines the uncorrelated scalar once
-      SELECT user_id,
-             datediff((SELECT max_day FROM mx), last_day) AS recency_days,
-             frequency, monetary_c
-      FROM rfm),
-    seg AS (
-      SELECT user_id, recency_days, frequency, monetary_c,
-             NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r_q,
-             NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
-             NTILE(4) OVER (ORDER BY monetary_c DESC, user_id) AS m_q
-      FROM rec)
-    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
-           CAST(frequency AS BIGINT) AS frequency, monetary_c,
-           CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
-           CAST(m_q AS BIGINT) AS m_q,
-           concat(CAST(r_q AS STRING), CAST(f_q AS STRING),
-                  CAST(m_q AS STRING)) AS segment
-    FROM seg
-    ORDER BY user_id
-    LIMIT 2000
-    """,
-    oracle="""
-    WITH mx AS (
-      SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events),
-    rfm AS (
-      SELECT user_id,
-             MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
-             COUNT(*) AS frequency,
-             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS monetary_c
-      FROM events
-      GROUP BY user_id),
-    rec AS (
-      SELECT user_id,
-             date_diff('day', last_day, (SELECT max_day FROM mx))
-               AS recency_days,
-             frequency, monetary_c
-      FROM rfm),
-    seg AS (
-      SELECT user_id, recency_days, frequency, monetary_c,
-             NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r_q,
-             NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
-             NTILE(4) OVER (ORDER BY monetary_c DESC, user_id) AS m_q
-      FROM rec)
-    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
-           CAST(frequency AS BIGINT) AS frequency, monetary_c,
-           CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
-           CAST(m_q AS BIGINT) AS m_q,
-           concat(CAST(r_q AS VARCHAR), CAST(f_q AS VARCHAR),
-                  CAST(m_q AS VARCHAR)) AS segment
-    FROM seg
-    ORDER BY user_id
-    LIMIT 2000
-    """,
+    # the |users|-sized per-user table feeds the boundary aggregate AND
+    # the banding pass — materialized once so events is scanned exactly
+    # twice (max_day + the per-user rollup), not once per reference.
+    stages=[(_RFM_REC_SPARK, "rfm_rec_m")],
+    final_sql="WITH "
+    + _RFM_BAND_T.format(rec="rfm_rec_m", vc="STRING").lstrip(),
+    oracle="WITH "
+    + _RFM_REC_DUCK.lstrip()
+    + ",\n"
+    + _RFM_BAND_T.format(rec="rec", vc="VARCHAR").lstrip(),
     tags=("events", "rfm", "segmentation", "analytics"),
 )
 

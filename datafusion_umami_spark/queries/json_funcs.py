@@ -138,22 +138,27 @@ register_sql(
 # the WHOLE doc when one field is NULL while the oracle stays
 # field-wise, and (b) breaks on any quote/backslash in a value, which
 # parse_json turns into a query-killing error under the session's
-# pinned ANSI mode.  to_json escapes correctly; the shared
-# k-IS-NOT-NULL fence keeps both sides row-aligned if a generator ever
-# emits props without k (the json_extract_agg guard, applied here too).
+# pinned ANSI mode.  to_json escapes correctly.  r13 (ADVICE item 2):
+# the k extraction is TRY_CAST on both sides and the row fence is
+# `try_cast(k) IS NOT NULL` — the old strict CAST under ANSI mode
+# crashed the whole query on one MALFORMED (non-integer) k string,
+# the exact crash class the r12 json_from_json_struct fix closed; the
+# IS-NOT-NULL-on-try_cast form drops missing AND malformed k rows
+# identically on both engines.
 register_sql(
     "json_variant_ops",
     """
     WITH v AS (
       SELECT event_id,
              parse_json(to_json(named_struct(
-               'k', CAST(get_json_object(props, '$.k') AS BIGINT),
+               'k', try_cast(get_json_object(props, '$.k') AS BIGINT),
                'type', event_type,
                'nested', named_struct(
-                 'half', CAST(CAST(get_json_object(props, '$.k') AS BIGINT)
-                              AS DOUBLE) / 2.0)))) AS doc
+                 'half', CAST(try_cast(get_json_object(props, '$.k')
+                                       AS BIGINT) AS DOUBLE) / 2.0)))) AS doc
       FROM events
-      WHERE event_id < 500 AND get_json_object(props, '$.k') IS NOT NULL)
+      WHERE event_id < 500
+        AND try_cast(get_json_object(props, '$.k') AS BIGINT) IS NOT NULL)
     SELECT event_id,
            variant_get(doc, '$.k', 'bigint') AS k,
            variant_get(doc, '$.type', 'string') AS type,
@@ -163,12 +168,14 @@ register_sql(
     """,
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            event_type AS type,
-           ROUND(CAST(json_extract_string(props, '$.k') AS BIGINT) / 2.0, 6) AS half,
+           ROUND(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 / 2.0, 6) AS half,
            CAST(NULL AS BIGINT) AS absent
     FROM events
-    WHERE event_id < 500 AND json_extract_string(props, '$.k') IS NOT NULL
+    WHERE event_id < 500
+      AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
     """,
     tags=("json", "variant", "semi-structured", "spark4"),
 )

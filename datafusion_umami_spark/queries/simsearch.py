@@ -117,16 +117,23 @@ register_sql(
     f"""
     WITH e AS (SELECT vec_id, {_SP_V} AS v FROM embeddings),
     normed AS (
-      -- zero-norm fence: cosine is undefined for the zero vector, and
+      -- finite-norm fence: cosine is undefined for the zero vector, and
       -- an unfenced division ANSI-crashes the whole query on one
       -- corrupt/padded embedding row (found r12 by the IVF property
-      -- pin; valid at any corpus scale)
+      -- pin; valid at any corpus scale).  r13 (ADVICE): extended to
+      -- exclude NaN/Inf norms too — corrupt encoder output produces
+      -- non-finite components as easily as zeros, and BOTH engines
+      -- evaluate NaN > 0 as TRUE (probed: Spark NaN-is-largest,
+      -- DuckDB total order — the identical phrase below keeps the
+      -- texts symmetric), so a bare nrm > 0 let NaN cosines into the
+      -- top-k on both sides
       SELECT * FROM (
         SELECT vec_id, v,
                sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
                               (acc, x) -> acc + x)) AS nrm
         FROM e) t
-      WHERE nrm > 0),
+      WHERE nrm > 0 AND NOT isnan(nrm)
+        AND nrm < CAST('Infinity' AS DOUBLE)),
     q AS (SELECT v, nrm FROM normed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_SP_COS}, 6) AS cosine
     FROM normed a CROSS JOIN q
@@ -140,7 +147,8 @@ register_sql(
       SELECT * FROM (
         SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
         FROM e) t
-      WHERE nrm > 0),
+      WHERE nrm > 0 AND NOT isnan(nrm)
+        AND nrm < CAST('Infinity' AS DOUBLE)),
     q AS (SELECT v, nrm FROM normed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
     FROM normed a CROSS JOIN q
@@ -161,7 +169,8 @@ register_sql(
       SELECT * FROM (
         SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
         FROM e) t
-      WHERE nrm > 0),
+      WHERE nrm > 0 AND NOT isnan(nrm)
+        AND nrm < CAST('Infinity' AS DOUBLE)),
     q AS (SELECT v, nrm FROM normed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
     FROM normed a CROSS JOIN q
@@ -192,10 +201,10 @@ def ann_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = np.asarray(qvec, dtype=np.float64)
     qn = np.sqrt(np.sum(q * q))
     k = 10
-    if qn == 0.0:
-        # zero-norm query: cosine undefined for every candidate (the
-        # SQL twins' fence drops the query row and return empty) —
-        # short-circuit instead of emitting NaN rows
+    if qn == 0.0 or not np.isfinite(qn):
+        # zero/non-finite-norm query: cosine undefined for every
+        # candidate (the SQL twins' fence drops the query row and
+        # return empty) — short-circuit instead of emitting NaN rows
         return spark.createDataFrame([], "vec_id bigint, cosine double")
 
     def topk_per_batch(batches):
@@ -204,11 +213,13 @@ def ann_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue  # np.stack raises on an empty batch
             ids = pdf["vec_id"].to_numpy()
             mat_all = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            # zero-norm fence: numpy division would yield NaN silently
-            # (not an error like the SQL path) and NaN rows could
-            # displace real candidates in the local top-k
+            # finite-norm fence: numpy division would yield NaN/garbage
+            # silently (not an error like the SQL path) and such rows
+            # could displace real candidates in the local top-k.  NaN
+            # norms already fail > 0 in numpy (unlike SQL!), but Inf
+            # norms pass — isfinite closes both.
             nrms_all = np.sqrt(np.add.reduce(mat_all * mat_all, axis=1))
-            mask = (ids != 0) & (nrms_all > 0)
+            mask = (ids != 0) & (nrms_all > 0) & np.isfinite(nrms_all)
             if not mask.any():
                 continue
             mat = mat_all[mask]
@@ -264,7 +275,8 @@ register_sql(
                               (acc, x) -> acc + x)) AS nrm,
                {_sp_bucket_expr("v")} AS bucket
         FROM e) t
-      WHERE nrm > 0),
+      WHERE nrm > 0 AND NOT isnan(nrm)
+        AND nrm < CAST('Infinity' AS DOUBLE)),
     q AS (SELECT v, nrm, bucket FROM bucketed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_SP_COS}, 6) AS cosine
     FROM bucketed a JOIN q ON a.bucket = q.bucket
@@ -280,7 +292,8 @@ register_sql(
                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
                {_du_bucket_expr("v")} AS bucket
         FROM e) t
-      WHERE nrm > 0),
+      WHERE nrm > 0 AND NOT isnan(nrm)
+        AND nrm < CAST('Infinity' AS DOUBLE)),
     q AS (SELECT v, nrm, bucket FROM bucketed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
     FROM bucketed a JOIN q ON a.bucket = q.bucket
@@ -304,7 +317,8 @@ register_sql(
                CAST(floor(element_at(v, 1) / 0.1) AS BIGINT) AS cx,
                CAST(floor(element_at(v, 2) / 0.1) AS BIGINT) AS cy
         FROM e) t
-      WHERE nrm > 0),
+      WHERE nrm > 0 AND NOT isnan(nrm)
+        AND nrm < CAST('Infinity' AS DOUBLE)),
     q AS (SELECT v, nrm, cx, cy FROM cells WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_SP_COS}, 6) AS cosine
     FROM cells a JOIN q
@@ -323,7 +337,8 @@ register_sql(
                CAST(floor(v[1] / 0.1) AS BIGINT) AS cx,
                CAST(floor(v[2] / 0.1) AS BIGINT) AS cy
         FROM e) t
-      WHERE nrm > 0),
+      WHERE nrm > 0 AND NOT isnan(nrm)
+        AND nrm < CAST('Infinity' AS DOUBLE)),
     q AS (SELECT v, nrm, cx, cy FROM cells WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
     FROM cells a JOIN q
@@ -457,7 +472,8 @@ _SP_IVF_FINAL = f"""
                sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),
                               (acc, x) -> acc + x)) AS nrm
         FROM __A2__) t
-      WHERE nrm > 0),
+      WHERE nrm > 0 AND NOT isnan(nrm)
+        AND nrm < CAST('Infinity' AS DOUBLE)),
     q AS (SELECT v, nrm, cid FROM nrmed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_SP_COS}, 6) AS cosine
     FROM nrmed a JOIN q ON a.cid = q.cid
@@ -504,7 +520,8 @@ _SP_IVF_FINAL = f"""
         SELECT vec_id, v, cid,
                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
         FROM a2) t
-      WHERE nrm > 0),
+      WHERE nrm > 0 AND NOT isnan(nrm)
+        AND nrm < CAST('Infinity' AS DOUBLE)),
     q AS (SELECT v, nrm, cid FROM nrmed WHERE vec_id = 0)
     SELECT a.vec_id, ROUND({_DU_COS}, 6) AS cosine
     FROM nrmed a JOIN q ON a.cid = q.cid
@@ -548,7 +565,8 @@ register_sql(
                               (acc, x) -> acc + x)) AS nrm,
                {_sp_bucket4_expr("v")} AS bucket
         FROM e) t
-      WHERE nrm > 0),
+      WHERE nrm > 0 AND NOT isnan(nrm)
+        AND nrm < CAST('Infinity' AS DOUBLE)),
     q AS (SELECT vec_id AS qid, v, nrm, bucket FROM normed WHERE vec_id < 10),
     scored AS (
       SELECT q.qid, a.vec_id,
@@ -578,7 +596,8 @@ register_sql(
                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
                {_du_bucket4_expr("v")} AS bucket
         FROM e) t
-      WHERE nrm > 0),
+      WHERE nrm > 0 AND NOT isnan(nrm)
+        AND nrm < CAST('Infinity' AS DOUBLE)),
     q AS (SELECT vec_id AS qid, v, nrm, bucket FROM normed WHERE vec_id < 10),
     scored AS (
       SELECT q.qid, a.vec_id,

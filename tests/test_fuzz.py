@@ -1875,7 +1875,11 @@ def test_repetition_gopher_matches_python_reference(word_lists, spark, restore_v
 @settings(max_examples=15, deadline=None)
 @given(
     toks=st.lists(
-        st.integers(min_value=1, max_value=10**12),
+        # r13 (ADVICE item 3): range extended past 9.2e13 — the point
+        # where the un-widened BIGINT numerator toks*100000 ANSI-threw.
+        # The DECIMAL(38,0)/HUGEINT widening must stay exact through
+        # per-source totals far beyond the 100 TB regime (~1e13/source).
+        st.integers(min_value=1, max_value=10**16),
         min_size=1,
         max_size=8,
     )
@@ -2325,3 +2329,280 @@ def test_ivf_kmeans_matches_python_lloyd_reference(vecs, spark, restore_views):
             scored.append((i, _round_half_up(acc / (nrm(v) * qn), 6)))
         scored.sort(key=lambda t: (-t[1], t[0]))
     assert got == scored[:5]
+
+
+# --- round-13: quantile-banding pins (r12 verdict item 2) --------------------
+# The five de-globalized specs band by comparison against percentile_disc
+# boundaries.  Hash-green sf data cannot see boundary-tie semantics (a
+# measure-zero set under the generators), so each banding BODY — the
+# registered text verbatim, formatted onto a swapped-in relation — is
+# pinned here against a pure-Python evaluation of the SQL-standard
+# percentile_disc definition (smallest value whose CDF >= p) AND against
+# DuckDB running the identical text on the identical micro-data.
+
+
+def _pdisc_py(xs, p, desc=False):
+    """SQL-standard percentile_disc: the value at rank ceil(p*n) of xs
+    under the given order (probed identical Spark 4.1 vs DuckDB 1.x)."""
+    s = sorted(xs, reverse=desc)
+    k = max(1, math.ceil(p * len(s)))
+    return s[k - 1]
+
+
+def _band_ge_py(x, bounds):
+    """CASE WHEN x >= b1 THEN 1 ... ELSE len+1 (DESC-metric banding)."""
+    for i, b in enumerate(bounds, start=1):
+        if x >= b:
+            return i
+    return len(bounds) + 1
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(0, 4)),  # (freq, rev) tiny
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_freq_monetary_banding_matches_python_and_duckdb(rows, spark):
+    """tpcds_freq_monetary_matrix's banding BODY on adversarial tie-heavy
+    micro-data (n below/around the 4 bands, all-equal columns shrinkable)
+    vs the textbook quartile banding and vs DuckDB on the same text."""
+    import duckdb as _duckdb
+    import pandas as _pd
+
+    from datafusion_umami_spark.queries.tpcds_shapes import _FMM_BODY
+
+    pdf = _pd.DataFrame(
+        [(i, f, r * 100) for i, (f, r) in enumerate(rows)],
+        columns=["custkey", "freq", "rev_c"],
+    )
+    sql = "WITH " + _FMM_BODY.format(pc="fmm_pin_v").lstrip()
+    spark.createDataFrame(pdf).createOrReplaceTempView("fmm_pin_v")
+    got_sp = {(r.f_q, r.m_q): r.n_customers for r in spark.sql(sql).collect()}
+
+    con = _duckdb.connect()
+    con.register("fmm_pin_v", pdf)
+    got_du = {
+        (fq, mq): n for fq, mq, n in con.execute(sql).fetchall()
+    }
+    con.close()
+
+    fb = [_pdisc_py([f for f, _ in rows], p, desc=True)
+          for p in (0.25, 0.50, 0.75)]
+    mb = [_pdisc_py([r * 100 for _, r in rows], p, desc=True)
+          for p in (0.25, 0.50, 0.75)]
+    want: dict[tuple[int, int], int] = {}
+    for f, r in rows:
+        key = (_band_ge_py(f, fb), _band_ge_py(r * 100, mb))
+        want[key] = want.get(key, 0) + 1
+    assert got_sp == want, f"spark != python on bounds f={fb} m={mb}"
+    assert got_du == want, f"duckdb != python on bounds f={fb} m={mb}"
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    qs=st.lists(
+        st.sampled_from([i / 16 for i in range(17)]),  # exact dyadics:
+        min_size=1,                                    # ROUND(x,6) == x
+        max_size=30,
+    )
+)
+def test_curriculum_bucket_banding_matches_python_and_duckdb(qs, spark):
+    """cur_quality_curriculum_buckets' decile-banding BODY over DOUBLE
+    scores with guaranteed ties (17 dyadic values, n up to 30) — the
+    boundaries are actual elements, so double compares must be exact
+    and identical on Spark, DuckDB, and the Python definition."""
+    import duckdb as _duckdb
+    import pandas as _pd
+
+    from datafusion_umami_spark.queries.curation import _CURR_BODY
+
+    pdf = _pd.DataFrame(
+        [(i, q) for i, q in enumerate(qs)], columns=["doc_id", "q"]
+    )
+    sql = "WITH " + _CURR_BODY.format(sc="curr_pin_v").lstrip()
+    spark.createDataFrame(pdf).createOrReplaceTempView("curr_pin_v")
+    got_sp = {
+        r.bucket: (r.n_docs, r.min_q, r.max_q)
+        for r in spark.sql(sql).collect()
+    }
+    con = _duckdb.connect()
+    con.register("curr_pin_v", pdf)
+    got_du = {b: (n, lo, hi) for b, n, lo, hi in con.execute(sql).fetchall()}
+    con.close()
+
+    bounds = [_pdisc_py(qs, k / 10, desc=True) for k in range(1, 10)]
+    buckets: dict[int, list[float]] = {}
+    for q_v in qs:
+        buckets.setdefault(_band_ge_py(q_v, bounds), []).append(q_v)
+    want = {b: (len(v), min(v), max(v)) for b, v in buckets.items()}
+    assert got_sp == want, f"spark != python on bounds {bounds}"
+    assert got_du == want, f"duckdb != python on bounds {bounds}"
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4000), st.integers(0, 5)),  # (n_toks, qbin)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_token_budget_two_level_prefix_equals_global_greedy(rows, spark):
+    """cur_token_budget_greedy's two-level prefix sum (decile band
+    offsets + PARTITION BY band running sum) must be BIT-IDENTICAL to
+    the plain global greedy it replaced: sort by (q_micro DESC, doc_id),
+    global exclusive prefix sum of tokens, keep while < 10000.  Ties in
+    q_micro (only 6 distinct values, so every band boundary collides)
+    and docs straddling the budget edge are the adversarial surface."""
+    import duckdb as _duckdb
+    import pandas as _pd
+
+    from datafusion_umami_spark.queries.curation import _BUDGET_BODY
+
+    pdf = _pd.DataFrame(
+        [(i, t, qb * 200_000) for i, (t, qb) in enumerate(rows)],
+        columns=["doc_id", "n_toks", "q_micro"],
+    )
+    sql = "WITH " + _BUDGET_BODY.format(sc="tbg_pin_v").lstrip()
+    spark.createDataFrame(pdf).createOrReplaceTempView("tbg_pin_v")
+    got_sp = [tuple(r) for r in spark.sql(sql).collect()]
+    con = _duckdb.connect()
+    con.register("tbg_pin_v", pdf)
+    got_du = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+
+    order = sorted(
+        ((i, t, qm) for i, (t, qb) in enumerate(rows)
+         for qm in [qb * 200_000]),
+        key=lambda r: (-r[2], r[0]),
+    )
+    want, acc = [], 0
+    for i, t, qm in order:
+        if acc < 10000:
+            want.append((i, t, qm, acc))
+        acc += t
+    want = want[:2000]
+    assert got_sp == want, "spark != python global greedy"
+    assert got_du == want, "duckdb != python global greedy"
+
+
+def _band_le_py(x, bounds):
+    """CASE WHEN x <= b1 THEN 1 ... ELSE len+1 (ASC-metric banding)."""
+    for i, b in enumerate(bounds, start=1):
+        if x <= b:
+            return i
+    return len(bounds) + 1
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 6), st.integers(0, 400)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_rfm_banding_matches_python_and_duckdb(rows, spark):
+    """evt_rfm_segments' banding BODY — the one spec mixing an
+    ASC-banded metric (recency, `<=` boundaries) with two DESC ones —
+    on tie-heavy micro-data vs the Python definition and DuckDB."""
+    import duckdb as _duckdb
+    import pandas as _pd
+
+    from datafusion_umami_spark.queries.eventanalytics import _RFM_BAND_T
+
+    pdf = _pd.DataFrame(
+        [(i, rc, f, mc) for i, (rc, f, mc) in enumerate(rows)],
+        columns=["user_id", "recency_days", "frequency", "monetary_c"],
+    )
+    sp_sql = "WITH " + _RFM_BAND_T.format(rec="rfm_pin_v", vc="STRING").lstrip()
+    du_sql = "WITH " + _RFM_BAND_T.format(rec="rfm_pin_v", vc="VARCHAR").lstrip()
+    spark.createDataFrame(pdf).createOrReplaceTempView("rfm_pin_v")
+    got_sp = {r.user_id: (r.r_q, r.f_q, r.m_q, r.segment)
+              for r in spark.sql(sp_sql).collect()}
+    con = _duckdb.connect()
+    con.register("rfm_pin_v", pdf)
+    got_du = {u: (rq, fq, mq, seg)
+              for u, _, _, _, rq, fq, mq, seg in con.execute(du_sql).fetchall()}
+    con.close()
+
+    rb = [_pdisc_py([r[0] for r in rows], p) for p in (0.25, 0.50, 0.75)]
+    fb = [_pdisc_py([r[1] for r in rows], p, desc=True)
+          for p in (0.25, 0.50, 0.75)]
+    mb = [_pdisc_py([r[2] for r in rows], p, desc=True)
+          for p in (0.25, 0.50, 0.75)]
+    want = {}
+    for i, (rc, f, mc) in enumerate(rows):
+        t = (_band_le_py(rc, rb), _band_ge_py(f, fb), _band_ge_py(mc, mb))
+        want[i] = t + ("".join(map(str, t)),)
+    assert got_sp == want, f"spark != python on bounds r={rb} f={fb} m={mb}"
+    assert got_du == want, f"duckdb != python on bounds r={rb} f={fb} m={mb}"
+
+
+def test_cosine_fence_excludes_nonfinite_norms(spark, restore_views):
+    """r13 ADVICE item 1: the cosine fence must drop NaN- and Inf-norm
+    embeddings on BOTH engines, not just zero-norm ones — corrupt
+    encoder output produces non-finite components as easily as zeros,
+    and both engines evaluate NaN > 0 as TRUE (probed), so the old
+    bare `nrm > 0` fence let NaN cosines into the top-k.  Runs the
+    registered ann_bruteforce_topk texts verbatim over a swapped-in
+    embeddings view holding a NaN row, an Inf row, a zero row, and
+    clean rows (the numpy kernel applies the same isfinite mask —
+    reviewed inline at simsearch.py:topk_per_batch)."""
+    import math as _math
+
+    import duckdb as _duckdb
+
+    from datafusion_umami_spark.registry import REGISTRY as _REG
+    from datafusion_umami_spark.registry import _load_all as _la
+
+    _la()
+    rows = [
+        (0, [1.0, 0.0, 0.0]),            # query
+        (1, [1.0, 1.0, 0.0]),            # clean
+        (2, [float("nan"), 1.0, 0.0]),   # NaN component -> NaN norm
+        (3, [float("inf"), 1.0, 0.0]),   # Inf component -> Inf norm
+        (4, [0.0, 0.0, 0.0]),            # zero norm
+        (5, [0.5, -0.5, 0.0]),           # clean
+        (6, [1e38, 1e38, 0.0]),          # finite in f64 after cast
+    ]
+    spec = _REG["ann_bruteforce_topk"]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).createOrReplaceTempView("embeddings")
+    got_sp = [(r.vec_id, r.cosine) for r in spark.sql(spec.fn.__doc__).collect()]
+
+    # NOT pandas registration: duckdb's pandas scan coerces NaN inside a
+    # list column to NULL (list_sum then SKIPS it like SQL SUM), which
+    # would silently un-poison the adversarial rows — SQL literals keep
+    # the NaN/Inf payload intact
+    def _lit(v: float) -> str:
+        if _math.isnan(v):
+            return "'NaN'::DOUBLE"
+        if _math.isinf(v):
+            return "'Infinity'::DOUBLE"
+        return repr(v)
+
+    values = ",".join(
+        f"({i}, [{', '.join(_lit(x) for x in vec)}])" for i, vec in rows
+    )
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"(VALUES {values}) t(vec_id, embedding)"
+    )
+    got_du = [tuple(r) for r in con.execute(spec.oracle).fetchall()]
+    con.close()
+
+    ids_sp = [i for i, _ in got_sp]
+    assert 2 not in ids_sp and 3 not in ids_sp and 4 not in ids_sp, got_sp
+    assert all(_math.isfinite(c) for _, c in got_sp), got_sp
+    assert got_sp == got_du, (got_sp, got_du)
+    assert {1, 5, 6} == set(ids_sp), got_sp

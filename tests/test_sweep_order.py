@@ -212,16 +212,49 @@ def test_legacy_backlog_is_exhausted():
     # row Spark drops) -> TRY_CAST; json_tuple_arrays never actually
     # called json_tuple (coverage overstatement) -> LATERAL VIEW
     # json_tuple for the top-level fields.
-    sanctioned = {"cur_source_mixture_budget", "tpcds_dual_rank_return_ratio",
-                  "session_window_agg",
+    # All 19 r12 demotions re-earned hash-green rows in the r12 sweep
+    # (CORRECTNESS_r12.json, 50/50), so the set reset to EMPTY at the
+    # round-13 blessing.  r13 batch 1 (r12 verdict item 2 — the five
+    # `weak` global-window quantile-banding specs, demanded by name):
+    # each exact NTILE/global-running-sum window forced its
+    # users/docs-cardinality input through ONE partition.  Rewritten to
+    # percentile_disc boundary aggregates broadcast as scalar
+    # subqueries + comparison banding (the greedy budget additionally
+    # two-levels its prefix sum: per-band offsets via a ≤10-row
+    # self-join + a PARTITION BY band running sum, output bit-identical
+    # to the old global form).  Banding ties take the better band on
+    # both engines; gates: tests/test_plans.py::
+    # test_quantile_banding_has_no_global_window, property pins in
+    # tests/test_fuzz.py (round-13 section).  Deliberately demoted to
+    # re-earn driver rows on the scale-safe texts.
+    # r13 batch 2 (the three ADVICE items, each probed before fixing):
+    # (a) the seven cosine specs' zero-norm fence extended to a
+    # FINITE-norm fence — the probe FALSIFIED the advisor's claimed
+    # Spark-drops/DuckDB-keeps asymmetry (both engines evaluate
+    # NaN > 0 as TRUE), but that makes the gap worse: NaN/Inf norms
+    # from corrupt encoder output sailed into the top-k on BOTH
+    # engines.  Shared phrase `AND NOT isnan(nrm) AND nrm <
+    # CAST('Infinity' AS DOUBLE)` on all 13 texts + isfinite mask in
+    # the numpy kernel; pinned by tests/test_fuzz.py::
+    # test_cosine_fence_excludes_nonfinite_norms (which also exposed
+    # that duckdb's pandas scan coerces in-list NaN to NULL — the pin
+    # feeds DuckDB SQL literals).
+    # (b) json_variant_ops' k extraction strict CAST -> try_cast/
+    # TRY_CAST on both sides with the fence on the try_cast result (a
+    # malformed non-integer k ANSI-crashed both engines — the exact
+    # class the r12 json_from_json_struct fix closed one spec up).
+    # (c) cur_source_mixture_budget's numerator widened to
+    # DECIMAL(38,0)/HUGEINT incl. the remainder (BIGINT toks*100000
+    # ANSI-throws past ~9.2e13 tokens/source); largest-remainder pin
+    # range extended to 1e16.
+    sanctioned = {"evt_rfm_segments", "tpcds_ntile_decile_profile",
+                  "tpcds_freq_monetary_matrix",
+                  "cur_quality_curriculum_buckets",
+                  "cur_token_budget_greedy",
                   "ann_bruteforce_topk", "ann_bruteforce_vectorized",
                   "ann_lsh_probe", "ann_ivf_grid", "ann_recall_eval",
                   "ann_ivf_trained", "dedup_embedding_cosine",
-                  "agg_regression", "agg_nth_value", "agg_having",
-                  "evt_funnel_ordered", "evt_rfm_segments",
-                  "evt_value_band_histogram",
-                  "json_variant_ops", "json_from_json_struct",
-                  "json_tuple_arrays"}
+                  "json_variant_ops", "cur_source_mixture_budget"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -326,22 +359,22 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                  "tpcds_t8_qty_demand_offset_join"):
         assert name in green, f"r11-swept {name} must classify green"
         assert ledger[name]["round"] == 11, f"{name} not blessed at r11"
-    # The r12 sanctioned demotion (cur_source_mixture_budget, see
-    # test_legacy_backlog_is_exhausted) re-enters the queue AHEAD of the
-    # addition tail — curation is a priority module in the sweep order —
-    # until a fresh driver row lands on the fixed text.
+    # The sanctioned demotions (see test_legacy_backlog_is_exhausted for
+    # the current round's rationale) re-enter the queue AHEAD of the
+    # addition tail — in sweep (module import) order — until fresh
+    # driver rows land on the fixed texts.  r13 set: the five
+    # de-globalized quantile-banding specs + the nine ADVICE-batch
+    # texts (finite-norm fence ×7, variant try_cast, mixture widening).
     demoted = [
         n
-        for n in ("session_window_agg", "json_from_json_struct",
-                  "json_tuple_arrays", "json_variant_ops",
-                  "ann_bruteforce_topk",
+        for n in ("json_variant_ops", "ann_bruteforce_topk",
                   "ann_bruteforce_vectorized", "ann_lsh_probe",
-                  "ann_ivf_grid", "evt_funnel_ordered",
-                  "evt_rfm_segments", "evt_value_band_histogram",
-                  "ann_recall_eval", "cur_source_mixture_budget",
-                  "agg_regression", "agg_nth_value", "agg_having",
-                  "dedup_embedding_cosine", "ann_ivf_trained",
-                  "tpcds_dual_rank_return_ratio")
+                  "ann_ivf_grid", "tpcds_ntile_decile_profile",
+                  "evt_rfm_segments", "cur_token_budget_greedy",
+                  "ann_recall_eval", "tpcds_freq_monetary_matrix",
+                  "cur_source_mixture_budget",
+                  "cur_quality_curriculum_buckets",
+                  "dedup_embedding_cosine", "ann_ivf_trained")
         if n not in green
     ]
     still_unproven = demoted + [
