@@ -467,7 +467,7 @@ def csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # collect() forces every column to parse; a bare count() would prune
     # all columns, skip type conversion, and never detect the bad row.
-    # limit() bounds the driver transfer: the demo file is 4 rows, so a
+    # limit() bounds the driver transfer: the demo file is 3 rows, so a
     # misconfigured path can't flood the driver
     n_drop = len(drop.limit(1000).collect())
     return spark.createDataFrame(
@@ -611,9 +611,19 @@ def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB codec selection is a real throughput/size lever (zstd for
     cold storage, snappy/lz4 for hot shuffle-adjacent tables); this
     pins the invariant that it is ONLY a lever, never a semantic."""
+    # cents are computed BEFORE the write with the oracle's exact
+    # formula (round(x*100) -> BIGINT), so the two texts share one
+    # algorithm (r13 review: the old decimal-cast-then-multiply path
+    # was a REFORMULATED oracle — CLAUDE.md requires a pin for those —
+    # and decimal rounding of x can differ from round(fl(x*100)) on
+    # >2dp inputs).  The decimal column is still written and compared
+    # across codecs so decimal page encoding stays covered.
     src = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag",
         F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "price_cents_raw"
+        ),
     )
     paths = {}
     for codec in ("zstd", "snappy"):
@@ -622,17 +632,25 @@ def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         paths[codec] = p
     z = spark.read.parquet(paths["zstd"])
     sn = spark.read.parquet(paths["snappy"])
-    # the two halves must agree; aggregate the zstd copy after asserting
-    # the snappy copy reproduces the same per-flag aggregates
     agg = lambda df: df.groupBy("l_returnflag").agg(  # noqa: E731
         F.count("*").alias("cnt"),
-        F.sum((F.col("price") * 100).cast("bigint")).cast("bigint").alias(
-            "price_cents"
-        ),
+        F.sum("price_cents_raw").cast("bigint").alias("price_cents"),
+        F.sum("price").alias("dec_sum"),  # decimal fidelity, check-only
     )
-    za, sa = agg(z), agg(sn)
-    mismatch = za.join(sa, "l_returnflag").filter(
-        (za.cnt != sa.cnt) | (za.price_cents != sa.price_cents)
+    # collected-set comparison, not an inner join (r13 review): a join
+    # on l_returnflag silently DROPS a flag group one codec lost — the
+    # exact data-loss class this spec exists to catch; and an explicit
+    # raise, not `assert`, so `python -O` cannot strip the check.  The
+    # per-flag aggregate is a handful of rows, and rebuilding the
+    # returned frame from them avoids re-executing the zstd scan when
+    # the harness collects the result.
+    za_rows = sorted(agg(z).collect(), key=lambda r: r.l_returnflag)
+    sa_rows = sorted(agg(sn).collect(), key=lambda r: r.l_returnflag)
+    if za_rows != sa_rows:
+        raise AssertionError(
+            f"codec changed data: zstd={za_rows} snappy={sa_rows}"
+        )
+    return spark.createDataFrame(
+        [(r.l_returnflag, r.cnt, r.price_cents) for r in za_rows],
+        "l_returnflag string, cnt bigint, price_cents bigint",
     )
-    assert mismatch.count() == 0, "codec changed data"
-    return za.orderBy("l_returnflag")

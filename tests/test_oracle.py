@@ -44,3 +44,23 @@ def test_rows_only(name, spark, sf_dir):
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0  # runs end-to-end with a stable schema
     assert len(df.schema.fields) > 0
+
+
+def test_quantity_integrality_invariant_backing_shared_casts(duck):
+    """r13 sources_sinks review: ~16 spec texts CAST the DOUBLE
+    l_quantity straight to BIGINT in text SHARED between engines — but
+    the cast semantics are NOT shared (Spark truncates toward zero,
+    DuckDB rounds half-even).  They agree only because TPC-H defines
+    l_quantity as an integer in 1..50, so the fixtures store integral
+    doubles.  This pins that data contract: if a generator change ever
+    emits fractional quantities, this fails loudly instead of the
+    sweep going gate-red on a silent cross-engine divergence.  (Fixing
+    the class in-text would demote 15+ proven specs for a condition
+    the data source excludes by definition — the invariant test is the
+    cheaper fence.)"""
+    n_bad, lo, hi = duck.execute(
+        "SELECT COUNT(*) FILTER (l_quantity != floor(l_quantity)), "
+        "MIN(l_quantity), MAX(l_quantity) FROM lineitem"
+    ).fetchone()
+    assert n_bad == 0, f"fractional l_quantity rows: {n_bad}"
+    assert 1 <= lo and hi <= 50, (lo, hi)
