@@ -264,6 +264,26 @@ def test_legacy_backlog_is_exhausted():
     # DuckDB rounds) is fenced by a fixture-integrality pin in
     # tests/test_oracle.py instead of 15+ demotions — TPC-H defines
     # l_quantity integral.
+    # r13 batch 4 (subqueries.py high-effort review): all five specs
+    # were hash-green while their INTERESTING branches sat in
+    # measure-zero sets — the review probed the fixtures and fixed the
+    # discrimination, not just the texts:
+    # - subq_scalar_correlated_projection never exercised the empty
+    #   correlated group (every fixture customer has orders), i.e. the
+    #   canonical COUNT-bug path of scalar decorrelation; the
+    #   o_totalprice > 450000 filter makes ~1/3 of groups empty at
+    #   every SF (COUNT must be 0, MAX must be NULL);
+    # - subq_lateral_topn same fix: INNER-lateral row elimination now
+    #   actually drops ~1/3 of customers;
+    # - subq_exists_correlated_agg's HAVING > 1000 passed 100% of
+    #   suppliers at every SF (per-supplier qty sums are scale-
+    #   invariant ~15k) -> median-splitting > 15000 (7/10 pass at
+    #   sf0.001);
+    # - subq_in_correlated_filter's subqueries were both UNCORRELATED
+    #   (name overstated coverage) -> the IN is now genuinely
+    #   correlated on the outer order's total price;
+    # - subq_scalar_uncorrelated: NULLIF(COUNT(*), 0) per the CLAUDE.md
+    #   ANSI denominator rule (refactor hazard, not a live crash).
     sanctioned = {"evt_rfm_segments", "tpcds_ntile_decile_profile",
                   "tpcds_freq_monetary_matrix",
                   "cur_quality_curriculum_buckets",
@@ -272,7 +292,11 @@ def test_legacy_backlog_is_exhausted():
                   "ann_lsh_probe", "ann_ivf_grid", "ann_recall_eval",
                   "ann_ivf_trained", "dedup_embedding_cosine",
                   "json_variant_ops", "cur_source_mixture_budget",
-                  "parquet_codec_roundtrip", "csv_malformed_modes"}
+                  "parquet_codec_roundtrip", "csv_malformed_modes",
+                  "subq_scalar_uncorrelated",
+                  "subq_scalar_correlated_projection",
+                  "subq_in_correlated_filter", "subq_lateral_topn",
+                  "subq_exists_correlated_agg"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -385,7 +409,9 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
     # texts (finite-norm fence ×7, variant try_cast, mixture widening).
     demoted = [
         n
-        for n in ("json_variant_ops", "csv_malformed_modes",
+        for n in ("subq_in_correlated_filter", "subq_lateral_topn",
+                  "subq_exists_correlated_agg",
+                  "json_variant_ops", "csv_malformed_modes",
                   "parquet_codec_roundtrip", "ann_bruteforce_topk",
                   "ann_bruteforce_vectorized", "ann_lsh_probe",
                   "ann_ivf_grid", "tpcds_ntile_decile_profile",
@@ -393,6 +419,8 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "ann_recall_eval", "tpcds_freq_monetary_matrix",
                   "cur_source_mixture_budget",
                   "cur_quality_curriculum_buckets",
+                  "subq_scalar_uncorrelated",
+                  "subq_scalar_correlated_projection",
                   "dedup_embedding_cosine", "ann_ivf_trained")
         if n not in green
     ]
