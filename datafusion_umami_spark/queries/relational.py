@@ -53,13 +53,17 @@ register_sql(
 
 register_sql(
     "filter_like_ilike",
+    # r13 review: the spec's name claims ILIKE but the old text used
+    # lower()+LIKE (testing LIKE twice); both engines support the ILIKE
+    # operator natively, and the mixed-case pattern only matches
+    # case-insensitively.
     """
     SELECT p_partkey, p_name, p_brand
     FROM part
     WHERE p_name LIKE '%wid%' AND p_name NOT LIKE 'blue%'
-      AND lower(p_brand) LIKE 'brand#1%'
+      AND p_brand ILIKE 'BrAnD#1%'
     """,
-    tags=("filter", "like"),
+    tags=("filter", "like", "ilike"),
 )
 
 # --- sort + top-k + offset -------------------------------------------------
@@ -87,12 +91,23 @@ register_sql(
 
 register_sql(
     "sort_nulls_ordering",
+    # r13 review: the old NULLIF(c_acctbal, 0.0) never produced a NULL
+    # (no fixture balance is exactly 0 at any SF) and the unbounded
+    # input meant the LIMIT 40 window held only seg-NULL rows at
+    # sf>=0.01 — neither NULLS clause was actually exercised where the
+    # spec is proven.  Now: bal is NULL for ~1/3 of rows (< 3000), the
+    # input is the SF-invariant first 150 customers (probed: ~22
+    # seg-NULLs and 11-18 bal-NULLs at every SF), and LIMIT 60 spans
+    # the seg NULLS FIRST block, the bal DESC NULLS LAST tail inside
+    # it, AND non-NULL seg ordering behind it.
     """
-    SELECT c_custkey, NULLIF(c_acctbal, 0.0) AS bal,
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 3000 THEN NULL ELSE c_acctbal END AS bal,
            CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
     FROM customer
+    WHERE c_custkey <= 150
     ORDER BY seg ASC NULLS FIRST, bal DESC NULLS LAST, c_custkey
-    LIMIT 40
+    LIMIT 60
     """,
     tags=("sort", "nulls-ordering"),
 )
@@ -114,7 +129,7 @@ register_sql(
     SELECT DISTINCT ON (l_orderkey) l_orderkey, l_linenumber, l_partkey
     FROM lineitem
     WHERE l_orderkey < 500
-    ORDER BY l_orderkey, l_linenumber
+    ORDER BY l_orderkey, l_linenumber, l_partkey
     """,
     tags=("distinct-on", "window"),
 )
@@ -124,8 +139,14 @@ def distinct_on_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     no DISTINCT ON — the idiomatic rewrite is row_number over the ON keys.
     The windowGroupLimit optimization turns the rn=1 filter into a
     per-partition limit, so no full-partition materialization at scale."""
+    # total-order tail (r13 review): (l_orderkey, l_linenumber) is NOT
+    # unique in the fixtures — 112-141 orderkeys have 2+ rows tied on
+    # the minimum linenumber with DIFFERENT l_partkey, so ordering by
+    # l_linenumber alone let both engines pick an arbitrary tied row
+    # (green only by layout luck; the pg_edges DISTINCT ON specs and
+    # their property pin already mandate a pinned ORDER BY tail).
     li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
     return (
         li.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -166,20 +187,37 @@ register_sql(
 
 register_sql(
     "intersect_all",
+    # r13 review: the old right side (supplier) held each suppkey
+    # exactly ONCE, so min-multiplicity was always 1 and INTERSECT ALL
+    # was extensionally identical to INTERSECT DISTINCT — a dedup-then-
+    # intersect bug would have stayed green.  Both sides are now
+    # lineitem multisets (probed min-multiplicities: 271 rows over 10
+    # suppliers at sf0.001), capped per the row-budget convention
+    # (duplicate k rows are identical, so the LIMIT cut is stable).
     """
-    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
-    INTERSECT ALL
-    SELECT s_suppkey AS k FROM supplier
+    SELECT k FROM (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+      INTERSECT ALL
+      SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 3
+    ) t
+    ORDER BY k
+    LIMIT 1000
     """,
     tags=("intersect", "multiset"),
 )
 
 register_sql(
     "except_distinct",
+    # r13 review: the old c_acctbal > 9000 subtrahend covered ALL 25
+    # nations at sf>=0.01, so the EXCEPT returned zero rows at every
+    # proof scale — an always-empty EXCEPT would have stayed green.
+    # The SF-invariant first-30-customers subtrahend leaves genuine
+    # survivors everywhere (probed: 2/10 at sf0.001, 8/25 at
+    # sf0.01 and sf0.1).
     """
     SELECT s_nationkey AS nk FROM supplier
     EXCEPT
-    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+    SELECT c_nationkey AS nk FROM customer WHERE c_custkey <= 30
     """,
     tags=("except",),
 )
@@ -279,9 +317,24 @@ def date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- large top-k sort (reference benchmarks/src/sort_tpch.rs shape) ---------
+# r13 review: l_shipdate is parquet TIMESTAMP (Spark reads LTZ), and
+# the output previously shipped it raw — green only because the session
+# pins UTC; under a driver-owned non-UTC session the collected
+# wall-clock would shift while DuckDB's naive timestamps don't.  The
+# Spark text now casts the OUTPUT to TIMESTAMP_NTZ per the registry
+# convention (sort keys stay on the raw column — the cast is value-
+# monotone, so the top-k set and order are unchanged).
 register_sql(
     "sort_multicol_large",
     """
+    SELECT CAST(l_shipdate AS TIMESTAMP_NTZ) AS l_shipdate,
+           l_orderkey, l_linenumber, l_returnflag,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    LIMIT 2000
+    """,
+    oracle="""
     SELECT l_shipdate, l_orderkey, l_linenumber, l_returnflag,
            CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
     FROM lineitem

@@ -284,6 +284,27 @@ def test_legacy_backlog_is_exhausted():
     #   correlated on the outer order's total price;
     # - subq_scalar_uncorrelated: NULLIF(COUNT(*), 0) per the CLAUDE.md
     #   ANSI denominator rule (refactor hazard, not a live crash).
+    # r13 batch 5 (relational.py high-effort review): one LIVE
+    # nondeterminism bug and four vacuous-branch defects, all probed:
+    # - distinct_on_first_line ordered ties by l_linenumber alone while
+    #   112-141 orderkeys have 2+ rows tied on the minimum linenumber
+    #   with DIFFERENT l_partkey — both engines picked layout-dependent
+    #   rows (green by luck) -> total-order tail l_partkey on both
+    #   sides, matching the pg_edges DISTINCT ON convention;
+    # - except_distinct returned ZERO rows at sf>=0.01 (the subtrahend
+    #   covered all nations) -> SF-invariant custkey<=30 subtrahend
+    #   (8/25 survivors at proof scales);
+    # - intersect_all's right side held each key once, so min-
+    #   multiplicity was always 1 (INTERSECT ALL == DISTINCT on that
+    #   data) -> both sides lineitem multisets, capped;
+    # - sort_nulls_ordering never produced a NULL bal (NULLIF vs 0.0
+    #   matches nothing) and its LIMIT window held only seg-NULL rows
+    #   at proof scale -> bal NULL for <3000 balances, SF-invariant
+    #   150-customer input, LIMIT 60 spans both NULLS clauses and
+    #   non-NULL ordering;
+    # - sort_multicol_large shipped raw TIMESTAMP_LTZ l_shipdate
+    #   (UTC-pin luck) -> output cast to TIMESTAMP_NTZ per convention;
+    # - filter_like_ilike tested LIKE twice -> real ILIKE operator.
     sanctioned = {"evt_rfm_segments", "tpcds_ntile_decile_profile",
                   "tpcds_freq_monetary_matrix",
                   "cur_quality_curriculum_buckets",
@@ -296,7 +317,10 @@ def test_legacy_backlog_is_exhausted():
                   "subq_scalar_uncorrelated",
                   "subq_scalar_correlated_projection",
                   "subq_in_correlated_filter", "subq_lateral_topn",
-                  "subq_exists_correlated_agg"}
+                  "subq_exists_correlated_agg",
+                  "distinct_on_first_line", "except_distinct",
+                  "intersect_all", "sort_nulls_ordering",
+                  "sort_multicol_large", "filter_like_ilike"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -411,6 +435,9 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
         n
         for n in ("subq_in_correlated_filter", "subq_lateral_topn",
                   "subq_exists_correlated_agg",
+                  "intersect_all", "except_distinct", "filter_like_ilike",
+                  "sort_nulls_ordering", "sort_multicol_large",
+                  "distinct_on_first_line",
                   "json_variant_ops", "csv_malformed_modes",
                   "parquet_codec_roundtrip", "ann_bruteforce_topk",
                   "ann_bruteforce_vectorized", "ann_lsh_probe",
