@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 from datafusion_umami_spark.registry import register, register_sql
 from datafusion_umami_spark.tables import table
 
+from datafusion_umami_spark.queries.hashing import DUCK_H64, SPARK_H64
+
 
 # --- fill_null / dropna ------------------------------------------------------
 @register(
@@ -56,22 +58,34 @@ def df_fill_drop_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- deterministic hash-Bernoulli sample -------------------------------------
+# built from the shared 60-bit hash pair (queries/hashing.py) — the
+# r13 review found this was the third hand-copied instance of the
+# convention; the .format() output is byte-identical to the old inline
+# text, so the proven fingerprint is unchanged.  A NULL doc_id hashes
+# to NULL and `NULL % 10 = 0` is NULL-false on both engines, so the
+# bernoulli filter is null-safe as-is.
 register_sql(
     "sample_hash_bernoulli",
-    """
+    f"""
     SELECT doc_id, lang, n_chars
     FROM documents
-    WHERE CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 = 0
+    WHERE {SPARK_H64.format(s='CAST(doc_id AS STRING)')} % 10 = 0
     """,
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang, n_chars
     FROM documents
-    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+    WHERE {DUCK_H64.format(s='CAST(doc_id AS VARCHAR)')} % 10 = 0
     """,
     tags=("sampling", "bernoulli", "llm-pipeline"),
 )
 
 # --- stratified sample: deterministic top-k per stratum ----------------------
+# doc_id IS NOT NULL fence (r13 review): a NULL doc_id hashes to a
+# NULL md5 key, and the engines place ORDER BY NULLs on OPPOSITE ends
+# by default (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST) — a
+# single null-id row would flip the selected top-5 of its stratum.
+# Deterministic hash sampling of a row with no id is undefined anyway;
+# the fence drops them identically on both engines.
 register_sql(
     "sample_stratified_topk",
     """
@@ -81,6 +95,7 @@ register_sql(
                PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
       FROM documents
+      WHERE doc_id IS NOT NULL
     ) WHERE rn <= 5
     """,
     oracle="""
@@ -90,6 +105,7 @@ register_sql(
                PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
       FROM documents
+      WHERE doc_id IS NOT NULL
     ) WHERE rn <= 5
     """,
     tags=("sampling", "stratified", "llm-pipeline"),
@@ -214,7 +230,7 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS cnt,
            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM lineitem
-    WHERE l_shipdate >= DATE '1995-01-01'
+    WHERE l_shipdate >= DATE '1998-01-01'
     GROUP BY l_shipdate
     ORDER BY l_shipdate
     LIMIT 400
@@ -227,8 +243,11 @@ def repartition_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is how time-ordered data lands in time-contiguous
     files for pruning). Results must be partitioning-invariant; the
     oracle checks exactly that."""
+    # boundary INSIDE the data range (r13 review: the fixtures span
+    # 1995-01-02..2001-11-04, so the old 1995-01-01 filter matched every
+    # row and the date-predicate path was never load-bearing)
     li = table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("date")
     )
     return (
         li.repartitionByRange(8, "l_shipdate")
@@ -268,7 +287,12 @@ register_sql(
       FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.custkey)
     SELECT custkey, status, spend_c, segment
     FROM merged
-    ORDER BY custkey
+    -- explicit NULLS LAST (r13 review): a NULL-user_id events group
+    -- would merge to a NULL custkey, and the engines' default NULL
+    -- placement differs (Spark ASC=NULLS FIRST, DuckDB ASC=NULLS LAST)
+    -- so the LIMIT truncation would keep different row sets once the
+    -- join output exceeds 2000 rows (sf0.1+)
+    ORDER BY custkey NULLS LAST
     LIMIT 2000
     """,
     tags=("merge", "upsert", "full-outer-join"),

@@ -2606,3 +2606,119 @@ def test_cosine_fence_excludes_nonfinite_norms(spark, restore_views):
     assert all(_math.isfinite(c) for _, c in got_sp), got_sp
     assert got_sp == got_du, (got_sp, got_du)
     assert {1, 5, 6} == set(ids_sp), got_sp
+
+
+def test_dataframe_reshape_oracles_match_on_adversarial_micro_data(
+    spark, monkeypatch, restore_views
+):
+    """r13 dataframe_ops review: four specs pair a DataFrame-API callable
+    with a REFORMULATED SQL oracle (na.fill/na.drop vs COALESCE/WHERE,
+    arrays_zip+posexplode vs LATERAL unnest, pivot vs SUM(CASE),
+    unpivot vs UNION ALL) and had no micro-data pin — the CLAUDE.md
+    reformulation rule.  This runs each registered callable on
+    swapped-in adversarial fixtures (NULL keys, NULL segments, empty
+    strings, separator-edge names, pivot keys outside the value list,
+    NULL measures, boundary custkeys) against the registered oracle on
+    the identical data."""
+    import duckdb as _duckdb
+    import pandas as _pd
+
+    import datafusion_umami_spark.queries.dataframe_ops as dfo
+    from datafusion_umami_spark.oracle import compare_frames
+    from datafusion_umami_spark.registry import REGISTRY as _REG
+    from datafusion_umami_spark.registry import _load_all as _la
+
+    _la()
+    customer = _pd.DataFrame(
+        {
+            "c_custkey": [5, 10, 15, 20, 399, 400, 7, 3],
+            "c_mktsegment": ["BUILDING", None, "AUTO", "BUILDING",
+                             "MACHINERY", "FURNITURE", None, "AUTO"],
+            "c_acctbal": [1.5, None, 2.25, None, 3.0, 4.0, 9.75, -1.25],
+        }
+    )
+    # %5==0 nulls bal; BUILDING/None null seg; (20): both null -> dropped
+    nation = _pd.DataFrame(
+        {
+            "n_nationkey": [0, 1, 2, 3, 4, 5, 11],
+            "n_name": ["", "A", "AA", "BANANA", "XYZ", "XA", "AAAA"],
+        }
+    )
+    events = _pd.DataFrame(
+        {
+            "user_id": [1, 2, None, 11, 12, 1, 2],
+            "event_type": ["click", "view", "purchase", "zzz", None,
+                           "click", "signup"],
+            "value": [1.25, 2.50, 3.75, 100.0, 5.25, -0.75, 0.0],
+        }
+    ).astype({"user_id": "Int64"})
+    lineitem = _pd.DataFrame(
+        {
+            "l_returnflag": ["A", "A", "N", "R"],
+            "l_quantity": [1.0, None, 3.0, 4.0],
+            "l_extendedprice": [10.25, 20.50, None, 40.75],
+            "l_discount": [0.05, 0.06, 0.07, None],
+            # date objects, not datetime64: duckdb maps pandas
+            # datetime64[ns] to TIMESTAMP_NS, which refuses the
+            # oracle's >= DATE comparison (the real fixture is µs)
+            "l_shipdate": _pd.to_datetime(
+                ["1997-12-31", "1998-01-01", "1999-06-15", "1998-01-01"]
+            ).date,
+        }
+    )
+    frames = {
+        "customer": customer,
+        "nation": nation,
+        "events": events,
+        "lineitem": lineitem,
+    }
+
+    def _nn(x):
+        # pandas stores None as NaN in float columns; Spark must see a
+        # real NULL, not a NaN DOUBLE (round(NaN).cast(bigint) would
+        # ANSI-crash — a different fixture than the one intended here)
+        return None if _pd.isna(x) else x
+
+    sdfs = {
+        "customer": spark.createDataFrame(
+            [
+                (int(k), _nn(s), _nn(b))
+                for k, s, b in customer.itertuples(index=False)
+            ],
+            "c_custkey long, c_mktsegment string, c_acctbal double",
+        ),
+        "nation": spark.createDataFrame(nation),
+        "events": spark.createDataFrame(
+            [
+                (None if _pd.isna(u) else int(u), _nn(t), v)
+                for u, t, v in events.itertuples(index=False)
+            ],
+            "user_id long, event_type string, value double",
+        ),
+        "lineitem": spark.createDataFrame(
+            [
+                (f, _nn(q), _nn(e), _nn(d), s)
+                for f, q, e, d, s in lineitem.itertuples(index=False)
+            ],
+            "l_returnflag string, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_shipdate date",
+        ),
+    }
+    monkeypatch.setattr(dfo, "table", lambda sp, sf, name: sdfs[name])
+
+    con = _duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(name, pdf)
+    for spec_name in (
+        "df_fill_drop_null",
+        "unnest_multi_posexplode",
+        "pivot_wide_agg",
+        "unpivot_melt",
+        "repartition_by_range",
+    ):
+        spec = _REG[spec_name]
+        got = spec.fn(spark, "ignored").toPandas()
+        want = con.execute(spec.oracle).df()
+        r = compare_frames(spec_name, got, want)
+        assert r.ok, f"{spec_name}: {r.detail}"
+    con.close()

@@ -320,7 +320,21 @@ def test_legacy_backlog_is_exhausted():
                   "subq_exists_correlated_agg",
                   "distinct_on_first_line", "except_distinct",
                   "intersect_all", "sort_nulls_ordering",
-                  "sort_multicol_large", "filter_like_ilike"}
+                  "sort_multicol_large", "filter_like_ilike",
+                  # r13 batch 6 (dataframe_ops.py review): stratified
+                  # top-k fenced doc_id IS NOT NULL (a NULL id hashes to
+                  # a NULL sort key placed on OPPOSITE ends by the two
+                  # engines' ORDER BY defaults); merge_upsert's LIMIT
+                  # truncation made engine-stable with explicit NULLS
+                  # LAST; repartition_by_range's date filter moved
+                  # INSIDE the data range (the old 1995-01-01 boundary
+                  # matched every row).  The four reformulated-oracle
+                  # reshape specs got the CLAUDE.md-mandated micro-data
+                  # pin (tests/test_fuzz.py reshape section); the
+                  # 60-bit hash texts now build from queries/hashing.py
+                  # byte-identically (no demotion for that one).
+                  "sample_stratified_topk", "merge_upsert_latest_wins",
+                  "repartition_by_range"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -442,13 +456,15 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "parquet_codec_roundtrip", "ann_bruteforce_topk",
                   "ann_bruteforce_vectorized", "ann_lsh_probe",
                   "ann_ivf_grid", "tpcds_ntile_decile_profile",
-                  "evt_rfm_segments", "cur_token_budget_greedy",
+                  "evt_rfm_segments", "merge_upsert_latest_wins",
+                  "cur_token_budget_greedy",
                   "ann_recall_eval", "tpcds_freq_monetary_matrix",
                   "cur_source_mixture_budget",
                   "cur_quality_curriculum_buckets",
                   "subq_scalar_uncorrelated",
                   "subq_scalar_correlated_projection",
-                  "dedup_embedding_cosine", "ann_ivf_trained")
+                  "dedup_embedding_cosine", "sample_stratified_topk",
+                  "repartition_by_range", "ann_ivf_trained")
         if n not in green
     ]
     still_unproven = demoted + [
