@@ -7,10 +7,16 @@ information_schema hierarchy (catalog/src/lib.rs,
 catalog/src/information_schema.rs), plus EXPLAIN
 (physical-plan/src/explain.rs:40).
 
-These return engine-specific metadata shapes, so they are rows-only
-checks (no DuckDB oracle) — except `catalog_information_schema`, whose
-column inventory is engine-independent and hash-checked against
-DuckDB's information_schema over the same parquet.
+Most introspection specs return engine-specific metadata shapes, so
+they are rows-only checks (no DuckDB oracle) — but that is NOT this
+module's blanket convention (r13 review: the old header claimed only
+catalog_information_schema carried an oracle): the specs whose output
+is engine-independent data (prepared_statement_params,
+repartition_coalesce_roundtrip, ddl_create_database_ctas,
+cache_table_scan, ddl_schema_evolution, table_fingerprint_orders,
+layout_zorder_tiles, catalog_information_schema) are all hash-checked
+against DuckDB per the CLAUDE.md first rule — oracle=None ONLY for
+genuinely engine-specific output.
 """
 
 from __future__ import annotations
@@ -20,6 +26,8 @@ from pyspark.sql import functions as F
 
 from datafusion_umami_spark.registry import register, register_sql
 from datafusion_umami_spark.tables import TABLE_NAMES, register_views
+
+from datafusion_umami_spark.queries.hashing import DUCK_H64, SPARK_H64
 
 
 def _fresh_scratch_location(spark: SparkSession, table: str) -> None:
@@ -73,9 +81,21 @@ def ddl_explain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ddl_set_show_conf", oracle=None, tags=("ddl", "set"))
 def ddl_set_show_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SET / SHOW of a session config knob (reference `SET x.*` config
-    extension, common/src/config.rs:897-927)."""
+    extension, common/src/config.rs:897-927).  The prior value is
+    RESTORED before returning (r13 review: the session is shared by
+    every spec in a sweep — under an AQE-off environment like the
+    hostile-config leg, leaving adaptive.enabled flipped on would
+    contaminate every later plan in session order).  The SHOW rows are
+    collected while the SET is live so the returned frame is stable."""
+    try:
+        prior = spark.conf.get("spark.sql.adaptive.enabled")
+    except Exception:
+        prior = None
     spark.sql("SET spark.sql.adaptive.enabled=true")
-    return spark.sql("SET spark.sql.adaptive.enabled")
+    rows = spark.sql("SET spark.sql.adaptive.enabled").collect()
+    if prior is not None:
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
+    return spark.createDataFrame(rows)
 
 
 @register(
@@ -276,8 +296,16 @@ def cache_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "InMemory" in plan, "CACHE TABLE did not produce an in-memory scan"
-        return df
+        if "InMemory" not in plan:  # explicit raise: assert dies under -O
+            raise AssertionError("CACHE TABLE did not produce an in-memory scan")
+        # materialize WHILE the cache is live (r13 review): the old code
+        # returned the lazy frame and uncached in `finally`, so the
+        # execution the harness actually compared ran AFTER the uncache —
+        # it silently recomputed from parquet (and re-persisted orphaned
+        # cache buffers), never exercising cache serving at execution
+        # time.  The compared rows now come from the in-memory scan.
+        rows = df.collect()
+        return spark.createDataFrame(rows, df.schema)
     finally:
         spark.sql("UNCACHE TABLE IF EXISTS customer")
 
@@ -369,15 +397,26 @@ def ddl_show_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # accumulates in 128-bit exact integers (DECIMAL(38,0) / HUGEINT):
 # ~2^60 per row × 10^12 rows ≈ 10^30 stays far under the 10^38 ceiling,
 # where a BIGINT sum would overflow (ANSI mode rejects it).
-register_sql(
-    "table_fingerprint_orders",
-    """
-    WITH h AS (
-      SELECT CAST(conv(substr(md5(concat_ws('|',
+# built from the shared 60-bit hash pair (queries/hashing.py) — the
+# r13 review found this was the last inline copy of the convention;
+# the .format() output is byte-identical to the old text (the row
+# encoding lives in {s}), so the proven fingerprint is unchanged.
+_FP_ROW_SP = """concat_ws('|',
                  CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
                  o_orderstatus,
                  CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
-                 o_orderpriority)), 1, 15), 16, 10) AS BIGINT) AS rh
+                 o_orderpriority)"""
+_FP_ROW_DU = """concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                 o_orderstatus,
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                 o_orderpriority)"""
+
+register_sql(
+    "table_fingerprint_orders",
+    f"""
+    WITH h AS (
+      SELECT {SPARK_H64.format(s=_FP_ROW_SP)} AS rh
       FROM orders)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(rh AS DECIMAL(38, 0))) AS STRING) AS hash_sum,
@@ -385,13 +424,9 @@ register_sql(
            CAST(MAX(rh) AS BIGINT) AS hash_max
     FROM h
     """,
-    oracle="""
+    oracle=f"""
     WITH h AS (
-      SELECT CAST(concat('0x', substr(md5(concat_ws('|',
-                 CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-                 o_orderstatus,
-                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
-                 o_orderpriority)), 1, 15)) AS BIGINT) AS rh
+      SELECT {DUCK_H64.format(s=_FP_ROW_DU)} AS rh
       FROM orders)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(CAST(SUM(rh) AS HUGEINT) AS VARCHAR) AS hash_sum,

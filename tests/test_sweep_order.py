@@ -334,7 +334,19 @@ def test_legacy_backlog_is_exhausted():
                   # 60-bit hash texts now build from queries/hashing.py
                   # byte-identically (no demotion for that one).
                   "sample_stratified_topk", "merge_upsert_latest_wins",
-                  "repartition_by_range"}
+                  "repartition_by_range",
+                  # r13 batch 7 (catalog_ddl.py review): cache_table_scan
+                  # uncached in `finally` BEFORE the harness executed the
+                  # returned frame, so the compared rows never read the
+                  # live cache (and the guard was a bare assert, dead
+                  # under python -O) -> rows collected while cached,
+                  # explicit raise; ddl_set_show_conf leaked its SET onto
+                  # the shared session (AQE flipped on under an AQE-off
+                  # leg would contaminate later plans) -> prior value
+                  # restored after collecting the SHOW.  The inline hash
+                  # pair in table_fingerprint_orders migrated to
+                  # queries/hashing.py byte-identically (no demotion).
+                  "cache_table_scan", "ddl_set_show_conf"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -463,7 +475,9 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "cur_quality_curriculum_buckets",
                   "subq_scalar_uncorrelated",
                   "subq_scalar_correlated_projection",
-                  "dedup_embedding_cosine", "sample_stratified_topk",
+                  "dedup_embedding_cosine",
+                  "ddl_set_show_conf", "cache_table_scan",
+                  "sample_stratified_topk",
                   "repartition_by_range", "ann_ivf_trained")
         if n not in green
     ]
