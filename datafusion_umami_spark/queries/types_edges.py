@@ -17,14 +17,23 @@ from __future__ import annotations
 from datafusion_umami_spark.registry import register_sql
 
 # --- decimal arithmetic at high precision -----------------------------------
+# unit_price (r13 review): the old DECIMAL/DECIMAL quotient was a SILENT
+# REFORMULATION — DuckDB 1.x evaluates decimal division in DOUBLE
+# (probed: typeof = DOUBLE), so Spark rounded an exact decimal quotient
+# to 10 places while DuckDB rounded a double approximation; they agreed
+# only because TPC-H extended prices are exact multiples of the
+# (integral) quantity, with ~2x of double headroom.  True decimal-
+# quotient parity is NOT expressible against DuckDB 1.x (documented
+# gap); the quotient is now IEEE-shared: exact integer cents over
+# qty*100, the identical double operands on both engines.
 register_sql(
     "types_decimal_arith",
     """
     SELECT l_orderkey, l_linenumber,
            CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))
                 AS DECIMAL(38,8)) AS DOUBLE) AS gross_d38,
-           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) / NULLIF(CAST(l_quantity AS DECIMAL(18,4)), 0)
-                AS DECIMAL(24,10)) AS DOUBLE) AS unit_price,
+           CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+             / NULLIF(CAST(l_quantity AS BIGINT) * 100, 0) AS unit_price,
            CAST(ROUND(CAST(l_discount AS DECIMAL(10,6)), 1) AS DOUBLE) AS disc_r1
     FROM lineitem
     WHERE l_orderkey < 300
@@ -33,9 +42,25 @@ register_sql(
 )
 
 # --- interval arithmetic: year-month + day-time ------------------------------
+# plus_36h (r13 review): the Spark side now routes through
+# TIMESTAMP_NTZ per the registry output convention — the old shared
+# CAST(.. AS TIMESTAMP) produced LTZ, green only under the UTC session
+# pin; the oracle keeps DuckDB's naive TIMESTAMP (it has no NTZ
+# keyword, its TIMESTAMP already IS naive).
 register_sql(
     "types_interval_arith",
     """
+    SELECT o_orderkey,
+           o_orderdate,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(o_orderdate - INTERVAL 90 DAY AS DATE) AS minus_90d,
+           CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS plus_1y,
+           CAST(CAST(o_orderdate AS TIMESTAMP_NTZ) + INTERVAL 36 HOUR
+                AS TIMESTAMP_NTZ) AS plus_36h
+    FROM orders
+    WHERE o_orderkey < 200
+    """,
+    oracle="""
     SELECT o_orderkey,
            o_orderdate,
            CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
@@ -49,6 +74,13 @@ register_sql(
 )
 
 # --- try_cast: malformed / overflowing input → NULL, not error ---------------
+# DOCUMENTED ENGINE DIVERGENCE (r13 review, pinned by tests/test_fuzz.py
+# ::test_try_cast_agreement_class_and_documented_divergence): on
+# decimal/exponent-formatted strings ('2.5', '12.0', '1e2') DuckDB's
+# TRY_CAST(.. AS INT) rounds/accepts where Spark ANSI try_cast yields
+# NULL.  The spec's inputs (color words, integral key strings) sit in
+# the probed agreement class — integral strings, garbage words, and
+# out-of-range values behave identically on both engines.
 register_sql(
     "types_try_cast",
     """
@@ -117,13 +149,23 @@ register_sql(
 )
 
 # --- timestamp precision: µs round-trip + ns truncation ----------------------
+# r13 review notes: (a) ts_ms/ts_s now stay TIMESTAMP_NTZ (the old CAST
+# .. AS TIMESTAMP laundered the normalized NTZ column back to LTZ —
+# green only under the UTC pin); (b) unix_micros(CAST(ts AS TIMESTAMP))
+# and the shim's time-of-day arithmetic depend on the session UTC pin
+# for epoch equality with DuckDB's epoch_us over naive values — the pin
+# is a repo-wide invariant (session.py + the driver), documented here;
+# (c) this spec and types_time_of_day_shim share the tables.py KNOWN
+# ASYMMETRY exposure: under the historical ns-as-long generator with
+# true sub-µs ticks, Spark's µs normalization vs DuckDB's raw ns read
+# would diverge (fixtures are native-µs; probed r12).
 register_sql(
     "types_timestamp_precision",
     """
     SELECT event_id, ts,
            unix_micros(CAST(ts AS TIMESTAMP)) AS us,
-           CAST(date_trunc('MILLISECOND', ts) AS TIMESTAMP) AS ts_ms,
-           CAST(date_trunc('SECOND', ts) AS TIMESTAMP) AS ts_s
+           CAST(date_trunc('MILLISECOND', ts) AS TIMESTAMP_NTZ) AS ts_ms,
+           CAST(date_trunc('SECOND', ts) AS TIMESTAMP_NTZ) AS ts_s
     FROM events
     WHERE event_id < 300
     """,

@@ -2722,3 +2722,40 @@ def test_dataframe_reshape_oracles_match_on_adversarial_micro_data(
         r = compare_frames(spec_name, got, want)
         assert r.ok, f"{spec_name}: {r.detail}"
     con.close()
+
+
+def test_try_cast_agreement_class_and_documented_divergence(spark):
+    """r13 types_edges review: TRY_CAST string->int semantics are NOT
+    fully shared — DuckDB rounds/accepts decimal- and exponent-formatted
+    strings ('2.5'->3 not 2, '12.0'->12, '1e2'->100) where Spark ANSI
+    try_cast yields NULL.  types_try_cast's fixture inputs sit in the
+    agreement class; this pins BOTH facts: (a) the agreement class
+    (integral strings, garbage words, out-of-range values) behaves
+    identically, so the spec's reliance on it is load-bearing, and (b)
+    the divergence class genuinely diverges — if an engine upgrade ever
+    aligns them, this fails and the documented-gap comment comes out."""
+    import duckdb as _duckdb
+
+    cases_agree = ["7", "-3", "0042", "  9 ", "red", "", "9999999999999",
+                   None, "-0"]
+    cases_diverge = ["2.5", "12.0", "1e2"]
+    con = _duckdb.connect()
+
+    def du(v):
+        return con.execute(
+            "SELECT TRY_CAST(? AS INT)", [v]
+        ).fetchone()[0]
+
+    def sp(v):
+        lit = "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+        return spark.sql(f"SELECT try_cast({lit} AS INT) AS v").collect()[0].v
+
+    for v in cases_agree:
+        assert sp(v) == du(v), f"agreement class broke on {v!r}: " \
+                               f"spark={sp(v)} duck={du(v)}"
+    diverged = [v for v in cases_diverge if sp(v) != du(v)]
+    assert diverged, (
+        "TRY_CAST decimal-string divergence no longer reproduces — "
+        "update the documented-gap comment in queries/types_edges.py"
+    )
+    con.close()

@@ -346,7 +346,21 @@ def test_legacy_backlog_is_exhausted():
                   # restored after collecting the SHOW.  The inline hash
                   # pair in table_fingerprint_orders migrated to
                   # queries/hashing.py byte-identically (no demotion).
-                  "cache_table_scan", "ddl_set_show_conf"}
+                  "cache_table_scan", "ddl_set_show_conf",
+                  # r13 batch 8 (types_edges.py review, closing the six-
+                  # module campaign): types_decimal_arith's unit_price
+                  # was a silent reformulation (DuckDB evaluates
+                  # DECIMAL/DECIMAL in DOUBLE — probed — so the engines
+                  # rounded DIFFERENT quotients, agreeing only on TPC-H's
+                  # exact-multiple prices) -> IEEE-shared integer-cents /
+                  # (qty*100) division; types_interval_arith plus_36h and
+                  # types_timestamp_precision ts_ms/ts_s shipped LTZ
+                  # outputs (UTC-pin luck) -> TIMESTAMP_NTZ per the
+                  # registry convention with a split oracle.  The
+                  # TRY_CAST decimal-string engine divergence is pinned
+                  # as a documented gap (test_fuzz.py).
+                  "types_decimal_arith", "types_interval_arith",
+                  "types_timestamp_precision"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -464,7 +478,10 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "intersect_all", "except_distinct", "filter_like_ilike",
                   "sort_nulls_ordering", "sort_multicol_large",
                   "distinct_on_first_line",
-                  "json_variant_ops", "csv_malformed_modes",
+                  "json_variant_ops",
+                  "types_decimal_arith", "types_interval_arith",
+                  "types_timestamp_precision",
+                  "csv_malformed_modes",
                   "parquet_codec_roundtrip", "ann_bruteforce_topk",
                   "ann_bruteforce_vectorized", "ann_lsh_probe",
                   "ann_ivf_grid", "tpcds_ntile_decile_profile",
