@@ -2759,3 +2759,88 @@ def test_try_cast_agreement_class_and_documented_divergence(spark):
         "update the documented-gap comment in queries/types_edges.py"
     )
     con.close()
+
+
+def test_ngram_builders_degenerate_text_cross_engine(spark, restore_views):
+    """r12 verdict watch item / r13 item 7: the shared n-gram builders
+    (dedup 3-gram shingles, decontam 5-grams, textanalysis token stats)
+    were safe-by-construction on empty docs but never had an
+    adversarial NULL/empty/whitespace-only pin.  Swaps `documents` for
+    a degenerate corpus and asserts the REGISTERED texts produce
+    identical rows on Spark and DuckDB.  Probed semantics this pin
+    locks: a NULL text behaves exactly like an empty text on BOTH
+    engines — greatest(NULL, 1) skips the NULL, element_at/[] on a
+    NULL array is NULL, and concat_ws drops NULLs — so a NULL doc
+    emits ONE empty gram while an empty/whitespace-only doc emits the
+    all-empty-words gram ('  ' for a 3-gram: three ''s joined by two
+    spaces); degenerate docs deterministically cluster together, never
+    crash or diverge, and split(trim('')) yields [''] identically (the
+    convention the docstrings rely on)."""
+    import duckdb as _duckdb
+
+    from datafusion_umami_spark.queries.decontam import _DU_5G, _SP_5G
+    from datafusion_umami_spark.queries.dedup import (
+        _DU_SHINGLES,
+        _SP_SHINGLES,
+    )
+    from datafusion_umami_spark.registry import REGISTRY as _REG
+    from datafusion_umami_spark.registry import _load_all as _la
+
+    _la()
+    texts = [None, "", "   ", "\t \n ", "word", "  two  words  ",
+             "a b c", "a b c d e f g"]
+    rows = list(enumerate(texts))
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).createOrReplaceTempView("documents")
+    con = _duckdb.connect()
+    values = ",".join(
+        f"({i}, " + ("NULL" if t is None else "'" + t.replace("'", "''") + "'")
+        + ")"
+        for i, t in rows
+    )
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"(VALUES {values}) t(doc_id, text)"
+    )
+
+    # dedup 3-gram shingles (the minhash candidate base)
+    got_sp = sorted(
+        (r.doc_id, r.shingle) for r in spark.sql(_SP_SHINGLES).collect()
+    )
+    got_du = sorted(tuple(r) for r in con.execute(_DU_SHINGLES).fetchall())
+    assert got_sp == got_du, f"shingles diverge:\n{got_sp}\n{got_du}"
+    assert (0, "") in got_sp, "NULL text must emit one empty shingle"
+    assert (1, "  ") in got_sp, "empty text must emit the all-empty 3-gram"
+    assert (2, "  ") in got_sp and (3, "  ") in got_sp, (
+        "whitespace-only text must behave like empty text"
+    )
+
+    # decontam 5-grams, instantiated over the same ws base as the specs
+    sp_src = r"(SELECT doc_id, split(trim(text), '\\s+') AS ws FROM documents)"
+    du_src = (
+        r"(SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws"
+        " FROM documents)"
+    )
+    got_sp5 = sorted(
+        (r.doc_id, r.ngram)
+        for r in spark.sql(
+            _SP_5G.format(cols="doc_id", src=sp_src)
+        ).collect()
+    )
+    got_du5 = sorted(
+        tuple(r)
+        for r in con.execute(_DU_5G.format(cols="doc_id", src=du_src)).fetchall()
+    )
+    assert got_sp5 == got_du5, f"5-grams diverge:\n{got_sp5}\n{got_du5}"
+    assert (0, "") in got_sp5, "NULL text must emit one empty 5-gram"
+    assert (1, "    ") in got_sp5, "empty text must emit the all-empty 5-gram"
+
+    # textanalysis token stats: the registered texts verbatim
+    spec = _REG["text_token_stats"]
+    sp_rows = {
+        r.doc_id: tuple(r)[1:] for r in spark.sql(spec.fn.__doc__).collect()
+    }
+    du_rows = {r[0]: tuple(r)[1:] for r in con.execute(spec.oracle).fetchall()}
+    assert sp_rows == du_rows, f"token stats diverge:\n{sp_rows}\n{du_rows}"
+    con.close()
