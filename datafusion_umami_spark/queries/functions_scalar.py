@@ -279,12 +279,16 @@ register_sql(
     tags=("scalar", "datetime", "arith"),
 )
 
+# reparsed carries the TIMESTAMP_NTZ output cast (r13 registry-wide
+# LTZ audit: to_timestamp yields LTZ — the last raw-LTZ output in the
+# registry; green only under the UTC session pin before the cast)
 register_sql(
     "fn_datetime_make_parse",
     """
     SELECT e.event_id,
            make_date(2024, CAST(month(e.ts) AS INT), 1) AS month_anchor,
-           to_timestamp(date_format(e.ts, 'yyyy-MM-dd HH:mm:ss')) AS reparsed,
+           CAST(to_timestamp(date_format(e.ts, 'yyyy-MM-dd HH:mm:ss'))
+                AS TIMESTAMP_NTZ) AS reparsed,
            from_unixtime(e.event_id * 3600, 'yyyy-MM-dd HH:mm:ss') AS synth_ts
     FROM events e WHERE e.event_id < 100
     """,

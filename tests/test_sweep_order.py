@@ -360,7 +360,13 @@ def test_legacy_backlog_is_exhausted():
                   # TRY_CAST decimal-string engine divergence is pinned
                   # as a documented gap (test_fuzz.py).
                   "types_decimal_arith", "types_interval_arith",
-                  "types_timestamp_precision"}
+                  "types_timestamp_precision",
+                  # r13 batch 9: registry-WIDE output-schema audit (all
+                  # 541 queries at sf0.001) found exactly ONE remaining
+                  # raw-LTZ timestamp output — fn_datetime_make_parse's
+                  # to_timestamp() reparse — now CAST to TIMESTAMP_NTZ
+                  # per convention.  Zero errors, zero other hits.
+                  "fn_datetime_make_parse"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -477,7 +483,7 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "subq_exists_correlated_agg",
                   "intersect_all", "except_distinct", "filter_like_ilike",
                   "sort_nulls_ordering", "sort_multicol_large",
-                  "distinct_on_first_line",
+                  "distinct_on_first_line", "fn_datetime_make_parse",
                   "json_variant_ops",
                   "types_decimal_arith", "types_interval_arith",
                   "types_timestamp_precision",
