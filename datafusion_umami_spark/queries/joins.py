@@ -103,13 +103,20 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 450000.0)
     """,
     tags=("join", "anti"),
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join against BIG orders (r13 review: the unfiltered original
+    returned ZERO rows at sf0.001/0.01 — every fixture customer has an
+    order — so a never-match anti join hashed green against the equally
+    empty oracle; the 450000 filter leaves ~1/3 of customers orderless
+    at every SF, populating both kept and dropped branches)."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -118,14 +125,25 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_suppkey, s_name FROM supplier
     WHERE EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+                  WHERE l_suppkey = s_suppkey AND l_quantity = 50
+                    AND l_discount >= 0.08 AND l_returnflag = 'R')
     """,
     tags=("join", "semi"),
 )
 def join_right_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RightSemi = LeftSemi with sides swapped (reference join_type.rs:
-    RightSemi) — Spark only exposes left_semi, so swap explicitly."""
-    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    RightSemi) — Spark only exposes left_semi, so swap explicitly.
+    r13 review: the old `l_quantity >= 49` probe retained every
+    supplier at every SF (each supplier has ~600 lineitems, so
+    P(no qty>=49 item) ~ 1e-11) — the semi join structurally could not
+    discriminate; the three-conjunct probe passes 9/10 suppliers at
+    sf0.001, 59/100 at sf0.01, 653/1000 at sf0.1 (probed), so both
+    branches are populated at every proof scale."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") == 50)
+        & (F.col("l_discount") >= 0.08)
+        & (F.col("l_returnflag") == "R")
+    )
     s = table(spark, sf_dir, "supplier")
     return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
 
@@ -263,13 +281,21 @@ register_sql(
     tags=("join", "mark", "exists", "subquery"),
 )
 
+# r13 review: the old IN branch (l_quantity = 50 alone) matched every
+# supplier at every SF, so the OR excluded zero rows and the mark-join
+# shape never discriminated.  The three-conjunct probe splits the
+# branch matrix (bal&in / bal-only / in-only / neither) to
+# (1,0,8,1) at sf0.001, (9,6,50,35) at sf0.01, (114,55,539,292) at
+# sf0.1 — probed; the exclusion branch is populated everywhere.
 register_sql(
     "join_in_or_subquery",
     """
     SELECT s_suppkey, s_name
     FROM supplier
     WHERE s_acctbal < 1000.0
-       OR s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity = 50)
+       OR s_suppkey IN (SELECT l_suppkey FROM lineitem
+                        WHERE l_quantity = 50 AND l_discount >= 0.08
+                          AND l_returnflag = 'R')
     """,
     tags=("join", "mark", "in-subquery"),
 )
@@ -287,7 +313,13 @@ register_sql(
       SELECT event_type, category, s
       FROM dim LATERAL VIEW explode(sequence(0, 7)) st AS s),
     f AS (
-      SELECT event_type, value, pmod(event_id, 8) AS s FROM events)
+      -- coalesce BEFORE the salt (r13 review + micro pin): a NULL
+      -- event_id salted to pmod(NULL,8)=NULL and the salted equi-join
+      -- silently DROPPED the row while the unsalted oracle kept it —
+      -- the salt value is arbitrary, so any non-null constant is a
+      -- correct bucket for the NULL ids
+      SELECT event_type, value, pmod(coalesce(event_id, 0), 8) AS s
+      FROM events)
     SELECT sd.category,
            COUNT(*) AS n,
            CAST(SUM(CAST(round(f.value * 100) AS BIGINT)) AS BIGINT) AS cents

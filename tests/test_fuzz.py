@@ -2844,3 +2844,52 @@ def test_ngram_builders_degenerate_text_cross_engine(spark, restore_views):
     du_rows = {r[0]: tuple(r)[1:] for r in con.execute(spec.oracle).fetchall()}
     assert sp_rows == du_rows, f"token stats diverge:\n{sp_rows}\n{du_rows}"
     con.close()
+
+
+def test_salted_skew_join_matches_unsalted_on_null_keys(spark, restore_views):
+    """r13 joins review: join_salted_skew's oracle is the UNSALTED join
+    (a REFORMULATION — the CLAUDE.md pin rule), and the old salt
+    pmod(event_id, 8) sent a NULL event_id to a NULL salt, silently
+    DROPPING the row from the salted equi-join while the unsalted
+    oracle kept it.  Fixed with coalesce-before-salt; this pin runs
+    both registered texts verbatim over a swapped events view whose
+    adversarial rows include NULL event_id, NULL value, NULL and
+    unknown event_type."""
+    import duckdb as _duckdb
+
+    from datafusion_umami_spark.registry import REGISTRY as _REG
+    from datafusion_umami_spark.registry import _load_all as _la
+
+    _la()
+    rows = [
+        (1, "click", 1.25), (None, "click", 2.50), (3, "view", 3.75),
+        (None, "purchase", 4.00), (5, "error", None), (6, "zzz", 6.25),
+        (None, None, 7.00), (8, "signup", -1.50), (17, "click", 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    ).createOrReplaceTempView("events")
+    spec = _REG["join_salted_skew"]
+    got_sp = sorted(
+        (r.category, r.n, r.cents)
+        for r in spark.sql(spec.fn.__doc__).collect()
+    )
+    con = _duckdb.connect()
+    values = ",".join(
+        "(" + ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else repr(v))
+            for v in row
+        ) + ")"
+        for row in rows
+    )
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"(VALUES {values}) t(event_id, event_type, value)"
+    )
+    got_du = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    con.close()
+    assert got_sp == got_du, f"salted != unsalted:\n{got_sp}\n{got_du}"
+    # the NULL-id click row must be COUNTED (n=3 for engagement incl.
+    # the NULL-id and zero-value clicks plus the view)
+    eng = [r for r in got_sp if r[0] == "engagement"]
+    assert eng and eng[0][1] == 4, got_sp

@@ -366,7 +366,24 @@ def test_legacy_backlog_is_exhausted():
                   # raw-LTZ timestamp output — fn_datetime_make_parse's
                   # to_timestamp() reparse — now CAST to TIMESTAMP_NTZ
                   # per convention.  Zero errors, zero other hits.
-                  "fn_datetime_make_parse"}
+                  "fn_datetime_make_parse",
+                  # r13 batch 10 (joins.py review — the oldest-evidence
+                  # r2 cohort; FINAL demotion batch, the 50-slot sweep
+                  # budget is now at 40): three more vacuous-branch
+                  # specs (join_left_anti returned ZERO rows at proof
+                  # scales — every fixture customer has an order;
+                  # join_right_semi retained every supplier at every SF
+                  # — P(no qty>=49 item in ~600 lines) ~ 1e-11;
+                  # join_in_or_subquery's IN branch matched all
+                  # suppliers so the OR excluded nothing), each fixed
+                  # with probed discriminating predicates, and ONE
+                  # latent NULL-key bug: join_salted_skew's
+                  # pmod(event_id, 8) salted a NULL id to NULL and the
+                  # salted equi-join dropped the row while the unsalted
+                  # oracle kept it -> coalesce-before-salt + the
+                  # reformulation micro pin (test_fuzz.py).
+                  "join_left_anti", "join_right_semi",
+                  "join_in_or_subquery", "join_salted_skew"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -501,7 +518,9 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "dedup_embedding_cosine",
                   "ddl_set_show_conf", "cache_table_scan",
                   "sample_stratified_topk",
-                  "repartition_by_range", "ann_ivf_trained")
+                  "repartition_by_range", "ann_ivf_trained",
+                  "join_left_anti", "join_right_semi",
+                  "join_in_or_subquery", "join_salted_skew")
         if n not in green
     ]
     still_unproven = demoted + [
