@@ -2893,3 +2893,86 @@ def test_salted_skew_join_matches_unsalted_on_null_keys(spark, restore_views):
     # the NULL-id and zero-value clicks plus the view)
     eng = [r for r in got_sp if r[0] == "engagement"]
     assert eng and eng[0][1] == 4, got_sp
+
+
+def test_range_frame_boundaries_match_duckdb_on_micro_data(
+    spark, monkeypatch, restore_views
+):
+    """r13 hardening of the 11-round-old RANGE-frame proofs: value- and
+    interval-offset RANGE frames are boundary-inclusive peer-group
+    semantics, and the sf fixtures rarely land EXACTLY on a boundary
+    (the measure-zero class).  Runs both registered specs on micro-data
+    with exact-boundary gaps (price diff exactly 10000; timestamps
+    exactly 1 hour apart), just-outside gaps (10000.01 / 3601s), and
+    duplicate order keys (peers must aggregate together) against
+    DuckDB on the identical rows."""
+    import duckdb as _duckdb
+
+    import datafusion_umami_spark.queries.windows as w
+    from datafusion_umami_spark.oracle import compare_frames
+    from datafusion_umami_spark.registry import REGISTRY as _REG
+    from datafusion_umami_spark.registry import _load_all as _la
+
+    _la()
+    # value-offset RANGE: prices straddling the ±10000 boundary exactly
+    orders = [
+        (1, 1, 10000.00), (2, 1, 20000.00),   # diff exactly 10000: IN
+        (3, 1, 30000.01),                      # 10000.01 from row 2: OUT
+        (4, 1, 20000.00),                      # duplicate price: peer
+        (5, 2, 500.25), (6, 2, 10500.25),      # exactly 10000 apart: IN
+        (7, 2, 10500.26),                      # peer+0.01
+        (8, 3, 999999.99),                     # lone row
+    ]
+    sdf = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    monkeypatch.setattr(w, "table", lambda sp, sf, name: sdf)
+    got = _REG["window_range_frame"].fn(spark, "ignored").toPandas()
+    con = _duckdb.connect()
+    values = ",".join(f"({k}, {c}, {p!r})" for k, c, p in orders)
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"(VALUES {values}) t(o_orderkey, o_custkey, o_totalprice)"
+    )
+    want = con.execute(_REG["window_range_frame"].oracle).df()
+    r = compare_frames("window_range_frame", got, want)
+    assert r.ok, r.detail
+    # exact-boundary row must COUNT its 10000-away sibling (peers incl.)
+    n1 = {int(a): int(b) for a, b in zip(got.o_orderkey, got.n_similar)}
+    # row 1 sees the exactly-10000-away pair (2,4) + itself; row 3 is
+    # 10000.01 from them -> only itself
+    assert n1[1] == 3 and n1[3] == 1 and n1[8] == 1, n1
+
+    # interval-offset RANGE over event time: exactly-1-hour gap is IN,
+    # 3601 s is OUT, duplicate ts are peers
+    events = [
+        (1, 1, "2024-01-01 10:00:00", 1.25),
+        (2, 1, "2024-01-01 11:00:00", 2.50),   # exactly 1 h later: IN
+        (3, 1, "2024-01-01 12:00:01", 4.00),   # 3601 s after row 2: OUT
+        (4, 1, "2024-01-01 11:00:00", 8.00),   # duplicate ts: peer
+        (5, 2, "2024-01-01 00:00:00", 16.00),
+    ]
+    sev = spark.createDataFrame(
+        [(i, u, t, v) for i, u, t, v in events],
+        "event_id long, user_id long, ts string, value double",
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "value"
+    )
+    sev.createOrReplaceTempView("events")
+    spec = _REG["window_time_range_frame"]
+    got2 = spark.sql(spec.fn.__doc__).toPandas()
+    values2 = ",".join(
+        f"({i}, {u}, TIMESTAMP '{t}', {v!r})" for i, u, t, v in events
+    )
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"(VALUES {values2}) t(event_id, user_id, ts, value)"
+    )
+    want2 = con.execute(spec.oracle).df()
+    r2 = compare_frames("window_time_range_frame", got2, want2)
+    assert r2.ok, r2.detail
+    cnt = {int(a): int(b) for a, b in zip(got2.event_id, got2.events_last_hour)}
+    # row 2: sees row 1 (exactly 1 h back, inclusive) + its peer row 4
+    # + itself = 3; row 3: 3601 s after the peers -> only itself = 1
+    assert cnt[2] == 3 and cnt[4] == 3 and cnt[3] == 1 and cnt[5] == 1, cnt
+    con.close()

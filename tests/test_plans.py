@@ -692,3 +692,36 @@ def test_quantile_banding_has_no_global_window(name, spark, sf_dir):
         assert not re.search(r"\bWindow\b", plan), (
             f"{name}: banding spec should plan no Window at all\n{plan}"
         )
+
+
+@pytest.mark.parametrize(
+    "name,fact",
+    [
+        ("evt_rfm_segments", "events"),
+        ("tpcds_ntile_decile_profile", "orders"),
+        ("tpcds_freq_monetary_matrix", "orders"),
+        ("cur_quality_curriculum_buckets", "documents"),
+        ("cur_token_budget_greedy", "documents"),
+    ],
+)
+def test_quantile_banding_scans_fact_once(name, fact, spark, sf_dir):
+    """The r13 banding rewrites reference their per-entity stage from
+    BOTH the boundary aggregate and the banding pass; the split
+    materialization must leave at most two fact scans in the final plan
+    (two for RFM, whose stage itself reads events twice for max_day +
+    the rollup; one for the rest) — an inlined composition would
+    re-scan per reference."""
+    from datafusion_umami_spark.operators.materialize import (
+        fact_scan_counts,
+        release_all,
+    )
+
+    try:
+        df = q(name, spark, sf_dir)
+        counts = fact_scan_counts(df)
+    finally:
+        release_all()
+    assert counts.get(fact, 0) <= (2 if name == "evt_rfm_segments" else 1), (
+        name,
+        counts,
+    )
