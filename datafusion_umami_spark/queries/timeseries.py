@@ -165,32 +165,46 @@ register_sql(
 
 # --- incremental rollup maintenance ---------------------------------------
 # The materialized-view maintenance pattern: a standing daily summary
-# (everything before the newest day) merged with that day's delta by
-# UNION ALL + re-aggregation.  The ORACLE is the full recompute — the
-# query's whole point is that merge == recompute, which holds because
-# the integer-cents aggregates are associative (registry.py
-# conventions).  At 100 TB the summary side is a tiny stored table and
-# only the delta partition is scanned; here both derive from one scan
-# to keep the driver check self-contained.
-register_sql(
+# merged with a delta by UNION ALL + re-aggregation, ORACLE = the full
+# recompute (merge == recompute because the integer-cents aggregates
+# are associative).  r13 review rewrote the split on THREE counts:
+# (a) the old date cutoff was DISJOINT at the group level (o_orderdate
+#     values are midnight timestamps, so the boundary day lived only
+#     in the delta) — the merge never actually combined two partials
+#     for one day, i.e. the associativity the spec exists to prove was
+#     never exercised.  The split key is now orderkey parity, FINER
+#     than the group key, so EVERY day group must merge two partials;
+# (b) a NULL o_orderdate satisfied neither cutoff predicate and
+#     silently vanished from the merge while the recompute oracle kept
+#     its group — both texts now filter IS NOT NULL (TPC-H dates are
+#     non-null; the fence keeps the reformulation total);
+# (c) the cutoff CTE was cross-joined into both branches and Spark
+#     inlines CTEs, so the plan scanned orders FOUR times — the
+#     per-(day, parity) rollup is now split-materialized (one scan),
+#     matching the zscore spec's pattern below.
+# Pinned against a pure-Python recompute on adversarial micro-data
+# (NULL dates, single-parity days) in tests/test_fuzz.py.
+register_split_sql(
     "inc_rollup_merge",
-    """
-    WITH cutoff AS (
-      SELECT date_trunc('day', MAX(o_orderdate)) AS d0 FROM orders),
-    summary AS (
+    stages=[
+        (
+            """
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             o_orderkey % 2 AS part,
              COUNT(*) AS n,
              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS cents
-      FROM orders, cutoff WHERE o_orderdate < cutoff.d0
-      GROUP BY CAST(date_trunc('day', o_orderdate) AS DATE)),
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY CAST(date_trunc('day', o_orderdate) AS DATE),
+               o_orderkey % 2""",
+            "inc_daily_parts_m",
+        )
+    ],
+    final_sql="""
+    WITH summary AS (
+      SELECT day, n, cents FROM inc_daily_parts_m WHERE part = 0),
     delta AS (
-      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             COUNT(*) AS n,
-             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               AS cents
-      FROM orders, cutoff WHERE o_orderdate >= cutoff.d0
-      GROUP BY CAST(date_trunc('day', o_orderdate) AS DATE)),
+      SELECT day, n, cents FROM inc_daily_parts_m WHERE part = 1),
     merged AS (
       SELECT day, CAST(SUM(n) AS BIGINT) AS n,
              CAST(SUM(cents) AS BIGINT) AS cents
@@ -206,6 +220,7 @@ register_sql(
            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS cents
     FROM orders
+    WHERE o_orderdate IS NOT NULL
     GROUP BY CAST(date_trunc('day', o_orderdate) AS DATE)
     ORDER BY day
     LIMIT 3000
@@ -257,15 +272,12 @@ _ZSCORE_FINAL = """
              CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0))
                AS s2
       FROM {m} GROUP BY day)
+    -- is_anomaly is constant 1 by construction (every row already
+    -- passed the identical WHERE below) — the old CASE re-evaluated
+    -- the 8-line fence a third time and was a drift hazard across the
+    -- three copies (r13 review); the oracle always had CAST(1)
     SELECT m.minute, m.x, d.n AS day_minutes,
-           CAST(CASE WHEN CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
-                          * CAST(d.n * m.x - d.s1 AS DECIMAL(19,0))
-                          > CAST(9 AS DECIMAL(1,0))
-                            * (CAST(d.n AS DECIMAL(4,0))
-                               * CAST(d.s2 AS DECIMAL(38,0))
-                               - CAST(d.s1 AS DECIMAL(17,0))
-                                 * CAST(d.s1 AS DECIMAL(19,0)))
-                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+           CAST(1 AS BIGINT) AS is_anomaly
     FROM {m} m JOIN day_stats d ON m.day = d.day
     WHERE CAST(d.n * m.x - d.s1 AS DECIMAL(17,0))
           * CAST(d.n * m.x - d.s1 AS DECIMAL(19,0))
@@ -351,8 +363,17 @@ register_sql(
 # --- rolling weekly median (percentile over a moving frame) ----------------
 # Exact-interpolation percentile as a WINDOW aggregate over a 7-row
 # trailing frame of daily revenue — the robust-trend line dashboards
-# draw.  Input values are integer cents (deterministic); interpolation
-# rounds to 4 decimals to absorb last-ulp drift between engines.
+# draw.  r13 review (the CLAUDE.md magnitude-ROUND rule): the old
+# ROUND(med/100.0, 4) rounded a float whose magnitude GROWS with the
+# corpus at a FIXED absolute boundary — a countdown that hits zero
+# once ulp(med) > 5e-5 (daily revenue ~ 4.5e13 cents, far below the
+# 100 TB design point).  The median is now emitted as EXACT cents: the
+# 7-row frames select an exact element and the partial even-sized
+# frames interpolate at g=0.5 between two integers (a half-integer,
+# exact in double below 2^52 ~ $45T/day) — both engines' interpolation
+# formulas are exact on these inputs, so no rounding is needed at all.
+# The unpartitioned window's input is the |days| rollup — calendar-
+# bounded (~2400 rows at any corpus size), not corpus-cardinality.
 register_sql(
     "ts_rolling_median_weekly",
     """
@@ -362,9 +383,9 @@ register_sql(
                AS rev_c
       FROM orders GROUP BY date_trunc('day', o_orderdate))
     SELECT d, rev_c,
-           ROUND(percentile(rev_c, 0.5) OVER (ORDER BY d
-                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 4)
-             AS med7
+           CAST(percentile(rev_c, 0.5) OVER (ORDER BY d
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS med7_c
     FROM daily
     ORDER BY d
     LIMIT 2000
@@ -376,9 +397,9 @@ register_sql(
                AS rev_c
       FROM orders GROUP BY date_trunc('day', o_orderdate))
     SELECT d, rev_c,
-           ROUND(quantile_cont(rev_c, 0.5) OVER (ORDER BY d
-                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 4)
-             AS med7
+           CAST(quantile_cont(rev_c, 0.5) OVER (ORDER BY d
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS med7_c
     FROM daily
     ORDER BY d
     LIMIT 2000

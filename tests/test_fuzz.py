@@ -2976,3 +2976,124 @@ def test_range_frame_boundaries_match_duckdb_on_micro_data(
     # + itself = 3; row 3: 3601 s after the peers -> only itself = 1
     assert cnt[2] == 3 and cnt[4] == 3 and cnt[3] == 1 and cnt[5] == 1, cnt
     con.close()
+
+
+def test_inc_rollup_merge_matches_python_recompute(spark, restore_views):
+    """r13 timeseries review: the merge==recompute reformulation never
+    actually merged (the old date cutoff was disjoint at the group
+    level) and silently dropped NULL-date rows.  Runs the rewritten
+    split (parity partials -> union -> re-aggregate) as its inlined
+    composition verbatim on BOTH engines over micro-data with NULL
+    dates, single-parity days, and a day whose partials must combine,
+    against a pure-Python full recompute."""
+    import duckdb as _duckdb
+
+    from datafusion_umami_spark.registry import REGISTRY as _REG
+    from datafusion_umami_spark.registry import _load_all as _la
+
+    _la()
+    rows = [
+        (2, "2024-01-01 00:00:00", 10.01),   # even+odd on one day:
+        (3, "2024-01-01 00:00:00", 20.02),   # partials must merge
+        (4, "2024-01-02 00:00:00", 30.00),   # even-only day
+        (7, "2024-01-03 00:00:00", 40.40),   # odd-only day
+        (8, None, 99.99),                    # NULL date: excluded by BOTH
+        (11, "2024-01-01 00:00:00", 0.05),
+    ]
+    spark.createDataFrame(
+        [(k, t, v) for k, t, v in rows],
+        "o_orderkey long, o_orderdate string, o_totalprice double",
+    ).selectExpr(
+        "o_orderkey", "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+        "o_totalprice",
+    ).createOrReplaceTempView("orders")
+    fn = _REG["inc_rollup_merge"].fn
+    (stage_sql, view), = fn._split_stages
+    head = fn._split_final.lstrip()  # final starts WITH: splice the CTE
+    inlined = f"WITH {view} AS ({stage_sql}),\n" + head[4:].lstrip()
+    got_sp = sorted(
+        (str(r.day), r.n, r.cents) for r in spark.sql(inlined).collect()
+    )
+    con = _duckdb.connect()
+    values = ",".join(
+        f"({k}, " + ("NULL" if t is None else f"TIMESTAMP '{t}'") + f", {v!r})"
+        for k, t, v in rows
+    )
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"(VALUES {values}) t(o_orderkey, o_orderdate, o_totalprice)"
+    )
+    got_du_merge = sorted(
+        (str(d), n, c) for d, n, c in con.execute(inlined).fetchall()
+    )
+    got_du_oracle = sorted(
+        (str(d), n, c)
+        for d, n, c in con.execute(_REG["inc_rollup_merge"].oracle).fetchall()
+    )
+    con.close()
+    want = {}
+    for k, t, v in rows:
+        if t is None:
+            continue
+        day = t[:10]
+        n, c = want.get(day, (0, 0))
+        want[day] = (n + 1, c + round(v * 100))
+    want = sorted((d, n, c) for d, (n, c) in want.items())
+    assert got_sp == want, (got_sp, want)
+    assert got_du_merge == want, (got_du_merge, want)
+    assert got_du_oracle == want, (got_du_oracle, want)
+
+
+def test_zscore_fence_widths_exact_at_adversarial_magnitudes(spark):
+    """r13 timeseries review: ts_anomaly_zscore_minutes' squared
+    z-score fence ((n*x - s1)^2 > 9*(n*s2 - s1^2)) carries hand-derived
+    DECIMAL widths whose boundary math bit once before (the r10
+    demotion).  Runs the registered FINAL text verbatim on BOTH engines
+    over a synthetic minute rollup at the documented magnitude bound
+    (per-minute counts up to 7e13, n up to 1440 incl. a duplicate-value
+    day and an exact-boundary pair) against exact Python integers."""
+    import duckdb as _duckdb
+
+    from datafusion_umami_spark.queries.timeseries import _ZSCORE_FINAL
+
+    days = {
+        "2024-01-01": [70_000_000_000_000, 69_999_999_999_999, 1,
+                       35_000_000_000_000],
+        "2024-01-02": [5, 5, 5, 5],                   # zero variance
+        "2024-01-03": [1, 2, 3, 4, 100],              # clear outlier
+        "2024-01-04": [42],                           # single minute
+    }
+    rows = []
+    for d, xs in days.items():
+        for i, x in enumerate(xs):
+            rows.append((d, f"{d} 00:{i:02d}:00", x))
+    sql = _ZSCORE_FINAL.format(m="zmin_pin")
+    spark.createDataFrame(
+        rows, "day string, minute string, x long"
+    ).selectExpr(
+        "CAST(day AS DATE) AS day",
+        "CAST(minute AS TIMESTAMP_NTZ) AS minute", "x",
+    ).createOrReplaceTempView("zmin_pin")
+    got_sp = sorted((str(r.minute), r.x, r.day_minutes, r.is_anomaly)
+                    for r in spark.sql(sql).collect())
+    con = _duckdb.connect()
+    values = ",".join(
+        f"(DATE '{d}', TIMESTAMP '{m}', {x})" for d, m, x in rows
+    )
+    con.execute(
+        "CREATE VIEW zmin_pin AS SELECT * FROM "
+        f"(VALUES {values}) t(day, minute, x)"
+    )
+    got_du = sorted((str(m), x, n, a)
+                    for m, x, n, a in con.execute(sql).fetchall())
+    con.close()
+
+    want = []
+    for d, xs in days.items():
+        n, s1, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+        for i, x in enumerate(xs):
+            if (n * x - s1) ** 2 > 9 * (n * s2 - s1 * s1):
+                want.append((f"{d} 00:{i:02d}:00", x, n, 1))
+    want.sort()
+    assert got_sp == want, (got_sp, want)
+    assert got_du == want, (got_du, want)

@@ -383,7 +383,27 @@ def test_legacy_backlog_is_exhausted():
                   # oracle kept it -> coalesce-before-salt + the
                   # reformulation micro pin (test_fuzz.py).
                   "join_left_anti", "join_right_semi",
-                  "join_in_or_subquery", "join_salted_skew"}
+                  "join_in_or_subquery", "join_salted_skew",
+                  # r13 batch 11 (timeseries.py review — the true final
+                  # batch, 43/50 sweep slots): ts_rolling_median_weekly
+                  # fixed-decimal-ROUNDed a corpus-growing daily-revenue
+                  # median (the agg_regression magnitude class) -> exact
+                  # unrounded cents (7-row frames pick an element,
+                  # partial frames interpolate to half-integers — exact
+                  # in double on both engines); inc_rollup_merge's date
+                  # cutoff was DISJOINT at the group level (midnight
+                  # timestamps), so the merge never merged, a NULL date
+                  # silently vanished vs the recompute oracle, and the
+                  # inlined cutoff CTE scanned orders 4x -> parity split
+                  # (every day merges two partials), IS NOT NULL fence
+                  # on both texts, split-materialized rollup (0 fact
+                  # scans in the final plan); ts_anomaly_zscore_minutes
+                  # dropped its dead always-1 CASE (a 3-copy drift
+                  # hazard of the width fence).  Both reformulations
+                  # pinned on adversarial micro-data incl. 7e13
+                  # magnitudes (test_fuzz.py).
+                  "ts_rolling_median_weekly", "inc_rollup_merge",
+                  "ts_anomaly_zscore_minutes"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -508,7 +528,9 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "parquet_codec_roundtrip", "ann_bruteforce_topk",
                   "ann_bruteforce_vectorized", "ann_lsh_probe",
                   "ann_ivf_grid", "tpcds_ntile_decile_profile",
-                  "evt_rfm_segments", "merge_upsert_latest_wins",
+                  "evt_rfm_segments", "inc_rollup_merge",
+                  "merge_upsert_latest_wins",
+                  "ts_anomaly_zscore_minutes", "ts_rolling_median_weekly",
                   "cur_token_budget_greedy",
                   "ann_recall_eval", "tpcds_freq_monetary_matrix",
                   "cur_source_mixture_budget",
