@@ -917,6 +917,13 @@ register_sql(
 # scalar subqueries, and each customer bands by comparison.  Ties on a
 # boundary take the better decile on both engines (band is a pure
 # function of rev_c).  Probed cross-engine in tests/test_fuzz.py.
+# r14 (ADVICE item 1): decile_revenue was ROUND(SUM(rev_c)/100.0, 2)
+# — a fixed-decimal ROUND of a corpus-growing double (ulp > 0.005 past
+# ~$2.3e13 per decile) over a bare-BIGINT cents sum (ANSI overflow at
+# 2^63 where DuckDB widens to HUGEINT).  Now exact integer cents
+# accumulated in DECIMAL(38,0) on both engines, output as STRING per
+# the hash-sum convention; min/max_revenue are per-customer-bounded
+# and keep the fixed-decimal form.
 _DECILE_BOUNDS = ",\n".join(
     f"        CAST(percentile_disc(0.{k}) WITHIN GROUP (ORDER BY rev_c DESC)"
     f" AS BIGINT) AS b{k}"
@@ -946,7 +953,8 @@ _DECILE_BODY = f"""
       FROM {{sp}})
     SELECT CAST(decile AS BIGINT) AS decile,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(CAST(SUM(rev_c) AS DOUBLE) / 100.0, 2) AS decile_revenue,
+           CAST(CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS STRING) AS decile_revenue_c,
            ROUND(CAST(MIN(rev_c) AS DOUBLE) / 100.0, 2) AS min_revenue,
            ROUND(CAST(MAX(rev_c) AS DOUBLE) / 100.0, 2) AS max_revenue
     FROM d
@@ -1229,33 +1237,99 @@ register_sql(
 )
 
 # Pareto coverage: how many top customers cover 80% of revenue —
-# exact integer cumulative sums (cum*5 >= total*4 avoids any float).
-register_sql(
-    "tpcds_pareto_coverage",
-    """
-    WITH per_cust AS (
+# exact integer cumulative sums (prefix*5 < total*4 avoids any float).
+# r14 (r13 verdict weak item — the LAST corpus-cardinality global
+# window in the registry): the old text ran SUM(rev_c) OVER (ORDER BY
+# rev_c DESC, custkey ROWS UNBOUNDED PRECEDING) + ROW_NUMBER over ALL
+# customers in ONE partition.  Now the cur_token_budget_greedy
+# two-level prefix sum (queries/curation.py): (1) coarse-band each
+# customer by rev_c decile boundaries (percentile_disc — a tiny
+# ordered-set aggregate, broadcast); bands are order-prefixes of
+# (rev_c DESC, custkey) because the band is a monotone function of
+# rev_c alone (ties share a band); (2) per-band revenue totals (≤10
+# rows) turn into per-band OFFSETS via a tiny band<band self-join;
+# (3) the running sum windows PARTITION BY band, offset by the band's
+# predecessor total.  rev_before = offset + within-band exclusive
+# prefix is IDENTICAL to the old global cum_c - rev_c — same output,
+# bit for bit (pinned against a pure-Python pareto reference in
+# tests/test_fuzz.py) — but the widest window partition is one decile,
+# not the corpus.  Revenue accumulates in DECIMAL(38,0) (Spark) /
+# DECIMAL(38,0)-sum (DuckDB): corpus-growing cents would overflow a
+# bare BIGINT*5 under ANSI past ~1.8e18; exact below 1e38 on both
+# engines.  Worst case (all rev_c equal) degenerates to one band — a
+# data-skew bound, not a plan bound.
+_PARETO_SPEND = """
       SELECT o_custkey AS custkey,
              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS rev_c
-      FROM orders GROUP BY o_custkey),
-    ranked AS (
+      FROM orders GROUP BY o_custkey"""
+_PARETO_BOUNDS = ",\n".join(
+    f"        CAST(percentile_disc(0.{k}) WITHIN GROUP (ORDER BY rev_c DESC)"
+    f" AS BIGINT) AS b{k}"
+    for k in range(1, 10)
+)
+_PARETO_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN rev_c >= (SELECT b{k} FROM pbounds) THEN {k}"
+        for k in range(1, 10)
+    )
+    + " ELSE 10 END"
+)
+_PARETO_BODY = f"""
+    pbounds AS (
+      SELECT
+{_PARETO_BOUNDS}
+      FROM {{pc}}),
+    banded AS (
       SELECT custkey, rev_c,
-             CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, custkey
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS cum_c,
-             CAST(SUM(rev_c) OVER () AS BIGINT) AS total_c,
-             ROW_NUMBER() OVER (ORDER BY rev_c DESC, custkey) AS rn
-      FROM per_cust)
-    SELECT CAST(COUNT(*) AS BIGINT) AS total_customers,
-           CAST(SUM(CASE WHEN (cum_c - rev_c) * 5 < total_c * 4
+             {_PARETO_CASE} AS band
+      FROM {{pc}}),
+    btot AS (
+      SELECT band,
+             CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS brev,
+             CAST(COUNT(*) AS BIGINT) AS bn
+      FROM banded GROUP BY band),
+    boff AS (
+      SELECT a.band,
+             CAST(COALESCE(SUM(b.brev), 0) AS DECIMAL(38,0)) AS off_rev
+      FROM btot a LEFT JOIN btot b ON b.band < a.band
+      GROUP BY a.band),
+    totals AS (
+      SELECT CAST(SUM(brev) AS DECIMAL(38,0)) AS total_rev,
+             CAST(SUM(bn) AS BIGINT) AS n_cust
+      FROM btot),
+    ranked AS (
+      SELECT d.custkey,
+             CAST(o.off_rev
+               + COALESCE(SUM(CAST(d.rev_c AS DECIMAL(38,0))) OVER (
+                        PARTITION BY d.band
+                        ORDER BY d.rev_c DESC, d.custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS DECIMAL(38,0)) AS rev_before
+      FROM banded d JOIN boff o ON d.band = o.band)
+    SELECT CAST(MAX(t.n_cust) AS BIGINT) AS total_customers,
+           CAST(SUM(CASE WHEN r.rev_before * 5 < t.total_rev * 4
                          THEN 1 ELSE 0 END) AS BIGINT)
              AS customers_for_80pct,
-           ROUND(CAST(SUM(CASE WHEN (cum_c - rev_c) * 5 < total_c * 4
+           ROUND(CAST(SUM(CASE WHEN r.rev_before * 5 < t.total_rev * 4
                                THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS pareto_fraction
-    FROM ranked
-    """,
-    tags=("tpcds", "pareto", "cumulative-window"),
+                 / MAX(t.n_cust), 6) AS pareto_fraction
+    FROM ranked r CROSS JOIN totals t
+"""
+
+register_split_sql(
+    "tpcds_pareto_coverage",
+    # the per-customer spend rollup feeds the boundary aggregate AND
+    # the banding pass — materialized once (one orders scan).
+    stages=[(_PARETO_SPEND, "pareto_spend_m")],
+    final_sql="WITH " + _PARETO_BODY.format(pc="pareto_spend_m").lstrip(),
+    oracle="WITH per_cust AS ("
+    + _PARETO_SPEND
+    + "),\n"
+    + _PARETO_BODY.format(pc="per_cust").lstrip(),
+    tags=("tpcds", "pareto", "two-level-prefix"),
 )
 
 # ---------------------------------------------------------------------------

@@ -2492,6 +2492,60 @@ def test_token_budget_two_level_prefix_equals_global_greedy(rows, spark):
     assert got_du == want, "duckdb != python global greedy"
 
 
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    revs=st.lists(
+        st.integers(0, 5),  # rev bin: few distinct values so every band
+        min_size=1,         # boundary collides (the tie surface)
+        max_size=40,
+    )
+)
+def test_pareto_two_level_prefix_equals_global_cumsum(revs, spark):
+    """tpcds_pareto_coverage's two-level prefix sum (decile band offsets
+    + PARTITION BY band running sum) must be BIT-IDENTICAL to the global
+    running sum it replaced: sort customers by (rev_c DESC, custkey),
+    global exclusive cents prefix, count rows with prefix*5 < total*4.
+    Rev magnitudes sit at 2^52 per bin so sums blow past 2^53 — the
+    DECIMAL(38,0) accumulation must stay exact where a double (or an
+    ANSI BIGINT*5 near 2^63) would not; ties in rev_c and the empty
+    band-offset LEFT JOIN arm (band 1) are the adversarial surface."""
+    import duckdb as _duckdb
+    import pandas as _pd
+
+    from datafusion_umami_spark.queries.tpcds_shapes import _PARETO_BODY
+
+    big = 1 << 52
+    pdf = _pd.DataFrame(
+        [(i, rb * big) for i, rb in enumerate(revs)],
+        columns=["custkey", "rev_c"],
+    )
+    sql = "WITH " + _PARETO_BODY.format(pc="pareto_pin_v").lstrip()
+    spark.createDataFrame(pdf).createOrReplaceTempView("pareto_pin_v")
+    got_sp = [tuple(r) for r in spark.sql(sql).collect()]
+    con = _duckdb.connect()
+    con.register("pareto_pin_v", pdf)
+    got_du = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+
+    order = sorted(
+        ((i, rb * big) for i, rb in enumerate(revs)),
+        key=lambda r: (-r[1], r[0]),
+    )
+    total = sum(r for _, r in order)
+    acc = 0
+    n80 = 0
+    for _, r in order:
+        if acc * 5 < total * 4:
+            n80 += 1
+        acc += r
+    for got, eng in ((got_sp, "spark"), (got_du, "duckdb")):
+        assert len(got) == 1, eng
+        tc, c80, frac = got[0]
+        assert (tc, c80) == (len(revs), n80), f"{eng} != python pareto"
+        assert abs(frac - round(n80 / len(revs), 6)) < 1e-9, eng
+
+
 def _band_le_py(x, bounds):
     """CASE WHEN x <= b1 THEN 1 ... ELSE len+1 (ASC-metric banding)."""
     for i, b in enumerate(bounds, start=1):

@@ -403,7 +403,20 @@ def test_legacy_backlog_is_exhausted():
                   # pinned on adversarial micro-data incl. 7e13
                   # magnitudes (test_fuzz.py).
                   "ts_rolling_median_weekly", "inc_rollup_merge",
-                  "ts_anomaly_zscore_minutes"}
+                  "ts_anomaly_zscore_minutes",
+                  # r14 batch 1 (the r13 verdict's two named demands):
+                  # tpcds_pareto_coverage was the LAST corpus-
+                  # cardinality global window (running SUM + ROW_NUMBER
+                  # over ALL customers in one partition) -> the
+                  # cur_token_budget_greedy two-level prefix sum, pinned
+                  # bit-identical to a pure-Python global cumsum at 2^52
+                  # magnitudes (test_fuzz.py) + both banding plan gates;
+                  # tpcds_ntile_decile_profile (ADVICE item 1)
+                  # fixed-decimal-ROUNDed a corpus-growing revenue
+                  # double over a bare-BIGINT ANSI cents sum ->
+                  # exact integer cents in DECIMAL(38,0), STRING output
+                  # per the hash-sum convention.
+                  "tpcds_pareto_coverage"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -542,7 +555,11 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "sample_stratified_topk",
                   "repartition_by_range", "ann_ivf_trained",
                   "join_left_anti", "join_right_semi",
-                  "join_in_or_subquery", "join_salted_skew")
+                  "join_in_or_subquery", "join_salted_skew",
+                  # r14: ntile above precedes pareto in tpcds_shapes
+                  # import order, so appending keeps the tuple sorted
+                  # for the names unproven this round
+                  "tpcds_pareto_coverage")
         if n not in green
     ]
     still_unproven = demoted + [
