@@ -317,10 +317,13 @@ def date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- large top-k sort (reference benchmarks/src/sort_tpch.rs shape) ---------
-# r13 review: l_shipdate is parquet TIMESTAMP (Spark reads LTZ), and
-# the output previously shipped it raw — green only because the session
-# pins UTC; under a driver-owned non-UTC session the collected
-# wall-clock would shift while DuckDB's naive timestamps don't.  The
+# r13 review (mechanism corrected r14 per ADVICE): l_shipdate is
+# parquet timestamp[us] isAdjustedToUTC=false, which Spark reads as
+# TIMESTAMP_NTZ under the default inferTimestampNTZ — but a
+# driver-owned session that disables that conf reads it LTZ, and then
+# a non-UTC session TZ would shift the collected wall-clock while
+# DuckDB's naive timestamps don't.  The defensive output cast makes
+# the spec regime-independent (a no-op under the repo's defaults).  The
 # Spark text now casts the OUTPUT to TIMESTAMP_NTZ per the registry
 # convention (sort keys stay on the raw column — the cast is value-
 # monotone, so the top-k set and order are unchanged).

@@ -2943,8 +2943,8 @@ def test_salted_skew_join_matches_unsalted_on_null_keys(spark, restore_views):
     got_du = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
     con.close()
     assert got_sp == got_du, f"salted != unsalted:\n{got_sp}\n{got_du}"
-    # the NULL-id click row must be COUNTED (n=3 for engagement incl.
-    # the NULL-id and zero-value clicks plus the view)
+    # the NULL-id click row must be COUNTED (n=4 for engagement: three
+    # click rows incl. the NULL-id and zero-value ones, plus the view)
     eng = [r for r in got_sp if r[0] == "engagement"]
     assert eng and eng[0][1] == 4, got_sp
 
