@@ -177,6 +177,7 @@ def register_split_sql(
     oracle: str,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    discrimination: str | None = None,
 ) -> None:
     """Register a query whose Spark side materializes each (sql, view)
     stage once, then runs `final_sql` over the views — for the common
@@ -202,4 +203,5 @@ def register_split_sql(
     # `WITH <view> AS (<stage>) <final>` a valid inlined composition.
     fn._split_stages = list(stages)
     fn._split_final = final_sql
-    register(name, oracle=oracle, tags=tags, bench=bench)(fn)
+    register(name, oracle=oracle, tags=tags, bench=bench,
+             discrimination=discrimination)(fn)

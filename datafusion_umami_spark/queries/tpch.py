@@ -197,7 +197,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from datafusion_umami_spark.operators.materialize import register_split_sql
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 DEC_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
 
@@ -236,6 +236,20 @@ register_sql(
     ORDER BY o_orderpriority
     """,
     tags=("subquery", "exists", "semi-join"),
+    discrimination=probe(
+        semi_kept="""SELECT COUNT(*) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)""",
+        semi_rejected="""SELECT COUNT(*) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_orderkey = o_orderkey
+                                AND l_shipdate > o_orderdate)""",
+    ),
 )
 
 register_sql(
@@ -286,6 +300,32 @@ register_sql(
     ORDER BY o_year
     """,
     tags=("join", "agg", "case"),
+    discrimination=probe(
+        case_nation3_rows="""SELECT COUNT(*) FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+              AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                  AND TIMESTAMP '1997-12-31'
+              AND n2.n_name = 'NATION_3'""",
+        case_else_rows="""SELECT COUNT(*) FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+              AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                  AND TIMESTAMP '1997-12-31'
+              AND n2.n_name <> 'NATION_3'""",
+    ),
 )
 
 register_sql(
@@ -306,6 +346,11 @@ register_sql(
     """,
     tags=("join", "agg", "like"),
     bench=True,
+    discrimination=probe(
+        like_matches="SELECT COUNT(*) FROM part WHERE p_name LIKE '%bolt%'",
+        like_excludes="SELECT COUNT(*) FROM part "
+        "WHERE p_name NOT LIKE '%bolt%'",
+    ),
 )
 
 register_sql(
@@ -328,23 +373,59 @@ register_sql(
     bench=True,
 )
 
-register_sql(
-    "tpch_q11",
-    f"""
-    SELECT l_partkey AS ps_partkey, CAST(SUM({DEC_PRICE}) AS DOUBLE) AS value
-    FROM lineitem
-      JOIN supplier ON l_suppkey = s_suppkey
-      JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name = 'NATION_1'
-    GROUP BY l_partkey
-    HAVING SUM({DEC_PRICE}) > (SELECT SUM({DEC_PRICE}) * 0.001
-                               FROM lineitem
-                                 JOIN supplier ON l_suppkey = s_suppkey
-                                 JOIN nation ON s_nationkey = n_nationkey
-                               WHERE n_name = 'NATION_1')
+# q11 r14 discrimination rewrite (probe-found): the old text filtered
+# n_name = 'NATION_1' — EMPTY at sf0.001 (10 suppliers spread one per
+# nation leave most nations supplier-less), so the spec proved nothing
+# locally; and its HAVING threshold was a FRACTION of the corpus total
+# (SUM*0.001), which rejects every group once the part count outgrows
+# 1000 (all 2000 groups rejected at sf0.01).  Now: a key-range nation
+# fence (n_nationkey <= 12, SF-invariant half of the dim) and a
+# mean-multiple threshold (v > 1.5×AVG of the per-part values), which
+# is scale-free — survivors and rejected both populate at every SF
+# (18/182, 94/1906, 1057/18943 probed at sf0.001/0.01/0.1).  The
+# comparison is exact integers end-to-end: per-part cents are bounded
+# BIGINTs, the corpus-growing total and the products accumulate in
+# DECIMAL(38,0), and 2·N·v > 3·S avoids any division.  The per-part
+# rollup feeds the threshold aggregate AND the filter — materialized
+# once on the Spark side (the inlined WITH would re-run the join per
+# reference).
+_Q11_G = """
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS v_c
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_nationkey <= 12
+      GROUP BY l_partkey"""
+_Q11_FINAL = """
+    SELECT l_partkey AS ps_partkey,
+           CAST(v_c AS DOUBLE) / 100.0 AS value
+    FROM {g}
+    WHERE CAST(v_c AS DECIMAL(38,0)) * (SELECT 2 * COUNT(*) FROM {g})
+          > (SELECT CAST(SUM(CAST(v_c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+             FROM {g}) * 3
     ORDER BY value DESC, ps_partkey
-    """,
+    """
+
+register_split_sql(
+    "tpch_q11",
+    stages=[(_Q11_G, "q11_g_m")],
+    final_sql=_Q11_FINAL.format(g="q11_g_m"),
+    oracle=f"WITH g AS ({_Q11_G})" + _Q11_FINAL.format(g="g"),
     tags=("agg", "having", "subquery"),
+    discrimination=probe(
+        survivors=f"""WITH g AS ({_Q11_G})
+            SELECT COUNT(*) FROM g
+            WHERE CAST(v_c AS DECIMAL(38,0)) * (SELECT 2*COUNT(*) FROM g)
+                  > (SELECT CAST(SUM(CAST(v_c AS DECIMAL(38,0)))
+                             AS DECIMAL(38,0)) FROM g) * 3""",
+        rejected=f"""WITH g AS ({_Q11_G})
+            SELECT COUNT(*) FROM g
+            WHERE CAST(v_c AS DECIMAL(38,0)) * (SELECT 2*COUNT(*) FROM g)
+                  <= (SELECT CAST(SUM(CAST(v_c AS DECIMAL(38,0)))
+                              AS DECIMAL(38,0)) FROM g) * 3""",
+    ),
 )
 
 register_sql(
@@ -363,6 +444,20 @@ register_sql(
     ORDER BY l_linestatus
     """,
     tags=("join", "agg", "case"),
+    discrimination=probe(
+        high_priority_rows="""SELECT COUNT(*) FROM orders
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > o_orderdate
+              AND o_orderpriority IN ('1-URGENT', '2-HIGH')""",
+        low_priority_rows="""SELECT COUNT(*) FROM orders
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > o_orderdate
+              AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')""",
+    ),
 )
 
 register_sql(
@@ -390,6 +485,18 @@ register_sql(
       AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
     """,
     tags=("join", "agg", "case"),
+    discrimination=probe(
+        promo_rows="""SELECT COUNT(*) FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate < TIMESTAMP '1997-10-01'
+              AND p_type = 'PROMO'""",
+        non_promo_rows="""SELECT COUNT(*) FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate < TIMESTAMP '1997-10-01'
+              AND p_type <> 'PROMO'""",
+    ),
 )
 
 # q15's revenue view is referenced twice (join + MAX subquery); inlined
@@ -429,6 +536,20 @@ register_sql(
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
     tags=("agg", "distinct-agg", "not-in", "anti-join"),
+    discrimination=probe(
+        notin_excluded_suppliers="SELECT COUNT(*) FROM supplier "
+        "WHERE s_acctbal < 1000",
+        notin_kept_suppliers="SELECT COUNT(*) FROM supplier "
+        "WHERE s_acctbal >= 1000",
+        brand_fence_excludes="SELECT COUNT(*) FROM part "
+        "WHERE p_brand = 'Brand#13'",
+        notlike_fence_excludes="SELECT COUNT(*) FROM part "
+        "WHERE p_type LIKE 'ECO%'",
+        size_inlist_matches="SELECT COUNT(*) FROM part "
+        "WHERE p_size IN (1, 5, 10, 15, 20, 25, 30, 35)",
+        size_inlist_excludes="SELECT COUNT(*) FROM part "
+        "WHERE p_size NOT IN (1, 5, 10, 15, 20, 25, 30, 35)",
+    ),
 )
 
 register_sql(
@@ -441,6 +562,20 @@ register_sql(
                         WHERE l2.l_partkey = p_partkey)
     """,
     tags=("subquery", "correlated-scalar", "agg"),
+    discrimination=probe(
+        below_avg_kept="""SELECT COUNT(*) FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#13'
+              AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)""",
+        above_avg_rejected="""SELECT COUNT(*) FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#13'
+              AND l_quantity >= (SELECT 0.2 * AVG(l_quantity)
+                                 FROM lineitem l2
+                                 WHERE l2.l_partkey = p_partkey)""",
+    ),
 )
 
 register_sql(
@@ -459,6 +594,14 @@ register_sql(
     """,
     tags=("join", "in-subquery", "having", "topk"),
     bench=True,
+    discrimination=probe(
+        having_survivors="""SELECT COUNT(*) FROM (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)""",
+        having_rejected="""SELECT COUNT(*) FROM (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) <= 300)""",
+    ),
 )
 
 register_sql(
@@ -476,64 +619,124 @@ register_sql(
     tags=("join", "or-predicate", "agg"),
 )
 
-register_sql(
-    "tpch_q20",
-    f"""
-    SELECT s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
-    FROM supplier JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name = 'NATION_1'
-      AND s_suppkey IN (SELECT l_suppkey
+# q20 r14 discrimination rewrite (probe-found): n_name = 'NATION_1'
+# emptied the query at sf0.001 (see q11), and the HAVING > 50 kept
+# EVERY supplier that shipped any blue part (per-supplier yearly blue
+# qty bottoms out near 50-90), so the IN-semi never rejected a row at
+# any proof SF.  Key-range nation fence + threshold 200, sitting inside
+# the per-supplier distribution at every SF (kept/rejected probed
+# 2/1, 48/7, 389/121 at sf0.001/0.01/0.1 — the per-supplier stat is
+# roughly SF-invariant because lines-per-supplier is).
+_Q20_SEMI = f"""SELECT l_suppkey
                         FROM lineitem JOIN part ON l_partkey = p_partkey
                         WHERE p_name LIKE 'blue%'
                           AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
                           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
                         GROUP BY l_suppkey
-                        HAVING SUM({DEC_QTY}) > 50)
+                        HAVING SUM({DEC_QTY}) > 200"""
+register_sql(
+    "tpch_q20",
+    f"""
+    SELECT s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_nationkey <= 12
+      AND s_suppkey IN ({_Q20_SEMI})
     ORDER BY s_name
     """,
     tags=("in-subquery", "semi-join", "having"),
+    discrimination=probe(
+        semi_kept=f"""SELECT COUNT(*) FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_nationkey <= 12 AND s_suppkey IN ({_Q20_SEMI})""",
+        semi_rejected=f"""SELECT COUNT(*) FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_nationkey <= 12 AND s_suppkey NOT IN ({_Q20_SEMI})""",
+        nation_fence_excludes="""SELECT COUNT(*) FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_nationkey > 12""",
+    ),
 )
 
-register_sql(
-    "tpch_q21",
-    """
-    SELECT s_name, COUNT(*) AS numwait
-    FROM supplier
+# q21 r14 discrimination rewrite (probe-found): n_name = 'NATION_1'
+# emptied the whole query at sf0.001 (see q11) — the EXISTS/NOT-EXISTS
+# pair was proven on zero rows locally.  Key-range nation fence only;
+# the sole-late-supplier logic is untouched and all three branches
+# populate at every proof SF (kept/rej-by-exists/rej-by-anti probed
+# 37/12/271 at sf0.001, 537/104/4689 at sf0.01).
+_Q21_BASE = """FROM supplier
       JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
       JOIN orders ON o_orderkey = l1.l_orderkey
       JOIN nation ON s_nationkey = n_nationkey
     WHERE o_orderstatus = 'F'
-      AND n_name = 'NATION_1'
-      AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
-      AND EXISTS (SELECT 1 FROM lineitem l2
+      AND n_nationkey <= 12
+      AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY"""
+_Q21_EXISTS = """EXISTS (SELECT 1 FROM lineitem l2
                   WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    AND l2.l_suppkey <> l1.l_suppkey)"""
+_Q21_OTHER_LATE = """EXISTS (SELECT 1 FROM lineitem l3
                       WHERE l3.l_orderkey = l1.l_orderkey
                         AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > o_orderdate + INTERVAL '60' DAY)
+                        AND l3.l_shipdate > o_orderdate + INTERVAL '60' DAY)"""
+_Q21_ANTI = f"NOT {_Q21_OTHER_LATE}"
+register_sql(
+    "tpch_q21",
+    f"""
+    SELECT s_name, COUNT(*) AS numwait
+    {_Q21_BASE}
+      AND {_Q21_EXISTS}
+      AND {_Q21_ANTI}
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 100
     """,
     tags=("exists", "not-exists", "semi-join", "anti-join"),
     bench=True,
+    discrimination=probe(
+        kept=f"SELECT COUNT(*) {_Q21_BASE} AND {_Q21_EXISTS} AND {_Q21_ANTI}",
+        rejected_by_exists=f"SELECT COUNT(*) {_Q21_BASE} AND NOT {_Q21_EXISTS}",
+        rejected_by_anti=f"SELECT COUNT(*) {_Q21_BASE} AND {_Q21_EXISTS} "
+        f"AND {_Q21_OTHER_LATE}",
+    ),
 )
 
+# q22 r14 discrimination rewrite (probe-found): the fixture generator
+# gives EVERY customer at least one order at every SF, so the original
+# "customers with no orders" anti-join produced an EMPTY result at all
+# proof scales — the spec was hash-green on two engines agreeing about
+# nothing.  The anti condition is now "no URGENT-priority order"
+# (P(no urgent among a customer's ~10 orders) ≈ 0.8^10, so the kept
+# set populates at every SF: 3/18/228 probed at sf0.001/0.01/0.1)
+# while the q22 shape — scalar AVG subquery fence + NOT EXISTS anti +
+# rollup — is untouched.
+_Q22_HAS_URGENT = """EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderpriority = '1-URGENT')"""
+_Q22_ANTI = f"NOT {_Q22_HAS_URGENT}"
+_Q22_BAL = """c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0.0
+                               AND c_nationkey IN (1, 3, 5, 7, 9, 11))"""
 register_sql(
     "tpch_q22",
-    """
+    f"""
     SELECT cntrycode, COUNT(*) AS numcust,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
     FROM (SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal
           FROM customer
           WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)
-            AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
-                             WHERE c_acctbal > 0.0
-                               AND c_nationkey IN (1, 3, 5, 7, 9, 11))
-            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) custsale
+            AND {_Q22_BAL}
+            AND {_Q22_ANTI}) custsale
     GROUP BY cntrycode
     ORDER BY cntrycode
     """,
     tags=("subquery", "not-exists", "anti-join", "agg"),
+    discrimination=probe(
+        anti_survivors=f"""SELECT COUNT(*) FROM customer
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)
+              AND {_Q22_BAL} AND {_Q22_ANTI}""",
+        rejected_by_anti=f"""SELECT COUNT(*) FROM customer
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)
+              AND {_Q22_BAL} AND {_Q22_HAS_URGENT}""",
+        rejected_by_balance=f"""SELECT COUNT(*) FROM customer
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11) AND NOT ({_Q22_BAL})""",
+    ),
 )

@@ -38,6 +38,17 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
     module: str = ""  # module that registered the spec (sweep bookkeeping)
+    # Discrimination probe (r13 verdict item 4 — the "vacuous branch"
+    # defect class): DuckDB SQL over the proof tables returning
+    # (branch VARCHAR, pop BIGINT) rows, one per load-bearing branch of
+    # the spec (anti-join survivors, HAVING rejections, rows a LIKE
+    # fence excludes, NULLs reaching an output NULLS clause, ...).
+    # tests/test_discrimination.py asserts every pop > 0 at sf0.001 AND
+    # sf0.01, so a spec whose interesting branch sits in an empty or
+    # measure-zero set can never stay hash-green silently.  NOT part of
+    # the spec fingerprint (it asserts about the DATA a fixed text runs
+    # on, not the text's semantics).
+    discrimination: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -73,6 +84,7 @@ def register(
     tags: tuple[str, ...] = (),
     bench: bool = False,
     module: str | None = None,
+    discrimination: str | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query to the registry.
 
@@ -97,7 +109,8 @@ def register(
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tags, bench=bench, module=module
+            name=name, fn=fn, oracle=oracle, tags=tags, bench=bench,
+            module=module, discrimination=discrimination,
         )
         return fn
 
@@ -111,6 +124,7 @@ def register_sql(
     tags: tuple[str, ...] = (),
     bench: bool = False,
     module: str | None = None,
+    discrimination: str | None = None,
 ) -> None:
     """Register a query expressed as Spark SQL text (views pre-registered).
 
@@ -130,6 +144,7 @@ def register_sql(
         tags=tags,
         bench=bench,
         module=module,
+        discrimination=discrimination,
     )(fn)
 
 
@@ -164,6 +179,20 @@ def _load_all() -> None:
 # ---------------------------------------------------------------------------
 # Shared expression helpers (determinism conventions)
 # ---------------------------------------------------------------------------
+
+def probe(**branches: str) -> str:
+    """Build a discrimination probe from named branch-count subqueries.
+
+    Each value is a scalar-COUNT SQL text (DuckDB dialect, over the
+    proof views); the result is the (branch, pop) UNION ALL that
+    tests/test_discrimination.py asserts all-positive at every proof
+    SF.  Keyword order is preserved, so probe output is deterministic.
+    """
+    return "\nUNION ALL\n".join(
+        f"SELECT '{k}' AS branch, CAST(({v.strip()}) AS BIGINT) AS pop"
+        for k, v in branches.items()
+    )
+
 
 def dec(col: str | Column, scale: int = 2, precision: int = 12) -> Column:
     """Cast to an exact decimal so downstream sums are order-independent."""

@@ -416,7 +416,24 @@ def test_legacy_backlog_is_exhausted():
                   # double over a bare-BIGINT ANSI cents sum ->
                   # exact integer cents in DECIMAL(38,0), STRING output
                   # per the hash-sum convention.
-                  "tpcds_pareto_coverage"}
+                  "tpcds_pareto_coverage",
+                  # r14 batch 2 (first discrimination-probe harvest,
+                  # tests/test_discrimination.py): four TPC-H shapes
+                  # whose load-bearing branch sat in an empty set at a
+                  # proof SF — q22's "customers with no orders" anti
+                  # matched NOTHING at ANY SF (the generator gives every
+                  # customer orders; the spec was hash-green on an empty
+                  # result) -> anti on "no URGENT order"; q11/q20/q21
+                  # filtered n_name='NATION_1', EMPTY at sf0.001 (10
+                  # suppliers, one per nation) -> SF-invariant key-range
+                  # fence (n_nationkey <= 12); additionally q11's
+                  # fraction-of-total HAVING rejected every group past
+                  # 1000 parts (0/2000 survivors at sf0.01) -> scale-free
+                  # mean-multiple threshold in exact DECIMAL(38,0)
+                  # integer arithmetic, split-materialized; q20's
+                  # HAVING > 50 never rejected a supplier -> 200 (inside
+                  # the roughly SF-invariant per-supplier distribution).
+                  "tpch_q11", "tpch_q20", "tpch_q21", "tpch_q22"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -558,8 +575,10 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "join_in_or_subquery", "join_salted_skew",
                   # r14: ntile above precedes pareto in tpcds_shapes
                   # import order, so appending keeps the tuple sorted
-                  # for the names unproven this round
-                  "tpcds_pareto_coverage")
+                  # for the names unproven this round; tpch imports
+                  # after tpcds_shapes, its four in registration order
+                  "tpcds_pareto_coverage",
+                  "tpch_q11", "tpch_q20", "tpch_q21", "tpch_q22")
         if n not in green
     ]
     still_unproven = demoted + [
