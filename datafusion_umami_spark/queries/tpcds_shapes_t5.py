@@ -47,7 +47,7 @@ queue BEHIND the round-6 front-50 (sweep-rotation contract).
 from __future__ import annotations
 
 from datafusion_umami_spark.operators.materialize import register_split_sql
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 # --- q14: INTERSECT-driven sales with a scalar average gate ---------------
 _PP14 = """
@@ -58,15 +58,25 @@ _PP14 = """
         WHERE l_shipdate >= DATE '1998-01-01'
           AND l_shipdate < DATE '1999-01-01'
         GROUP BY l_partkey"""
-_Q14_FINAL = """
-    SELECT p.part, p.rev_cents
-    FROM {pp} p
-    WHERE p.part IN (
-            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+# r14 discrimination fix (probe-found): the old INTERSECT legs were
+# unfenced ('A' lines ∩ 'N' lines) and EVERY part has both flags at
+# every SF, so the semi-filter excluded nothing — INTERSECT never
+# discriminated.  Both legs now require a bulk line (l_quantity >= 45,
+# the top ~12% of the 1-50 uniform), putting members AND rejected pp
+# parts in stable balance (87/110, 977/1012, 9700/10160 probed at
+# sf0.001/0.01/0.1).
+_Q14_INTERSECT = """SELECT l_partkey FROM lineitem
+            WHERE l_returnflag = 'A' AND l_quantity >= 45
             INTERSECT
-            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N')
+            SELECT l_partkey FROM lineitem
+            WHERE l_returnflag = 'N' AND l_quantity >= 45"""
+_Q14_FINAL = f"""
+    SELECT p.part, p.rev_cents
+    FROM {{pp}} p
+    WHERE p.part IN (
+            {_Q14_INTERSECT})
       AND CAST(p.rev_cents AS DOUBLE)
-          > (SELECT AVG(CAST(rev_cents AS DOUBLE)) FROM {pp})
+          > (SELECT AVG(CAST(rev_cents AS DOUBLE)) FROM {{pp}})
     ORDER BY p.rev_cents DESC, p.part
     LIMIT 500
     """
@@ -77,6 +87,18 @@ register_split_sql(
     final_sql=_Q14_FINAL.format(pp="t5_pp14_m"),
     oracle="WITH pp AS (" + _PP14 + ")" + _Q14_FINAL.format(pp="pp"),
     tags=("tpcds", "intersect", "scalar-threshold"),
+    discrimination=probe(
+        intersect_members=f"SELECT COUNT(*) FROM ({_Q14_INTERSECT})",
+        intersect_rejected=f"""WITH pp AS ({_PP14})
+            SELECT COUNT(*) FROM pp
+            WHERE part NOT IN ({_Q14_INTERSECT})""",
+        above_avg=f"""WITH pp AS ({_PP14})
+            SELECT COUNT(*) FROM pp WHERE CAST(rev_cents AS DOUBLE)
+              > (SELECT AVG(CAST(rev_cents AS DOUBLE)) FROM pp)""",
+        below_avg=f"""WITH pp AS ({_PP14})
+            SELECT COUNT(*) FROM pp WHERE CAST(rev_cents AS DOUBLE)
+              <= (SELECT AVG(CAST(rev_cents AS DOUBLE)) FROM pp)""",
+    ),
 )
 
 # --- q64: twice-joined wide star (re-buy at a lower price) ----------------
@@ -154,6 +176,38 @@ register_split_sql(
     + ")"
     + _Q23_FINAL.format(freq="freq", best="best"),
     tags=("tpcds", "frequent-items", "cross-year", "semi-join"),
+    discrimination=probe(
+        kept_lines=f"""WITH freq AS ({_FREQ23}), best AS ({_BEST23})
+            SELECT COUNT(*) FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= DATE '2000-01-01'
+              AND o.o_custkey IN (SELECT cust FROM best)
+              AND l.l_partkey IN (SELECT f1.part FROM freq f1
+                                  JOIN freq f2 ON f1.part = f2.part
+                                  WHERE f1.yr = 1998 AND f2.yr = 1999
+                                    AND f1.n_orders >= 2
+                                    AND f2.n_orders >= 2)""",
+        rejected_by_item=f"""WITH freq AS ({_FREQ23}), best AS ({_BEST23})
+            SELECT COUNT(*) FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= DATE '2000-01-01'
+              AND o.o_custkey IN (SELECT cust FROM best)
+              AND l.l_partkey NOT IN (SELECT f1.part FROM freq f1
+                                      JOIN freq f2 ON f1.part = f2.part
+                                      WHERE f1.yr = 1998 AND f2.yr = 1999
+                                        AND f1.n_orders >= 2
+                                        AND f2.n_orders >= 2)""",
+        rejected_by_cust=f"""WITH freq AS ({_FREQ23}), best AS ({_BEST23})
+            SELECT COUNT(*) FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= DATE '2000-01-01'
+              AND o.o_custkey NOT IN (SELECT cust FROM best)
+              AND l.l_partkey IN (SELECT f1.part FROM freq f1
+                                  JOIN freq f2 ON f1.part = f2.part
+                                  WHERE f1.yr = 1998 AND f2.yr = 1999
+                                    AND f1.n_orders >= 2
+                                    AND f2.n_orders >= 2)""",
+    ),
 )
 
 # --- q2: weekday share compared across two years --------------------------
@@ -323,19 +377,41 @@ register_sql(
 )
 
 # --- q45: local IN-list OR membership IN-subquery (mark-join shape) -------
+# r14 discrimination fix (probe-found): the subquery arm demanded >= 20
+# orders but no customer places more than 18 at sf0.001, so the OR
+# never rescued a row locally (the mark-join's "true via subquery"
+# branch was empty).  Threshold 14 sits inside the per-customer order
+# distribution at every SF (arm2-only 22/199/1880 probed at
+# sf0.001/0.01/0.1); per-customer order counts are roughly
+# SF-invariant, so the branch population is scale-stable.
+_Q45_SUB = """SELECT o_custkey FROM orders
+                        GROUP BY o_custkey HAVING COUNT(*) >= 14"""
 register_sql(
     "tpcds_or_local_or_subquery",
-    """
+    f"""
     SELECT n_name AS nation, COUNT(*) AS n_customers
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     WHERE n_name IN ('NATION_1', 'NATION_5')
-       OR c_custkey IN (SELECT o_custkey FROM orders
-                        GROUP BY o_custkey HAVING COUNT(*) >= 20)
+       OR c_custkey IN ({_Q45_SUB})
     GROUP BY n_name
     ORDER BY nation
     """,
     tags=("tpcds", "or-subquery", "mark-join"),
+    discrimination=probe(
+        local_arm_only=f"""SELECT COUNT(*) FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_5')
+              AND c_custkey NOT IN ({_Q45_SUB})""",
+        subquery_arm_only=f"""SELECT COUNT(*) FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name NOT IN ('NATION_1', 'NATION_5')
+              AND c_custkey IN ({_Q45_SUB})""",
+        rejected_by_both=f"""SELECT COUNT(*) FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name NOT IN ('NATION_1', 'NATION_5')
+              AND c_custkey NOT IN ({_Q45_SUB})""",
+    ),
 )
 
 # --- q94/q95: multi-EXISTS on the same fact -------------------------------
@@ -356,11 +432,43 @@ register_sql(
                         AND r.l_returnflag = 'R')
     """,
     tags=("tpcds", "multi-exists", "anti-join"),
+    discrimination=probe(
+        kept="""SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F'
+            AND EXISTS (SELECT 1 FROM lineitem a JOIN lineitem b
+                          ON a.l_orderkey = b.l_orderkey
+                         AND a.l_suppkey <> b.l_suppkey
+                        WHERE a.l_orderkey = o_orderkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem r
+                            WHERE r.l_orderkey = o_orderkey
+                              AND r.l_returnflag = 'R')""",
+        rejected_single_supplier="""SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus = 'F'
+              AND NOT EXISTS (SELECT 1 FROM lineitem a JOIN lineitem b
+                                ON a.l_orderkey = b.l_orderkey
+                               AND a.l_suppkey <> b.l_suppkey
+                              WHERE a.l_orderkey = o_orderkey)""",
+        rejected_by_returns="""SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus = 'F'
+              AND EXISTS (SELECT 1 FROM lineitem a JOIN lineitem b
+                            ON a.l_orderkey = b.l_orderkey
+                           AND a.l_suppkey <> b.l_suppkey
+                          WHERE a.l_orderkey = o_orderkey)
+              AND EXISTS (SELECT 1 FROM lineitem r
+                          WHERE r.l_orderkey = o_orderkey
+                            AND r.l_returnflag = 'R')""",
+    ),
 )
 
 # --- q39: volatile items across consecutive months, integer-exact cov ----
 # cov > 0.5  <=>  var > mean^2/4  <=>  4*n*(n*Sxx - Sx^2) > (n-1)*Sx^2
 # with Sx/Sxx integer sums of the integral quantities — no FP boundary.
+# r14 discrimination fix (probe-found): HAVING COUNT(*) >= 3 thinned
+# part-months so much that NO two consecutive flagged months existed at
+# sf0.001 — the whole spec returned an EMPTY result locally (and only
+# 4 rows at sf0.01).  A part-month needs just n >= 2 for a variance to
+# exist; with that floor the consecutive-pair join fires at every SF
+# (pairs 8/103/1035, unpaired 434/4305/41602 probed at
+# sf0.001/0.01/0.1) and the HAVING still rejects the singleton months.
 _VOL39 = """
         SELECT l.l_partkey AS part,
                CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
@@ -374,7 +482,7 @@ _VOL39 = """
         GROUP BY l.l_partkey,
                  CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT),
                  CAST(EXTRACT(MONTH FROM o.o_orderdate) AS BIGINT)
-        HAVING COUNT(*) >= 3"""
+        HAVING COUNT(*) >= 2"""
 _Q39_BODY = """flagged AS (
         SELECT part, yr, mo FROM {vol}
         WHERE 4 * n * (n * sxx - sx * sx) > (n - 1) * sx * sx)
@@ -391,6 +499,31 @@ register_split_sql(
     final_sql="WITH " + _Q39_BODY.format(vol="t5_vol39_m"),
     oracle="WITH vol AS (" + _VOL39 + "), " + _Q39_BODY.format(vol="vol"),
     tags=("tpcds", "volatility", "cross-month", "integer-exact"),
+    discrimination=probe(
+        having_rejected="""SELECT COUNT(*) FROM (
+            SELECT l.l_partkey, EXTRACT(YEAR FROM o.o_orderdate),
+                   EXTRACT(MONTH FROM o.o_orderdate)
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2, 3 HAVING COUNT(*) < 2)""",
+        flagged=f"""WITH vol AS ({_VOL39})
+            SELECT COUNT(*) FROM vol
+            WHERE 4*n*(n*sxx - sx*sx) > (n-1)*sx*sx""",
+        unflagged=f"""WITH vol AS ({_VOL39})
+            SELECT COUNT(*) FROM vol
+            WHERE 4*n*(n*sxx - sx*sx) <= (n-1)*sx*sx""",
+        consecutive_pairs=f"""WITH vol AS ({_VOL39}), flagged AS (
+            SELECT part, yr, mo FROM vol
+            WHERE 4*n*(n*sxx - sx*sx) > (n-1)*sx*sx)
+            SELECT COUNT(*) FROM flagged a JOIN flagged b
+              ON a.part = b.part AND a.yr = b.yr AND b.mo = a.mo + 1""",
+        unpaired_flagged=f"""WITH vol AS ({_VOL39}), flagged AS (
+            SELECT part, yr, mo FROM vol
+            WHERE 4*n*(n*sxx - sx*sx) > (n-1)*sx*sx)
+            SELECT COUNT(*) FROM flagged a
+            WHERE NOT EXISTS (SELECT 1 FROM flagged b
+                              WHERE a.part = b.part AND a.yr = b.yr
+                                AND b.mo = a.mo + 1)""",
+    ),
 )
 
 # --- q9: scalar subqueries inside CASE arms off a one-row anchor ----------

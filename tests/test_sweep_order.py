@@ -433,7 +433,19 @@ def test_legacy_backlog_is_exhausted():
                   # integer arithmetic, split-materialized; q20's
                   # HAVING > 50 never rejected a supplier -> 200 (inside
                   # the roughly SF-invariant per-supplier distribution).
-                  "tpch_q11", "tpch_q20", "tpch_q21", "tpch_q22"}
+                  "tpch_q11", "tpch_q20", "tpch_q21", "tpch_q22",
+                  # r14 batch 3 (probe harvest, tpcds_shapes_t5): the
+                  # INTERSECT semi excluded NOTHING (every part has both
+                  # 'A' and 'N' lines) -> qty>=45 leg fences; the
+                  # OR-subquery arm demanded >=20 orders but the max per
+                  # customer is 18 at sf0.001 (arm never fired locally)
+                  # -> 14; the volatile cross-month pair join returned
+                  # EMPTY at sf0.001 (HAVING n>=3 starved consecutive
+                  # flagged months) -> n>=2 floor.  All thresholds
+                  # probed scale-stable at sf0.001/0.01/0.1.
+                  "tpcds_intersect_driven_sales",
+                  "tpcds_or_local_or_subquery",
+                  "tpcds_volatile_items_cross_month"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -578,7 +590,12 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   # for the names unproven this round; tpch imports
                   # after tpcds_shapes, its four in registration order
                   "tpcds_pareto_coverage",
-                  "tpch_q11", "tpch_q20", "tpch_q21", "tpch_q22")
+                  "tpch_q11", "tpch_q20", "tpch_q21", "tpch_q22",
+                  # tpcds_shapes_t5 imports after tpch; registration
+                  # order within the module
+                  "tpcds_intersect_driven_sales",
+                  "tpcds_or_local_or_subquery",
+                  "tpcds_volatile_items_cross_month")
         if n not in green
     ]
     still_unproven = demoted + [
