@@ -49,7 +49,7 @@ queue BEHIND the legacy backlog (sweep-rotation contract).
 from __future__ import annotations
 
 from datafusion_umami_spark.operators.materialize import register_split_sql
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 # --- q78: three-channel full-outer yearly profile -------------------------
 _CH78 = """
@@ -164,6 +164,53 @@ register_sql(
     ORDER BY c_mktsegment, bal_band
     """,
     tags=("tpcds", "q69", "not-exists", "demographics"),
+    discrimination=probe(
+        kept="""SELECT COUNT(*) FROM customer c WHERE
+            EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                AND o_orderpriority = '1-URGENT'
+                AND o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1999-01-01')
+            AND NOT EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c.c_custkey
+                AND o_orderpriority = '5-LOW'
+                AND o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1999-01-01')
+            AND NOT EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c.c_custkey
+                AND o_orderpriority = '4-NOT SPECIFIED'
+                AND o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1999-01-01')""",
+        rejected_no_urgent="""SELECT COUNT(*) FROM customer c WHERE
+            NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                AND o_orderpriority = '1-URGENT'
+                AND o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1999-01-01')""",
+        rejected_by_low_anti="""SELECT COUNT(*) FROM customer c WHERE
+            EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                AND o_orderpriority = '1-URGENT'
+                AND o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1999-01-01')
+            AND EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c.c_custkey
+                AND o_orderpriority = '5-LOW'
+                AND o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1999-01-01')""",
+        rejected_by_ns_anti="""SELECT COUNT(*) FROM customer c WHERE
+            EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                AND o_orderpriority = '1-URGENT'
+                AND o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1999-01-01')
+            AND NOT EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c.c_custkey
+                AND o_orderpriority = '5-LOW'
+                AND o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1999-01-01')
+            AND EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c.c_custkey
+                AND o_orderpriority = '4-NOT SPECIFIED'
+                AND o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1999-01-01')""",
+    ),
 )
 
 # --- q35: EXISTS gate + OR of two EXISTS + banded stats -------------------
@@ -191,30 +238,77 @@ register_sql(
     ORDER BY c_mktsegment, geo
     """,
     tags=("tpcds", "q35", "exists-or", "stats"),
+    discrimination=probe(
+        kept="""SELECT COUNT(*) FROM customer c WHERE
+            EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                AND o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1998-01-01')
+            AND (EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c.c_custkey
+                           AND o_orderpriority = '2-HIGH')
+                 OR EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c.c_custkey
+                              AND o_orderpriority = '3-MEDIUM'))""",
+        rejected_no_1997_order="""SELECT COUNT(*) FROM customer c WHERE
+            NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                AND o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1998-01-01')""",
+        rejected_by_or_of_exists="""SELECT COUNT(*) FROM customer c WHERE
+            EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                AND o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1998-01-01')
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c.c_custkey
+                              AND o_orderpriority = '2-HIGH')
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c.c_custkey
+                              AND o_orderpriority = '3-MEDIUM')""",
+    ),
 )
 
 # --- q87: EXCEPT-chain cardinality ----------------------------------------
-register_sql(
-    "tpcds_except_chain_count",
-    """
-    SELECT COUNT(*) AS lone_channel_customers
-    FROM (
-        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+# r14 discrimination fix (probe-found): the legs keyed on the EXACT
+# order DATE, and two same-customer orders with different statuses on
+# the same calendar day are a near-measure-zero event — both EXCEPTs
+# removed ZERO rows at sf0.001 (and 0+3 at sf0.01), so the chain was
+# extensionally a plain DISTINCT.  Keyed on the order MONTH both
+# subtrahends bite at every SF (killed-by-O/P 18/14, 127/120,
+# 1219/1312 probed at sf0.001/0.01/0.1).
+_T6_EXC_F = """SELECT DISTINCT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS d
         FROM orders
         WHERE o_orderstatus = 'F'
           AND o_orderdate >= DATE '1996-01-01'
-          AND o_orderdate < DATE '2000-01-01'
-        EXCEPT
-        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+          AND o_orderdate < DATE '2000-01-01'"""
+_T6_EXC_O = """SELECT DISTINCT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS d
         FROM orders
-        WHERE o_orderstatus = 'O'
-        EXCEPT
-        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+        WHERE o_orderstatus = 'O'"""
+_T6_EXC_P = """SELECT DISTINCT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS d
         FROM orders
-        WHERE o_orderstatus = 'P'
+        WHERE o_orderstatus = 'P'"""
+register_sql(
+    "tpcds_except_chain_count",
+    f"""
+    SELECT COUNT(*) AS lone_channel_customers
+    FROM (
+        {_T6_EXC_F}
+        EXCEPT
+        {_T6_EXC_O}
+        EXCEPT
+        {_T6_EXC_P}
     ) t
     """,
     tags=("tpcds", "q87", "except-chain"),
+    discrimination=probe(
+        survivors=f"""SELECT COUNT(*) FROM (
+            {_T6_EXC_F} EXCEPT {_T6_EXC_O} EXCEPT {_T6_EXC_P}) t""",
+        killed_by_O=f"""SELECT COUNT(*) FROM (
+            ({_T6_EXC_F}) INTERSECT ({_T6_EXC_O})) t""",
+        killed_by_P=f"""SELECT COUNT(*) FROM (
+            ({_T6_EXC_F}) INTERSECT ({_T6_EXC_P})) t""",
+    ),
 )
 
 # --- q88: eight single-row counts cross-joined into one row ---------------

@@ -48,30 +48,52 @@ materializes once.
 from __future__ import annotations
 
 from datafusion_umami_spark.operators.materialize import register_split_sql
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 # --- q8: zip-prefix IN-list x customer-dense-location subquery -------------
+# r14 discrimination fix (probe-found): SUBSTR(c_name, 14, 2) IN
+# ('00'..'09') pinned only the 5th-from-last id digit to '0', which is
+# true for EVERY c_name below custkey 1e5 — the IN-list excluded zero
+# customers at every proof SF; and the dense-nation HAVING > 5 kept all
+# 25 nations at sf0.01+.  Now: the IN-list reads the LAST two id digits
+# (repdigit pairs — exactly 10% of customers at any SF), and the dense
+# subquery counts over the SF-invariant fixed-key subset
+# c_custkey <= 100 with threshold > 2 (21 dense / 4 sparse nations at
+# every probed SF — the r13 scale-stable-branch trick).
+_T8_ZIP_IN = """SUBSTR(c_name, LENGTH(c_name) - 1, 2)
+          IN ('00', '11', '22', '33', '44',
+              '55', '66', '77', '88', '99')"""
+_T8_DENSE = """SELECT n_name
+                     FROM customer, nation
+                     WHERE c_nationkey = n_nationkey
+                       AND c_custkey <= 100
+                     GROUP BY n_name
+                     HAVING COUNT(*) > 2"""
 register_sql(
     "tpcds_t8_zip_prefix_dense",
-    """
+    f"""
     SELECT n_name AS nation,
            CAST(COUNT(*) AS BIGINT) AS net_profit_orders
     FROM orders, customer, nation
     WHERE o_custkey = c_custkey
       AND c_nationkey = n_nationkey
-      AND SUBSTR(c_name, 14, 2) IN ('00', '01', '02', '03', '04',
-                                    '05', '06', '07', '08', '09')
-      AND n_name IN (SELECT n_name
-                     FROM customer, nation
-                     WHERE c_nationkey = n_nationkey
-                     GROUP BY n_name
-                     HAVING COUNT(*) > 5)
+      AND {_T8_ZIP_IN}
+      AND n_name IN ({_T8_DENSE})
       AND o_orderdate > DATE '1997-01-01'
     GROUP BY n_name
     ORDER BY nation
     LIMIT 100
     """,
     tags=("tpcds", "substr-inlist", "having-subquery"),
+    discrimination=probe(
+        name_inlist_matches=f"SELECT COUNT(*) FROM customer "
+        f"WHERE {_T8_ZIP_IN}",
+        name_inlist_excludes=f"SELECT COUNT(*) FROM customer "
+        f"WHERE NOT ({_T8_ZIP_IN})",
+        dense_nations=f"SELECT COUNT(*) FROM ({_T8_DENSE}) t",
+        sparse_nations=f"""SELECT COUNT(*) FROM nation
+            WHERE n_name NOT IN ({_T8_DENSE})""",
+    ),
 )
 
 # --- q15: disjunctive cross-dim OR fence -----------------------------------
@@ -172,6 +194,26 @@ register_split_sql(
     oracle="WITH weeks AS (" + _T8_WEEKS + "), "
            + _T8_LEGS.format(w="weeks").split("WITH ", 1)[1],
     tags=("tpcds", "week-seq-subquery", "three-leg-join"),
+    discrimination=probe(
+        three_leg_suppliers=f"""WITH weeks AS ({_T8_WEEKS}),
+            legs AS (SELECT l_suppkey AS supp,
+                            COUNT(DISTINCT l_returnflag) AS nf
+                     FROM lineitem
+                     WHERE date_trunc('week', l_shipdate)
+                             IN (SELECT wk FROM weeks)
+                       AND l_returnflag IN ('R', 'A', 'N')
+                     GROUP BY l_suppkey)
+            SELECT COUNT(*) FROM legs WHERE nf = 3""",
+        dropped_by_inner_join=f"""WITH weeks AS ({_T8_WEEKS}),
+            legs AS (SELECT l_suppkey AS supp,
+                            COUNT(DISTINCT l_returnflag) AS nf
+                     FROM lineitem
+                     WHERE date_trunc('week', l_shipdate)
+                             IN (SELECT wk FROM weeks)
+                       AND l_returnflag IN ('R', 'A', 'N')
+                     GROUP BY l_suppkey)
+            SELECT COUNT(*) FROM legs WHERE nf < 3""",
+    ),
 )
 
 # --- q82/q37: quantity band x date window x price band, distinct items -----
@@ -191,29 +233,63 @@ register_sql(
     LIMIT 300
     """,
     tags=("tpcds", "band-x-window-x-band", "in-subquery"),
+    discrimination=probe(
+        kept="""SELECT COUNT(*) FROM part
+            WHERE p_retailprice BETWEEN 901 AND 950
+              AND p_partkey IN (SELECT l_partkey FROM lineitem
+                                WHERE l_quantity BETWEEN 20 AND 40
+                                  AND l_shipdate BETWEEN DATE '1997-01-01'
+                                                     AND DATE '1997-12-31')""",
+        rejected_by_semi="""SELECT COUNT(*) FROM part
+            WHERE p_retailprice BETWEEN 901 AND 950
+              AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                                    WHERE l_quantity BETWEEN 20 AND 40
+                                      AND l_shipdate
+                                            BETWEEN DATE '1997-01-01'
+                                                AND DATE '1997-12-31')""",
+        rejected_by_price_band="""SELECT COUNT(*) FROM part
+            WHERE p_retailprice NOT BETWEEN 901 AND 950""",
+    ),
 )
 
 # --- q16/q94: EXISTS different-supplier AND NOT EXISTS returned ------------
-register_sql(
-    "tpcds_t8_ship_exists_notexists",
-    """
-    SELECT CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS order_count,
-           CAST(SUM(CAST(round(l1.l_extendedprice * 100) AS BIGINT))
-                AS BIGINT) AS total_shipping_cents
-    FROM lineitem l1, orders, customer, nation
+# r14 discrimination fix (probe-found): restricted to NATION_5, every
+# qualifying line's order had a second supplier at sf0.001 — the
+# EXISTS gate rejected zero rows locally.  Key-range nation fence
+# (n_nationkey <= 12) keeps all three branches populated at every SF
+# (kept/rej-single/rej-returned 155/20/686, 1580/184/7619,
+# 15579/1800/79111 probed at sf0.001/0.01/0.1).
+_T8_SEN_BASE = """FROM lineitem l1, orders, customer, nation
     WHERE l1.l_orderkey = o_orderkey
       AND o_custkey = c_custkey
       AND c_nationkey = n_nationkey
-      AND n_name = 'NATION_5'
-      AND o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1998-12-31'
-      AND EXISTS (SELECT 1 FROM lineitem l2
+      AND n_nationkey <= 12
+      AND o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1998-12-31'"""
+_T8_SEN_MULTI = """EXISTS (SELECT 1 FROM lineitem l2
                   WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    AND l2.l_suppkey <> l1.l_suppkey)"""
+_T8_SEN_RET = """EXISTS (SELECT 1 FROM lineitem l3
                       WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_returnflag = 'R')
+                        AND l3.l_returnflag = 'R')"""
+register_sql(
+    "tpcds_t8_ship_exists_notexists",
+    f"""
+    SELECT CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS order_count,
+           CAST(SUM(CAST(round(l1.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS total_shipping_cents
+    {_T8_SEN_BASE}
+      AND {_T8_SEN_MULTI}
+      AND NOT {_T8_SEN_RET}
     """,
     tags=("tpcds", "exists-notexists", "count-distinct"),
+    discrimination=probe(
+        kept=f"SELECT COUNT(*) {_T8_SEN_BASE} AND {_T8_SEN_MULTI} "
+        f"AND NOT {_T8_SEN_RET}",
+        rejected_single_supplier=f"SELECT COUNT(*) {_T8_SEN_BASE} "
+        f"AND NOT {_T8_SEN_MULTI}",
+        rejected_by_returns=f"SELECT COUNT(*) {_T8_SEN_BASE} "
+        f"AND {_T8_SEN_MULTI} AND {_T8_SEN_RET}",
+    ),
 )
 
 # --- q24: sums above 1.05x the average of ALL sums -------------------------
@@ -290,6 +366,20 @@ register_sql(
     LIMIT 300
     """,
     tags=("tpcds", "triple-leg-union", "dim-subquery-fence"),
+    discrimination=probe(
+        leg_A_rows="""SELECT COUNT(*) FROM lineitem
+            WHERE l_returnflag = 'A' AND l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_type = 'PROMO')""",
+        leg_N_rows="""SELECT COUNT(*) FROM lineitem
+            WHERE l_returnflag = 'N' AND l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_type = 'PROMO')""",
+        leg_R_rows="""SELECT COUNT(*) FROM lineitem
+            WHERE l_returnflag = 'R' AND l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_type = 'PROMO')""",
+        fence_excludes_nonpromo="""SELECT COUNT(*) FROM lineitem
+            WHERE l_partkey NOT IN
+              (SELECT p_partkey FROM part WHERE p_type = 'PROMO')""",
+    ),
 )
 
 # --- q5/q77: channel P&L from a zero-filled sales∪returns union + ROLLUP ---

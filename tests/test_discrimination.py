@@ -70,4 +70,4 @@ def test_probe_populations_nonzero(name, duck):
 def test_probe_coverage_floor():
     """The campaign's ratchet: probes may be added, never silently
     dropped.  Raise the floor when a new batch lands."""
-    assert len(PROBED) >= 12, PROBED  # r14 batch 1: the TPC-H family
+    assert len(PROBED) >= 25, PROBED  # r14: TPC-H + tpcds t5/t6/t8

@@ -445,7 +445,22 @@ def test_legacy_backlog_is_exhausted():
                   # probed scale-stable at sf0.001/0.01/0.1.
                   "tpcds_intersect_driven_sales",
                   "tpcds_or_local_or_subquery",
-                  "tpcds_volatile_items_cross_month"}
+                  "tpcds_volatile_items_cross_month",
+                  # r14 batch 4 (probe harvest, t6/t8): the EXCEPT chain
+                  # keyed on exact order DATE removed ~zero rows (two
+                  # same-customer same-day different-status orders are
+                  # near-measure-zero) -> month key, both subtrahends
+                  # bite; zip_prefix's SUBSTR(c_name,14,2) IN '00'..'09'
+                  # matched EVERY customer (5th-from-last id digit is 0
+                  # below custkey 1e5) and its dense-nation HAVING kept
+                  # all 25 nations at sf0.01 -> last-two-digit repdigit
+                  # fence (exactly 10%) + fixed-key c_custkey<=100
+                  # subset (21/4 dense/sparse at EVERY SF);
+                  # ship_exists' NATION_5 scope had zero single-supplier
+                  # rejections at sf0.001 -> key-range nation fence.
+                  "tpcds_except_chain_count",
+                  "tpcds_t8_zip_prefix_dense",
+                  "tpcds_t8_ship_exists_notexists"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -595,7 +610,11 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   # order within the module
                   "tpcds_intersect_driven_sales",
                   "tpcds_or_local_or_subquery",
-                  "tpcds_volatile_items_cross_month")
+                  "tpcds_volatile_items_cross_month",
+                  # t6 imports before t8; within t8, zip before ship
+                  "tpcds_except_chain_count",
+                  "tpcds_t8_zip_prefix_dense",
+                  "tpcds_t8_ship_exists_notexists")
         if n not in green
     ]
     still_unproven = demoted + [
