@@ -16,7 +16,8 @@ TakeOrderedAndProject — the plans that must stay scan-bound at 100 TB.
 
 from __future__ import annotations
 
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.operators.materialize import register_split_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 register_sql(
     "cb_topk_by_users",
@@ -90,34 +91,56 @@ register_sql(
 )
 
 # CB q28-ish: regex extraction from a wide string column + agg + HAVING
-register_sql(
+# r14 discrimination fix (probe-found): HAVING COUNT(*) > 5 stopped
+# rejecting anything at sf0.01+ (the 100 k-groups grow with the corpus
+# while the floor stays absolute — the Poisson concentration makes ANY
+# fixed floor vacuous once counts pass it).  The fence is now the
+# scale-free median of the per-k counts (strictly above keeps ~half at
+# ANY SF: 47/100, 47/100, 50/100 probed at sf0.001/0.01/0.1); the
+# group aggregate feeds the fence and the filter, so the Spark side
+# materializes it once (one events scan).
+_CBRE_G_SPARK = r"""
+      SELECT regexp_extract(props, '"k":\\s*(\\d+)', 1) AS k,
+             COUNT(*) AS c,
+             ROUND(AVG(length(props)), 6) AS avg_len,
+             MIN(event_type) AS first_type
+      FROM events
+      WHERE props <> ''
+      GROUP BY regexp_extract(props, '"k":\\s*(\\d+)', 1)"""
+_CBRE_G_DUCK = r"""
+      SELECT regexp_extract(props, '"k":\s*(\d+)', 1) AS k,
+             COUNT(*) AS c,
+             ROUND(AVG(length(props)), 6) AS avg_len,
+             MIN(event_type) AS first_type
+      FROM events
+      WHERE props <> ''
+      GROUP BY regexp_extract(props, '"k":\s*(\d+)', 1)"""
+_CBRE_FINAL = """
+    SELECT k, c, avg_len, first_type
+    FROM {g}
+    WHERE c > (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+                       AS BIGINT) FROM {g})
+    ORDER BY c DESC, k
+    LIMIT 25
+    """
+
+register_split_sql(
     "cb_regex_extract_agg",
-    r"""
-    SELECT regexp_extract(props, '"k":\\s*(\\d+)', 1) AS k,
-           COUNT(*) AS c,
-           ROUND(AVG(length(props)), 6) AS avg_len,
-           MIN(event_type) AS first_type
-    FROM events
-    WHERE props <> ''
-    GROUP BY k
-    HAVING COUNT(*) > 5
-    ORDER BY c DESC, k
-    LIMIT 25
-    """,
-    oracle=r"""
-    SELECT regexp_extract(props, '"k":\s*(\d+)', 1) AS k,
-           COUNT(*) AS c,
-           ROUND(AVG(length(props)), 6) AS avg_len,
-           MIN(event_type) AS first_type
-    FROM events
-    WHERE props <> ''
-    GROUP BY k
-    HAVING COUNT(*) > 5
-    ORDER BY c DESC, k
-    LIMIT 25
-    """,
+    stages=[(_CBRE_G_SPARK, "cbre_g_m")],
+    final_sql=_CBRE_FINAL.format(g="cbre_g_m"),
+    oracle="WITH g AS (" + _CBRE_G_DUCK + ")" + _CBRE_FINAL.format(g="g"),
     tags=("clickbench", "regex", "wide-string"),
     bench=True,
+    discrimination=probe(
+        above_median_kept=f"""WITH g AS ({_CBRE_G_DUCK})
+            SELECT COUNT(*) FROM g
+            WHERE c > (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                               (ORDER BY c) AS BIGINT) FROM g)""",
+        at_or_below_median_rejected=f"""WITH g AS ({_CBRE_G_DUCK})
+            SELECT COUNT(*) FROM g
+            WHERE c <= (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                                (ORDER BY c) AS BIGINT) FROM g)""",
+    ),
 )
 
 # CB q40-ish: stacked IN / BETWEEN filters with ranked pagination
@@ -150,20 +173,43 @@ register_sql(
 # CB extended q4-ish: two-key stats ranked by spread, HAVING-filtered
 # (variance family rounded on both sides per the determinism convention;
 # avg via exact integer cents)
-register_sql(
-    "cb_stats_having",
-    """
-    SELECT event_type, user_id % 10 AS ug, COUNT(*) AS c,
-           ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-                 / (100.0 * COUNT(*)), 6) AS avg_v,
-           ROUND(CAST(STDDEV_SAMP(value) AS DOUBLE), 4) AS sd_v
-    FROM events
-    GROUP BY event_type, user_id % 10
-    HAVING COUNT(*) > 3
+# r14 discrimination fix (probe-found): HAVING COUNT(*) > 3 rejected
+# ZERO of the 50 groups at every proof SF (corpus-growing counts vs an
+# absolute floor).  Scale-free median-count fence instead (23/50,
+# 24/50, 24/50 above-median probed at sf0.001/0.01/0.1); the group
+# aggregate is materialized once on the Spark side.
+_CBSH_G = """
+      SELECT event_type, user_id % 10 AS ug, COUNT(*) AS c,
+             ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / (100.0 * COUNT(*)), 6) AS avg_v,
+             ROUND(CAST(STDDEV_SAMP(value) AS DOUBLE), 4) AS sd_v
+      FROM events
+      GROUP BY event_type, user_id % 10"""
+_CBSH_FINAL = """
+    SELECT event_type, ug, c, avg_v, sd_v
+    FROM {g}
+    WHERE c > (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+                       AS BIGINT) FROM {g})
     ORDER BY sd_v DESC, event_type, ug
     LIMIT 10
-    """,
+    """
+
+register_split_sql(
+    "cb_stats_having",
+    stages=[(_CBSH_G, "cbsh_g_m")],
+    final_sql=_CBSH_FINAL.format(g="cbsh_g_m"),
+    oracle="WITH g AS (" + _CBSH_G + ")" + _CBSH_FINAL.format(g="g"),
     tags=("clickbench", "stats", "having"),
+    discrimination=probe(
+        above_median_kept=f"""WITH g AS ({_CBSH_G})
+            SELECT COUNT(*) FROM g
+            WHERE c > (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                               (ORDER BY c) AS BIGINT) FROM g)""",
+        at_or_below_median_rejected=f"""WITH g AS ({_CBSH_G})
+            SELECT COUNT(*) FROM g
+            WHERE c <= (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                                (ORDER BY c) AS BIGINT) FROM g)""",
+    ),
 )
 
 # CB q16/q33-ish: two-key frequency top-k
@@ -335,61 +381,107 @@ register_sql(
     tags=("clickbench", "ordered-scan", "topk"),
 )
 
-# q27-ish: AVG(length(url)) per group, HAVING count fence
-register_sql(
-    "cb_url_length_having",
-    """
-    SELECT source,
-           ROUND(AVG(length(text)), 6) AS avg_len,
-           COUNT(*) AS c
-    FROM documents
-    WHERE text <> ''
-    GROUP BY source
-    HAVING COUNT(*) > 5
+# q27-ish: AVG(length(url)) per group, HAVING fence on the statistic
+# r14 discrimination fix (probe-found): the documents generator assigns
+# sources round-robin, so per-source counts are ALL EQUAL at every SF
+# and HAVING COUNT(*) > 5 could never reject a group (nor could any
+# count fence discriminate).  The fence now keeps sources whose mean
+# text length is strictly above the median of the 20 per-source means
+# — a continuous statistic with no ties (20 distinct values probed at
+# every SF), exact cross-engine (integer-sum/count division, identical
+# IEEE; percentile_disc is value-exact on doubles).
+_CBUL_G = """
+      SELECT source,
+             ROUND(AVG(length(text)), 6) AS avg_len,
+             COUNT(*) AS c
+      FROM documents
+      WHERE text <> ''
+      GROUP BY source"""
+_CBUL_FINAL = """
+    SELECT source, avg_len, c
+    FROM {g}
+    WHERE avg_len > (SELECT percentile_disc(0.5) WITHIN GROUP
+                         (ORDER BY avg_len) FROM {g})
     ORDER BY avg_len DESC, source
     LIMIT 25
-    """,
+    """
+
+register_split_sql(
+    "cb_url_length_having",
+    stages=[(_CBUL_G, "cbul_g_m")],
+    final_sql=_CBUL_FINAL.format(g="cbul_g_m"),
+    oracle="WITH g AS (" + _CBUL_G + ")" + _CBUL_FINAL.format(g="g"),
     tags=("clickbench", "string-length", "having"),
+    discrimination=probe(
+        above_median_kept=f"""WITH g AS ({_CBUL_G})
+            SELECT COUNT(*) FROM g
+            WHERE avg_len > (SELECT percentile_disc(0.5) WITHIN GROUP
+                                 (ORDER BY avg_len) FROM g)""",
+        at_or_below_median_rejected=f"""WITH g AS ({_CBUL_G})
+            SELECT COUNT(*) FROM g
+            WHERE avg_len <= (SELECT percentile_disc(0.5) WITHIN GROUP
+                                  (ORDER BY avg_len) FROM g)""",
+    ),
 )
 
 # q28-ish: domain extraction via REGEXP_REPLACE + string agg battery
-register_sql(
-    "cb_referer_domain_agg",
-    r"""
-    WITH h AS (
+# r14 discrimination fix (probe-found): the 20 synthesized domains are
+# round-robin over documents, so per-domain counts are ALL EQUAL and
+# HAVING COUNT(*) > 3 never rejected anything.  Same median-of-means
+# fence as cb_url_length_having (a continuous statistic — 20 distinct
+# values at every SF).  The Spark/DuckDB regex dialects differ
+# ($2 vs \2 backrefs), so the group stage keeps split texts.
+_CBRD_G_SPARK = r"""
+      SELECT regexp_replace(referer, 'https://(www\\.)?([^/]+)/.*', '$2')
+                 AS domain,
+             ROUND(AVG(length(referer)), 6) AS avg_len,
+             COUNT(*) AS c,
+             MIN(referer) AS min_ref
+      FROM (
         SELECT concat('https://www.', source, '.example.com/', lang, '/',
                       CAST(doc_id AS STRING)) AS referer
         FROM documents
-    )
-    SELECT regexp_replace(referer, 'https://(www\\.)?([^/]+)/.*', '$2') AS domain,
-           ROUND(AVG(length(referer)), 6) AS avg_len,
-           COUNT(*) AS c,
-           MIN(referer) AS min_ref
-    FROM h
-    WHERE referer <> ''
-    GROUP BY regexp_replace(referer, 'https://(www\\.)?([^/]+)/.*', '$2')
-    HAVING COUNT(*) > 3
-    ORDER BY avg_len DESC, domain
-    LIMIT 25
-    """,
-    oracle=r"""
-    WITH h AS (
+      ) h
+      WHERE referer <> ''
+      GROUP BY regexp_replace(referer, 'https://(www\\.)?([^/]+)/.*', '$2')"""
+_CBRD_G_DUCK = r"""
+      SELECT regexp_replace(referer, 'https://(www\.)?([^/]+)/.*', '\2')
+                 AS domain,
+             ROUND(AVG(length(referer)), 6) AS avg_len,
+             COUNT(*) AS c,
+             MIN(referer) AS min_ref
+      FROM (
         SELECT concat('https://www.', source, '.example.com/', lang, '/',
                       CAST(doc_id AS VARCHAR)) AS referer
         FROM documents
-    )
-    SELECT regexp_replace(referer, 'https://(www\.)?([^/]+)/.*', '\2') AS domain,
-           ROUND(AVG(length(referer)), 6) AS avg_len,
-           COUNT(*) AS c,
-           MIN(referer) AS min_ref
-    FROM h
-    WHERE referer <> ''
-    GROUP BY regexp_replace(referer, 'https://(www\.)?([^/]+)/.*', '\2')
-    HAVING COUNT(*) > 3
+      ) h
+      WHERE referer <> ''
+      GROUP BY regexp_replace(referer, 'https://(www\.)?([^/]+)/.*', '\2')"""
+_CBRD_FINAL = """
+    SELECT domain, avg_len, c, min_ref
+    FROM {g}
+    WHERE avg_len > (SELECT percentile_disc(0.5) WITHIN GROUP
+                         (ORDER BY avg_len) FROM {g})
     ORDER BY avg_len DESC, domain
     LIMIT 25
-    """,
+    """
+
+register_split_sql(
+    "cb_referer_domain_agg",
+    stages=[(_CBRD_G_SPARK, "cbrd_g_m")],
+    final_sql=_CBRD_FINAL.format(g="cbrd_g_m"),
+    oracle="WITH g AS (" + _CBRD_G_DUCK + ")" + _CBRD_FINAL.format(g="g"),
     tags=("clickbench", "regex", "domain"),
+    discrimination=probe(
+        above_median_kept=f"""WITH g AS ({_CBRD_G_DUCK})
+            SELECT COUNT(*) FROM g
+            WHERE avg_len > (SELECT percentile_disc(0.5) WITHIN GROUP
+                                 (ORDER BY avg_len) FROM g)""",
+        at_or_below_median_rejected=f"""WITH g AS ({_CBRD_G_DUCK})
+            SELECT COUNT(*) FROM g
+            WHERE avg_len <= (SELECT percentile_disc(0.5) WITHIN GROUP
+                                  (ORDER BY avg_len) FROM g)""",
+    ),
 )
 
 # q31/q32-ish: two bigint keys, mixed COUNT/SUM/AVG battery
@@ -747,22 +839,30 @@ register_sql(
 # extended q3-ish: grouped STDDEV/VAR battery, HAVING on the statistic,
 # ranked by spread (rounded to 4 decimals — M2-merge float tail is
 # partition-order dependent, the h2o corr² convention)
+# r14 discrimination fix (probe-found): the old (user_id%6, user_id%32)
+# grouping is a union of whole users, and every user has ~60 events at
+# ANY SF, so a singleton group — the only way sample STDDEV is NULL —
+# was structurally impossible and the HAVING fence never fired.  Now
+# grouped per (user, day): single-event days are common and their
+# share is SF-invariant (singleton/multi 99/298, 1109/2897,
+# 10799/29284 probed at sf0.001/0.01/0.1), so both the NULL-rejected
+# and kept branches populate at every scale.
 register_sql(
     "cb_ext_stddev_var_having",
     """
-    SELECT user_id % 6 AS network, user_id % 32 AS region,
+    SELECT user_id AS member, CAST(ts AS DATE) AS day,
            COUNT(*) AS c,
            ROUND(CAST(SUM(user_id) AS DOUBLE) / COUNT(*), 6) AS avg_age,
            ROUND(STDDEV(CAST(round(value * 100) AS BIGINT)), 4) AS s,
            ROUND(VARIANCE(CAST(round(value * 100) AS BIGINT)), 4) AS v
     FROM events
-    GROUP BY user_id % 6, user_id % 32
+    GROUP BY user_id, CAST(ts AS DATE)
     HAVING STDDEV(CAST(round(value * 100) AS BIGINT)) IS NOT NULL
-    ORDER BY s DESC, network, region
+    ORDER BY s DESC, member, day
     LIMIT 10
     """,
     oracle="""
-    SELECT user_id % 6 AS network, user_id % 32 AS region,
+    SELECT user_id AS member, CAST(ts AS DATE) AS day,
            COUNT(*) AS c,
            ROUND(CAST(SUM(user_id) AS DOUBLE) / COUNT(*), 6) AS avg_age,
            ROUND(STDDEV(CAST(round(value * 100) AS BIGINT)), 4) AS s,
@@ -770,10 +870,18 @@ register_sql(
     FROM events
     GROUP BY 1, 2
     HAVING STDDEV(CAST(round(value * 100) AS BIGINT)) IS NOT NULL
-    ORDER BY s DESC, network, region
+    ORDER BY s DESC, member, day
     LIMIT 10
     """,
     tags=("clickbench-extended", "stddev", "having"),
+    discrimination=probe(
+        multi_event_days_kept="""SELECT COUNT(*) FROM (
+            SELECT user_id FROM events
+            GROUP BY user_id, CAST(ts AS DATE) HAVING COUNT(*) > 1)""",
+        singleton_days_null_rejected="""SELECT COUNT(*) FROM (
+            SELECT user_id FROM events
+            GROUP BY user_id, CAST(ts AS DATE) HAVING COUNT(*) = 1)""",
+    ),
 )
 
 # extended q4/q5-ish: per-(client,watch) EXACT median + p95 (the
@@ -810,6 +918,18 @@ register_sql(
     LIMIT 10
     """,
     tags=("clickbench-extended", "quantiles", "having"),
+    discrimination=probe(
+        having_survivors="""SELECT COUNT(*) FROM (
+            SELECT user_id % 64, event_id % 16 FROM events
+            WHERE event_type <> 'error'
+            GROUP BY 1, 2 HAVING COUNT(*) > 1)""",
+        having_rejected="""SELECT COUNT(*) FROM (
+            SELECT user_id % 64, event_id % 16 FROM events
+            WHERE event_type <> 'error'
+            GROUP BY 1, 2 HAVING COUNT(*) <= 1)""",
+        error_rows_fenced="""SELECT COUNT(*) FROM events
+            WHERE event_type = 'error'""",
+    ),
 )
 
 # extended q6-ish: the funnel monster — regex match + split_part key=value

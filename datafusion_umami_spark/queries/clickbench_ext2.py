@@ -32,7 +32,8 @@ contract, queries/__init__.py).
 
 from __future__ import annotations
 
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.operators.materialize import register_split_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 # extended q4: rank pairs by their EXACT MEDIAN timing (HAVING c > 1).
 register_sql(
@@ -66,6 +67,18 @@ register_sql(
     LIMIT 10
     """,
     tags=("clickbench-extended", "median", "having"),
+    discrimination=probe(
+        having_survivors="""SELECT COUNT(*) FROM (
+            SELECT user_id % 256, event_id % 32 FROM events
+            WHERE user_id % 2 = 0
+            GROUP BY 1, 2 HAVING COUNT(*) > 1)""",
+        having_rejected="""SELECT COUNT(*) FROM (
+            SELECT user_id % 256, event_id % 32 FROM events
+            WHERE user_id % 2 = 0
+            GROUP BY 1, 2 HAVING COUNT(*) <= 1)""",
+        odd_users_fenced="""SELECT COUNT(*) FROM events
+            WHERE user_id % 2 = 1""",
+    ),
 )
 
 # extended q5: APPROX p95 per pair, tolerance-banded (the sketch value
@@ -77,44 +90,72 @@ register_sql(
 # the band check tripped (the sketch landed outside the 0.91-0.99 exact
 # quantiles), not that the exact columns diverged — re-run with the
 # CASE expression projected separately before suspecting the rest.
-register_sql(
-    "cb_ext_q5_p95_approx",
+# r14 discrimination fix (probe-found): HAVING COUNT(*) >= 50 made the
+# whole query EMPTY at sf0.001 (all 32 groups hold ~47 rows) and
+# rejected nothing at sf0.01 (~469 per group) — an absolute floor
+# against corpus-growing counts fails in both directions.  Scale-free
+# median-count fence instead (14/32, 16/32, 16/32 above-median probed
+# at sf0.001/0.01/0.1); the grouped aggregate materializes once on the
+# Spark side (one events scan).  The tolerance band widened 0.91-0.99
+# -> 0.85-1.0: the old floor guaranteed n >= 50 so ±0.04 rank slack
+# sufficed; above-median groups bottom out at n=19 at sf0.001, and the
+# band guarantee (rank error <= 1/n + 1e-4) needs n >= 10 at ±0.10 —
+# the probe pins min kept group size >= 10 so the guarantee can never
+# silently lapse at a new SF.
+_CBQ5_G_SPARK = """
+      SELECT client_ip, watch_id,
+             COUNT(*) AS c,
+             MIN(cents) AS tmin,
+             ROUND(percentile(cents, 0.95), 4) AS tp95_exact,
+             CAST(CASE WHEN percentile_approx(cents, 0.95, 10000)
+                            BETWEEN percentile(cents, 0.85)
+                                AND percentile(cents, 1.0)
+                  THEN 1 ELSE 0 END AS BIGINT) AS tp95_in_band,
+             MAX(cents) AS tmax
+      FROM (SELECT user_id % 16 AS client_ip, event_id % 4 AS watch_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE user_id % 2 = 0) c
+      GROUP BY client_ip, watch_id"""
+_CBQ5_G_DUCK = """
+      SELECT client_ip, watch_id,
+             COUNT(*) AS c,
+             MIN(cents) AS tmin,
+             ROUND(quantile_cont(cents, 0.95), 4) AS tp95_exact,
+             CAST(1 AS BIGINT) AS tp95_in_band,
+             MAX(cents) AS tmax
+      FROM (SELECT user_id % 16 AS client_ip, event_id % 4 AS watch_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE user_id % 2 = 0) c
+      GROUP BY client_ip, watch_id"""
+_CBQ5_FINAL = """
+    SELECT client_ip, watch_id, c, tmin, tp95_exact, tp95_in_band, tmax
+    FROM {g}
+    WHERE c > (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+                       AS BIGINT) FROM {g})
+    ORDER BY tp95_exact DESC, client_ip, watch_id
+    LIMIT 10
     """
-    WITH c AS (SELECT user_id % 16 AS client_ip, event_id % 4 AS watch_id,
-                      CAST(round(value * 100) AS BIGINT) AS cents
-               FROM events WHERE user_id % 2 = 0)
-    SELECT client_ip, watch_id,
-           COUNT(*) AS c,
-           MIN(cents) AS tmin,
-           ROUND(percentile(cents, 0.95), 4) AS tp95_exact,
-           CAST(CASE WHEN percentile_approx(cents, 0.95, 10000)
-                          BETWEEN percentile(cents, 0.91)
-                              AND percentile(cents, 0.99)
-                THEN 1 ELSE 0 END AS BIGINT) AS tp95_in_band,
-           MAX(cents) AS tmax
-    FROM c
-    GROUP BY client_ip, watch_id
-    HAVING COUNT(*) >= 50
-    ORDER BY tp95_exact DESC, client_ip, watch_id
-    LIMIT 10
-    """,
-    oracle="""
-    WITH c AS (SELECT user_id % 16 AS client_ip, event_id % 4 AS watch_id,
-                      CAST(round(value * 100) AS BIGINT) AS cents
-               FROM events WHERE user_id % 2 = 0)
-    SELECT client_ip, watch_id,
-           COUNT(*) AS c,
-           MIN(cents) AS tmin,
-           ROUND(quantile_cont(cents, 0.95), 4) AS tp95_exact,
-           CAST(1 AS BIGINT) AS tp95_in_band,
-           MAX(cents) AS tmax
-    FROM c
-    GROUP BY client_ip, watch_id
-    HAVING COUNT(*) >= 50
-    ORDER BY tp95_exact DESC, client_ip, watch_id
-    LIMIT 10
-    """,
+
+register_split_sql(
+    "cb_ext_q5_p95_approx",
+    stages=[(_CBQ5_G_SPARK, "cbq5_g_m")],
+    final_sql=_CBQ5_FINAL.format(g="cbq5_g_m"),
+    oracle="WITH g AS (" + _CBQ5_G_DUCK + ")" + _CBQ5_FINAL.format(g="g"),
     tags=("clickbench-extended", "approx-percentile", "tolerance-band"),
+    discrimination=probe(
+        above_median_kept=f"""WITH g AS ({_CBQ5_G_DUCK})
+            SELECT COUNT(*) FROM g
+            WHERE c > (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                               (ORDER BY c) AS BIGINT) FROM g)""",
+        at_or_below_median_rejected=f"""WITH g AS ({_CBQ5_G_DUCK})
+            SELECT COUNT(*) FROM g
+            WHERE c <= (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                                (ORDER BY c) AS BIGINT) FROM g)""",
+        min_kept_group_big_enough_for_band=f"""WITH g AS ({_CBQ5_G_DUCK})
+            SELECT CASE WHEN MIN(c) >= 10 THEN 1 ELSE 0 END FROM g
+            WHERE c > (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                               (ORDER BY c) AS BIGINT) FROM g)""",
+    ),
 )
 
 # extended q6: the campaign funnel — alternation regex + IN network ids

@@ -17,7 +17,7 @@ tests/test_plans.py).
 
 from __future__ import annotations
 
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 # --- h2o groupby: low-card key, two keys, high-card key ----------------------
 register_sql(
@@ -36,6 +36,13 @@ register_sql(
     bench=True,
 )
 
+# r14 discrimination fix (probe-found): HAVING COUNT(*) >= 3 never
+# rejected a user (every generated user has ~60 events).  Per-user
+# event counts are SF-invariant (users scale with the corpus, events
+# per user don't: quartiles ~51/62/67/88 at every probed SF), so an
+# absolute floor INSIDE that distribution is the scale-correct h2o
+# idiom: >= 63 splits roughly at the median (10/5, 97/53, 1026/474
+# kept/rejected at sf0.001/0.01/0.1).
 register_sql(
     "h2o_groupby_highcard",
     """
@@ -45,10 +52,18 @@ register_sql(
            MAX(event_type) AS max_type
     FROM events
     GROUP BY user_id
-    HAVING COUNT(*) >= 3
+    HAVING COUNT(*) >= 63
     """,
     tags=("h2o", "agg", "high-cardinality"),
     bench=True,
+    discrimination=probe(
+        having_survivors="""SELECT COUNT(*) FROM (
+            SELECT user_id FROM events
+            GROUP BY user_id HAVING COUNT(*) >= 63)""",
+        having_rejected="""SELECT COUNT(*) FROM (
+            SELECT user_id FROM events
+            GROUP BY user_id HAVING COUNT(*) < 63)""",
+    ),
 )
 
 # --- h2o join: fact × dimension ----------------------------------------------

@@ -17,7 +17,7 @@ like the JOB originals.
 
 from __future__ import annotations
 
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 # 1a-ish: 5-way comma join, two selective dim filters + a LIKE fence
 register_sql(
@@ -119,6 +119,20 @@ register_sql(
           AND n.n_name LIKE 'NATION!_1%' ESCAPE '!')
     """,
     tags=("job", "anti-join", "not-exists"),
+    discrimination=probe(
+        anti_kept_suppliers="""SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                WHERE n.n_nationkey = s.s_nationkey
+                  AND n.n_name LIKE 'NATION!_1%' ESCAPE '!')""",
+        anti_rejected_suppliers="""SELECT COUNT(*) FROM supplier s
+            WHERE EXISTS (SELECT 1 FROM nation n
+                WHERE n.n_nationkey = s.s_nationkey
+                  AND n.n_name LIKE 'NATION!_1%' ESCAPE '!')""",
+        discount_fence_rows="""SELECT COUNT(*) FROM lineitem
+            WHERE l_discount > 0.09""",
+        discount_fence_excludes="""SELECT COUNT(*) FROM lineitem
+            WHERE l_discount <= 0.09""",
+    ),
 )
 
 # star with two filtered dimension arms on one fact table

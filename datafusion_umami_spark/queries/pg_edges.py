@@ -45,7 +45,7 @@ design as windows.window_groups_frame_emulated).
 from __future__ import annotations
 
 from datafusion_umami_spark.operators.materialize import register_split_sql
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 # --- DISTINCT ON, basic: earliest order per customer ------------------------
 # distinct_on.slt:40-46.  Spark: rank-1 window; oracle: native DISTINCT ON.
@@ -272,6 +272,16 @@ register_split_sql(
         + _SETOP_FINAL
     ),
     tags=("pg-compat", "set-ops", "except-all", "intersect-all"),
+    discrimination=probe(
+        # ALL semantics only differ from DISTINCT when a value carries
+        # multiplicity > 1 through the operator
+        inlist_values_multiplicity_gt1="""SELECT COUNT(*) FROM (
+            SELECT l_linenumber AS v, COUNT(*) AS n FROM lineitem
+            WHERE l_orderkey < 4000 AND l_linenumber IN (3, 4)
+            GROUP BY l_linenumber HAVING COUNT(*) > 1)""",
+        values_outside_inlist="""SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey < 4000 AND l_linenumber NOT IN (3, 4)""",
+    ),
 )
 
 # --- analytic-function matrix: asc + desc variants in one pass ---------------

@@ -55,7 +55,7 @@ so these never-swept additions queue BEHIND the legacy backlog
 from __future__ import annotations
 
 from datafusion_umami_spark.operators.materialize import register_split_sql
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 # --- q4/q11: multi-year two-channel customer profile stack ----------------
 # One shared aggregate, FOUR references.  The growth comparison
@@ -330,6 +330,41 @@ register_sql(
     LIMIT 500
     """,
     tags=("tpcds", "cv-band", "self-join", "integer-exact"),
+    discrimination=probe(
+        having_rejected_singletons="""SELECT COUNT(*) FROM (
+            SELECT l_partkey, EXTRACT(MONTH FROM l_shipdate)
+            FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1998
+            GROUP BY 1, 2 HAVING COUNT(*) < 2)""",
+        cv_pairs_kept="""WITH m AS (
+            SELECT l_partkey AS part,
+                   CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mo,
+                   COUNT(*) AS n,
+                   SUM(CAST(round(l_quantity) AS BIGINT)) AS s,
+                   SUM(CAST(round(l_quantity) AS BIGINT)
+                       * CAST(round(l_quantity) AS BIGINT)) AS sq
+            FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1998
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT COUNT(*) FROM m m1 JOIN m m2
+              ON m1.part = m2.part AND m2.mo = m1.mo + 1
+            WHERE 100*m1.n*(m1.n*m1.sq - m1.s*m1.s) > 9*(m1.n-1)*m1.s*m1.s
+              AND 100*m2.n*(m2.n*m2.sq - m2.s*m2.s)
+                  > 9*(m2.n-1)*m2.s*m2.s""",
+        cv_pairs_rejected_by_band="""WITH m AS (
+            SELECT l_partkey AS part,
+                   CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mo,
+                   COUNT(*) AS n,
+                   SUM(CAST(round(l_quantity) AS BIGINT)) AS s,
+                   SUM(CAST(round(l_quantity) AS BIGINT)
+                       * CAST(round(l_quantity) AS BIGINT)) AS sq
+            FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1998
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT COUNT(*) FROM m m1 JOIN m m2
+              ON m1.part = m2.part AND m2.mo = m1.mo + 1
+            WHERE NOT (100*m1.n*(m1.n*m1.sq - m1.s*m1.s)
+                           > 9*(m1.n-1)*m1.s*m1.s
+                       AND 100*m2.n*(m2.n*m2.sq - m2.s*m2.s)
+                           > 9*(m2.n-1)*m2.s*m2.s)""",
+    ),
 )
 
 # --- q34: bulk-ticket households ------------------------------------------
@@ -352,6 +387,30 @@ register_sql(
     LIMIT 500
     """,
     tags=("tpcds", "bulk-tickets", "having"),
+    discrimination=probe(
+        bulk_orders="""SELECT COUNT(*) FROM (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING COUNT(*) BETWEEN 4 AND 6)""",
+        non_bulk_orders="""SELECT COUNT(*) FROM (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING COUNT(*) NOT BETWEEN 4 AND 6)""",
+        households_kept="""WITH t AS (
+            SELECT l_orderkey AS ok FROM lineitem
+            GROUP BY l_orderkey HAVING COUNT(*) BETWEEN 4 AND 6)
+            SELECT COUNT(*) FROM (
+              SELECT c_custkey FROM t
+              JOIN orders o ON t.ok = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY c_custkey HAVING COUNT(*) >= 2)""",
+        households_rejected="""WITH t AS (
+            SELECT l_orderkey AS ok FROM lineitem
+            GROUP BY l_orderkey HAVING COUNT(*) BETWEEN 4 AND 6)
+            SELECT COUNT(*) FROM (
+              SELECT c_custkey FROM t
+              JOIN orders o ON t.ok = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY c_custkey HAVING COUNT(*) < 2)""",
+    ),
 )
 
 # --- q58: three-channel revenue within a band of the mean -----------------

@@ -460,7 +460,24 @@ def test_legacy_backlog_is_exhausted():
                   # rejections at sf0.001 -> key-range nation fence.
                   "tpcds_except_chain_count",
                   "tpcds_t8_zip_prefix_dense",
-                  "tpcds_t8_ship_exists_notexists"}
+                  "tpcds_t8_ship_exists_notexists",
+                  # r14 batch 5 (probe harvest, the vacuous-HAVING
+                  # class): seven specs whose HAVING floor sat entirely
+                  # below (or above: cb_ext_q5 was EMPTY at sf0.001)
+                  # the per-group count distribution at proof scale —
+                  # absolute floors against corpus-growing counts fail
+                  # in both directions.  Scale-free median fences
+                  # (count median, or median-of-means where round-robin
+                  # generation makes all counts EQUAL: cb_url/cb_referer),
+                  # an SF-invariant per-user absolute floor for h2o
+                  # (per-user counts don't grow with SF), and a
+                  # (user, day) regrouping for cb_ext_stddev_var_having
+                  # whose singleton-group NULL-stddev branch was
+                  # structurally impossible on whole-user groupings.
+                  "h2o_groupby_highcard", "cb_regex_extract_agg",
+                  "cb_stats_having", "cb_url_length_having",
+                  "cb_referer_domain_agg", "cb_ext_stddev_var_having",
+                  "cb_ext_q5_p95_approx"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -573,7 +590,18 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
     # texts (finite-norm fence ×7, variant try_cast, mixture widening).
     demoted = [
         n
-        for n in ("subq_in_correlated_filter", "subq_lateral_topn",
+        for n in (# r14: ntile + pareto are rank-0 SWEEP_PRIORITY names
+                  # (historical entries), so when demoted they lead the
+                  # whole queue in priority order
+                  "tpcds_ntile_decile_profile", "tpcds_pareto_coverage",
+                  # r14 vacuous-HAVING batch: h2o and clickbench import
+                  # BEFORE tpcds_shapes/tpch, so these lead the
+                  # module-order segment (within clickbench,
+                  # registration line order)
+                  "h2o_groupby_highcard", "cb_regex_extract_agg",
+                  "cb_stats_having", "cb_url_length_having",
+                  "cb_referer_domain_agg", "cb_ext_stddev_var_having",
+                  "subq_in_correlated_filter", "subq_lateral_topn",
                   "subq_exists_correlated_agg",
                   "intersect_all", "except_distinct", "filter_like_ilike",
                   "sort_nulls_ordering", "sort_multicol_large",
@@ -584,7 +612,7 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "csv_malformed_modes",
                   "parquet_codec_roundtrip", "ann_bruteforce_topk",
                   "ann_bruteforce_vectorized", "ann_lsh_probe",
-                  "ann_ivf_grid", "tpcds_ntile_decile_profile",
+                  "ann_ivf_grid",
                   "evt_rfm_segments", "inc_rollup_merge",
                   "merge_upsert_latest_wins",
                   "ts_anomaly_zscore_minutes", "ts_rolling_median_weekly",
@@ -600,17 +628,16 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "repartition_by_range", "ann_ivf_trained",
                   "join_left_anti", "join_right_semi",
                   "join_in_or_subquery", "join_salted_skew",
-                  # r14: ntile above precedes pareto in tpcds_shapes
-                  # import order, so appending keeps the tuple sorted
-                  # for the names unproven this round; tpch imports
-                  # after tpcds_shapes, its four in registration order
-                  "tpcds_pareto_coverage",
+                  # r14: tpch imports after tpcds_shapes, its four in
+                  # registration order
                   "tpch_q11", "tpch_q20", "tpch_q21", "tpch_q22",
                   # tpcds_shapes_t5 imports after tpch; registration
                   # order within the module
                   "tpcds_intersect_driven_sales",
                   "tpcds_or_local_or_subquery",
                   "tpcds_volatile_items_cross_month",
+                  # clickbench_ext2 imports between t5 and t6
+                  "cb_ext_q5_p95_approx",
                   # t6 imports before t8; within t8, zip before ship
                   "tpcds_except_chain_count",
                   "tpcds_t8_zip_prefix_dense",
