@@ -20,6 +20,7 @@ parity of the text itself is the oracle gate's job.
 from __future__ import annotations
 
 import os
+import re
 from pathlib import Path
 
 import duckdb
@@ -59,6 +60,80 @@ def test_probe_populations_nonzero(name, duck):
             f"{name}: branch {label!r} has empty population — the spec "
             f"cannot discriminate on this clause at this proof scale"
         )
+
+
+# Registry-wide mechanical LIKE-fence audit (r14).  A LIKE/NOT LIKE
+# against a dimension column is degenerate when it matches everything
+# or nothing on its base table — the fence then proves no filter
+# semantics at that proof scale.  The allowlist pins the KNOWN
+# degenerate predicates so the class cannot grow silently; each entry
+# is (spec, column, op, pattern) with its classification.  Fixing one
+# must remove it here (the assert is exact both ways).
+_LIKE_ALLOWLIST = {
+    # DELIBERATE: the dead capital-variant arm IS the case-sensitivity
+    # proof (its ILIKE twin in the same spec matches)
+    ("job_t7_case_variant_or_likes", "p_name", "LIKE", "%Widget%"),
+    # DELIBERATE-ish: redundant always-true conjunct on the same column
+    # as a selective one (optimizer stress); r15 review candidate
+    ("job_t7_conj_same_column_likes", "c_name", "LIKE", "%Customer%"),
+    # r15 queue — always-true prefix/containment fences at proof scale
+    # (entity names are zero-padded ids below the pattern's cut):
+    ("fn_like_any_all", "c_name", "LIKE", "Customer%"),
+    ("fn_like_any_all", "c_name", "LIKE", "%0%"),
+    ("job_eleven_rel_roleplay_star", "n_name", "LIKE", "NATION_%"),
+    ("job_five_selective_like_arms", "s_name", "LIKE", "Supplier#000000%"),
+    ("job_inlist_role_prefix_probe", "s_name", "LIKE", "Supplier#0000000%"),
+    ("job_t6_four_bridge_clique", "s_name", "LIKE", "Supplier#%"),
+    ("job_t6_negated_dim_mixed_in8", "s_name", "LIKE", "%0%"),
+    ("job_three_like_fences_chain", "c_name", "LIKE", "Customer#00000%"),
+    ("tpcds_t8_ored_demo_pairs_returns", "c_name", "LIKE", "Customer#%"),
+    ("job_five_selective_like_arms", "n_name", "LIKE", "NATION_%"),
+    ("job_t6_prefix_company_wide_star", "s_name", "LIKE",
+     "Supplier#0000000%"),
+    ("job_t7_double_conj_like_pairs", "c_name", "LIKE", "%Customer%"),
+}
+
+_TBL_BY_PREFIX = {"c_": "customer", "s_": "supplier", "n_": "nation",
+                  "p_": "part", "o_": "orders", "l_": "lineitem",
+                  "r_": "region"}
+_LIKE_RE = re.compile(
+    r"\b(\w+)\s+(NOT\s+)?(I?LIKE)\s+'([^']*)'(\s+ESCAPE\s+'(.)')?", re.I
+)
+
+
+def test_like_fences_discriminate_or_are_allowlisted(duck):
+    degenerate = set()
+    seen = set()
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        for m in _LIKE_RE.finditer(spec.oracle):
+            col, _neg, op, pat, _, esc = m.groups()
+            table = _TBL_BY_PREFIX.get(col[:2].lower())
+            if table is None or not col[2:]:
+                continue
+            key = (name, col.lower(), op.upper(), pat)
+            if key in seen:
+                continue
+            seen.add(key)
+            esc_sql = f" ESCAPE '{esc}'" if esc else ""
+            n_match = duck.execute(
+                f"SELECT COUNT(*) FROM {table} "
+                f"WHERE {col} {op} '{pat}'{esc_sql}"
+            ).fetchone()[0]
+            n_not = duck.execute(
+                f"SELECT COUNT(*) FROM {table} "
+                f"WHERE NOT ({col} {op} '{pat}'{esc_sql})"
+            ).fetchone()[0]
+            if n_match == 0 or n_not == 0:
+                degenerate.add(key)
+    new = degenerate - _LIKE_ALLOWLIST
+    assert not new, f"new degenerate LIKE fences: {sorted(new)}"
+    # exact pin is per-SF-union, checked by the looser direction only
+    # at each SF (a fence can be degenerate at one SF and not another);
+    # allowlist entries that are degenerate at NEITHER proof SF are
+    # caught by the full-union check in CI over both fixture params
+    assert seen, "LIKE audit scanned nothing"
 
 
 def test_probe_coverage_floor():
