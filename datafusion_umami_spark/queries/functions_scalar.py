@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_umami_spark.operators.date_bin import date_bin, date_bin_oracle_sql
-from datafusion_umami_spark.registry import register, register_sql
+from datafusion_umami_spark.registry import probe, register, register_sql
 from datafusion_umami_spark.tables import table
 
 # --- string module ---------------------------------------------------------
@@ -360,6 +360,23 @@ register_sql(
     FROM customer WHERE c_custkey < 150
     """,
     tags=("scalar", "conditional"),
+    discrimination=probe(
+        nullif_fires_building="""SELECT COUNT(*) FROM customer
+            WHERE c_custkey < 150 AND c_mktsegment = 'BUILDING'""",
+        nullif_passes_other="""SELECT COUNT(*) FROM customer
+            WHERE c_custkey < 150 AND c_mktsegment <> 'BUILDING'""",
+        nation5_absent_branch="""SELECT COUNT(*) FROM customer
+            WHERE c_custkey < 150 AND c_nationkey = 5""",
+        nation_present_branch="""SELECT COUNT(*) FROM customer
+            WHERE c_custkey < 150 AND c_nationkey <> 5""",
+        bal_bucket_neg="""SELECT COUNT(*) FROM customer
+            WHERE c_custkey < 150 AND c_acctbal < 0""",
+        bal_bucket_mid="""SELECT COUNT(*) FROM customer
+            WHERE c_custkey < 150 AND c_acctbal >= 0
+              AND c_acctbal < 5000""",
+        bal_bucket_high="""SELECT COUNT(*) FROM customer
+            WHERE c_custkey < 150 AND c_acctbal >= 5000""",
+    ),
 )
 
 # --- crypto / encoding -----------------------------------------------------

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_umami_spark.registry import register, register_sql
+from datafusion_umami_spark.registry import probe, register, register_sql
 from datafusion_umami_spark.tables import table
 
 _ITER = 4
@@ -145,19 +145,45 @@ def triangle_count_sql(pairs_cte: str) -> str:
 
 
 _COPURCHASE_PAIRS = """
-      -- high-quantity co-purchases only: keeps the graph sparse (the
-      -- unfenced version is complete on this synthetic data, which
-      -- would make every triangle count trivially C(n,3))
+      -- high-quantity RECENT co-purchases only: keeps the graph sparse
+      -- (the unfenced version is complete on this synthetic data, which
+      -- would make every triangle count trivially C(n,3)).  r14
+      -- discrimination fix (probe-found): the qty>45 fence alone still
+      -- left the 10-supplier sf0.001 graph COMPLETE — the triangle
+      -- closure never rejected a wedge locally; adding the 1998+
+      -- ship-date fence puts every branch in play at every proof SF
+      -- (excluded-pairs/open-wedges 1/7, 2898/15882, 472278/466265 at
+      -- sf0.001/0.01/0.1)
       SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
-      WHERE a.l_quantity > 45 AND b.l_quantity > 45"""
+      WHERE a.l_quantity > 45 AND b.l_quantity > 45
+        AND a.l_shipdate >= DATE '1998-01-01'
+        AND b.l_shipdate >= DATE '1998-01-01'"""
 
 
 @register(
     "graph_triangle_count",
     oracle=triangle_count_sql(_COPURCHASE_PAIRS),
     tags=("graph", "triangles", "self-join"),
+    discrimination=probe(
+        edges=f"SELECT COUNT(*) FROM ({_COPURCHASE_PAIRS}) p",
+        qty_fence_excluded_pairs=f"""SELECT COUNT(*) FROM (
+            SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey) q
+            WHERE NOT EXISTS (SELECT 1 FROM ({_COPURCHASE_PAIRS}) p
+                              WHERE p.u = q.u AND p.v = q.v)""",
+        triangles=f"""WITH pairs AS ({_COPURCHASE_PAIRS})
+            SELECT COUNT(*) FROM pairs e1
+            JOIN pairs e2 ON e2.u = e1.v
+            JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v""",
+        open_wedges_not_closed=f"""WITH pairs AS ({_COPURCHASE_PAIRS})
+            SELECT COUNT(*) FROM pairs e1
+            JOIN pairs e2 ON e2.u = e1.v
+            WHERE NOT EXISTS (SELECT 1 FROM pairs e3
+                              WHERE e3.u = e1.u AND e3.v = e2.v)""",
+    ),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-oriented triangle count with per-stage materialization:

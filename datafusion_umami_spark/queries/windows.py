@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datafusion_umami_spark.registry import dec, register, register_sql
+from datafusion_umami_spark.registry import dec, probe, register, register_sql
 from datafusion_umami_spark.tables import table
 
 register_sql(
@@ -270,6 +270,22 @@ register_sql(
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
     """,
     tags=("window", "analytic", "ignore-nulls"),
+    discrimination=probe(
+        null_px_rows="""SELECT COUNT(*) FROM orders
+            WHERE o_custkey < 120 AND o_orderkey % 3 = 0""",
+        non_null_px_rows="""SELECT COUNT(*) FROM orders
+            WHERE o_custkey < 120 AND o_orderkey % 3 <> 0""",
+        # IGNORE NULLS only differs from the default when a partition
+        # holds a NULL with a non-NULL BEFORE it (lag must skip)
+        partitions_with_null_after_value="""SELECT COUNT(*) FROM (
+            SELECT o_custkey FROM orders o1
+            WHERE o_custkey < 120 AND o_orderkey % 3 = 0
+              AND EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = o1.o_custkey
+                            AND o2.o_orderkey < o1.o_orderkey
+                            AND o2.o_orderkey % 3 <> 0)
+            GROUP BY o_custkey)""",
+    ),
 )
 
 
@@ -441,4 +457,10 @@ register_sql(
     LIMIT 2000
     """,
     tags=("window", "filter-clause", "emulation"),
+    discrimination=probe(
+        filter_matched_rows="""SELECT COUNT(*) FROM orders
+            WHERE o_orderpriority = '1-URGENT'""",
+        filter_excluded_rows="""SELECT COUNT(*) FROM orders
+            WHERE o_orderpriority <> '1-URGENT'""",
+    ),
 )

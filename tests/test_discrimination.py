@@ -91,11 +91,21 @@ _LIKE_ALLOWLIST = {
     ("job_t6_prefix_company_wide_star", "s_name", "LIKE",
      "Supplier#0000000%"),
     ("job_t7_double_conj_like_pairs", "c_name", "LIKE", "%Customer%"),
+    # every generated props JSON contains the "k" key, so the
+    # containment fence matches all rows (r15 queue)
+    ("cb_substring_search", "props", "LIKE", '%"k"%'),
+    ("cb_select_star_like_ordered", "props", "LIKE", '%"k"%'),
 }
 
 _TBL_BY_PREFIX = {"c_": "customer", "s_": "supplier", "n_": "nation",
                   "p_": "part", "o_": "orders", "l_": "lineitem",
                   "r_": "region"}
+# non-prefixed raw columns of the non-TPC-H tables; derived columns
+# (url/title synthesized inside a spec) are out of mechanical scope —
+# their specs carry hand probes instead
+_TBL_BY_COLUMN = {"props": "events", "event_type": "events",
+                  "source": "documents", "lang": "documents",
+                  "text": "documents"}
 _LIKE_RE = re.compile(
     r"\b(\w+)\s+(NOT\s+)?(I?LIKE)\s+'([^']*)'(\s+ESCAPE\s+'(.)')?", re.I
 )
@@ -110,7 +120,11 @@ def test_like_fences_discriminate_or_are_allowlisted(duck):
         for m in _LIKE_RE.finditer(spec.oracle):
             col, _neg, op, pat, _, esc = m.groups()
             table = _TBL_BY_PREFIX.get(col[:2].lower())
-            if table is None or not col[2:]:
+            if table is not None and not col[2:]:
+                table = None
+            if table is None:
+                table = _TBL_BY_COLUMN.get(col.lower())
+            if table is None:
                 continue
             key = (name, col.lower(), op.upper(), pat)
             if key in seen:
@@ -140,4 +154,5 @@ def test_probe_coverage_floor():
     """The campaign's ratchet: probes may be added, never silently
     dropped.  Raise the floor when a new batch lands."""
     # r14: TPC-H + tpcds t5-t8 + clickbench/h2o/job/pg having-anti-setop
-    assert len(PROBED) >= 38, PROBED
+    # + windows/graph/conditional branch batteries
+    assert len(PROBED) >= 42, PROBED

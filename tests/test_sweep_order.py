@@ -477,7 +477,14 @@ def test_legacy_backlog_is_exhausted():
                   "h2o_groupby_highcard", "cb_regex_extract_agg",
                   "cb_stats_having", "cb_url_length_having",
                   "cb_referer_domain_agg", "cb_ext_stddev_var_having",
-                  "cb_ext_q5_p95_approx"}
+                  "cb_ext_q5_p95_approx",
+                  # r14 batch 6: the triangle spec's own comment warned
+                  # the unfenced co-purchase graph is complete; the
+                  # qty>45 fence alone still left the sf0.001 graph
+                  # complete (the closure never rejected a wedge
+                  # locally) -> added a 1998+ ship-date fence, all four
+                  # probe branches now fire at every proof SF.
+                  "graph_triangle_count"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -590,10 +597,11 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
     # texts (finite-norm fence ×7, variant try_cast, mixture widening).
     demoted = [
         n
-        for n in (# r14: ntile + pareto are rank-0 SWEEP_PRIORITY names
-                  # (historical entries), so when demoted they lead the
-                  # whole queue in priority order
-                  "tpcds_ntile_decile_profile", "tpcds_pareto_coverage",
+        for n in (# r14: ntile + graph_triangle + pareto are rank-0
+                  # SWEEP_PRIORITY names (historical entries), so when
+                  # demoted they lead the whole queue in priority order
+                  "tpcds_ntile_decile_profile", "graph_triangle_count",
+                  "tpcds_pareto_coverage",
                   # r14 vacuous-HAVING batch: h2o and clickbench import
                   # BEFORE tpcds_shapes/tpch, so these lead the
                   # module-order segment (within clickbench,
