@@ -729,3 +729,33 @@ def test_quantile_banding_scans_fact_once(name, fact, spark, sf_dir):
         name,
         counts,
     )
+
+
+@pytest.mark.parametrize(
+    "name,fact",
+    [
+        ("tpch_q11", "lineitem"),
+        ("cb_regex_extract_agg", "events"),
+        ("cb_stats_having", "events"),
+        ("cb_url_length_having", "documents"),
+        ("cb_referer_domain_agg", "documents"),
+        ("cb_ext_q5_p95_approx", "events"),
+    ],
+)
+def test_median_fence_splits_scan_fact_once(name, fact, spark, sf_dir):
+    """The r14 discrimination rewrites fence groups against a median (or
+    mean-multiple) computed over the SAME group aggregate; the split
+    materialization must leave at most one fact scan in the final plan
+    — an inlined composition would re-scan the fact per reference
+    (fence subquery + filter + output)."""
+    from datafusion_umami_spark.operators.materialize import (
+        fact_scan_counts,
+        release_all,
+    )
+
+    try:
+        df = q(name, spark, sf_dir)
+        counts = fact_scan_counts(df)
+    finally:
+        release_all()
+    assert counts.get(fact, 0) <= 1, (name, counts)
