@@ -501,6 +501,12 @@ register_sql(
     LIMIT 10
     """,
     tags=("clickbench", "two-key", "mixed-agg"),
+    discrimination=probe(
+        view_rows_refresh_arm="""SELECT COUNT(*) FROM events
+            WHERE props <> '' AND event_type = 'view'""",
+        non_view_rows_else_arm="""SELECT COUNT(*) FROM events
+            WHERE props <> '' AND event_type <> 'view'""",
+    ),
 )
 
 # q35-ish: group by an arithmetic family of shifted keys
@@ -768,6 +774,15 @@ register_sql(
     LIMIT 10 OFFSET 20
     """,
     tags=("clickbench", "case", "funnel", "offset"),
+    # NOTE (r15 queue): the ts-window and value >= 0 fences exclude
+    # nothing (all generated events are in 2024 with non-negative
+    # values) — the CASE arms below are the load-bearing branches.
+    discrimination=probe(
+        case_src_arm="""SELECT COUNT(*) FROM events
+            WHERE user_id % 4 = 0 AND event_type <> 'click'""",
+        case_else_arm="""SELECT COUNT(*) FROM events
+            WHERE NOT (user_id % 4 = 0 AND event_type <> 'click')""",
+    ),
 )
 
 # q41-ish: client window dimensions behind a flag fence, deep OFFSET
@@ -967,6 +982,47 @@ register_sql(
       AND levenshtein(event_type, 'click') < 4
     """,
     tags=("clickbench-extended", "levenshtein", "split-part", "funnel"),
+    discrimination=probe(
+        kept="""SELECT COUNT(*) FROM events
+            WHERE user_id % 2 = 1
+              AND event_type IN ('click', 'view', 'share', 'purchase')
+              AND value BETWEEN 5 AND 500
+              AND regexp_matches(props, '"k":\\s*[0-9]+')
+              AND CASE WHEN regexp_matches(
+                           split_part(split_part(props, '"k": ', 2),
+                                      '}', 1), '^[0-9]+$')
+                       THEN CAST(split_part(split_part(props, '"k": ', 2),
+                                            '}', 1) AS INT)
+                       ELSE 0 END > 10
+              AND levenshtein(event_type, 'click') < 4""",
+        rejected_by_k_threshold="""SELECT COUNT(*) FROM events
+            WHERE user_id % 2 = 1
+              AND event_type IN ('click', 'view', 'share', 'purchase')
+              AND value BETWEEN 5 AND 500
+              AND regexp_matches(props, '"k":\\s*[0-9]+')
+              AND NOT (CASE WHEN regexp_matches(
+                           split_part(split_part(props, '"k": ', 2),
+                                      '}', 1), '^[0-9]+$')
+                       THEN CAST(split_part(split_part(props, '"k": ', 2),
+                                            '}', 1) AS INT)
+                       ELSE 0 END > 10)""",
+        rejected_by_levenshtein="""SELECT COUNT(*) FROM events
+            WHERE user_id % 2 = 1
+              AND event_type IN ('click', 'view', 'share', 'purchase')
+              AND value BETWEEN 5 AND 500
+              AND regexp_matches(props, '"k":\\s*[0-9]+')
+              AND CASE WHEN regexp_matches(
+                           split_part(split_part(props, '"k": ', 2),
+                                      '}', 1), '^[0-9]+$')
+                       THEN CAST(split_part(split_part(props, '"k": ', 2),
+                                            '}', 1) AS INT)
+                       ELSE 0 END > 10
+              AND NOT (levenshtein(event_type, 'click') < 4)""",
+        rejected_by_value_band="""SELECT COUNT(*) FROM events
+            WHERE user_id % 2 = 1
+              AND event_type IN ('click', 'view', 'share', 'purchase')
+              AND NOT (value BETWEEN 5 AND 500)""",
+    ),
 )
 
 # extended q7-ish: per-key minmax + flag sum, ordered by the KEY
@@ -986,6 +1042,11 @@ register_sql(
     LIMIT 10
     """,
     tags=("clickbench-extended", "minmax", "key-ordered"),
+    discrimination=probe(
+        view_rows="SELECT COUNT(*) FROM events WHERE event_type = 'view'",
+        non_view_rows="SELECT COUNT(*) FROM events "
+        "WHERE event_type <> 'view'",
+    ),
 )
 
 # ---------------------------------------------------------------------------

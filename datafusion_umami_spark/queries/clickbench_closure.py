@@ -22,7 +22,7 @@ both sides.
 
 from __future__ import annotations
 
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 # q3: SELECT AVG("UserID") FROM hits — single global average over a
 # 64-bit id column; integer SUM stays exact, division at the end.
@@ -207,6 +207,12 @@ register_sql(
     LIMIT 10
     """,
     tags=("clickbench", "two-key", "mixed-agg"),
+    discrimination=probe(
+        view_rows_refresh_arm="""SELECT COUNT(*) FROM events
+            WHERE event_type = 'view'""",
+        non_view_rows_else_arm="""SELECT COUNT(*) FROM events
+            WHERE event_type <> 'view'""",
+    ),
 )
 
 # q33: single-key URL frequency top-k (q16 keeps the two-key shape);

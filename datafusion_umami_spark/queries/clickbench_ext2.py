@@ -213,4 +213,8 @@ register_sql(
     LIMIT 10
     """,
     tags=("clickbench-extended", "minmax", "key-ordered"),
+    discrimination=probe(
+        refresh_rows="SELECT COUNT(*) FROM events WHERE value < 50",
+        non_refresh_rows="SELECT COUNT(*) FROM events WHERE value >= 50",
+    ),
 )

@@ -449,6 +449,26 @@ register_sql(
     FROM part WHERE p_partkey < 300
     """,
     tags=("scalar", "string", "find-in-set", "nanvl"),
+    discrimination=probe(
+        brand_in_list="""SELECT COUNT(*) FROM part
+            WHERE p_partkey < 300 AND p_brand IN
+              ('Brand#11', 'Brand#22', 'Brand#33', 'Brand#44',
+               'Brand#55')""",
+        brand_not_in_list="""SELECT COUNT(*) FROM part
+            WHERE p_partkey < 300 AND p_brand NOT IN
+              ('Brand#11', 'Brand#22', 'Brand#33', 'Brand#44',
+               'Brand#55')""",
+        size_mod3_arm="""SELECT COUNT(*) FROM part
+            WHERE p_partkey < 300 AND p_size % 3 = 0""",
+        size_other_arm="""SELECT COUNT(*) FROM part
+            WHERE p_partkey < 300 AND p_size % 3 <> 0""",
+        b_missing_arm="""SELECT COUNT(*) FROM part
+            WHERE p_partkey < 300
+              AND strpos(substr(p_name, 3), 'b') = 0""",
+        b_found_arm="""SELECT COUNT(*) FROM part
+            WHERE p_partkey < 300
+              AND strpos(substr(p_name, 3), 'b') > 0""",
+    ),
 )
 
 

@@ -537,6 +537,21 @@ register_sql(
       AND p.p_retailprice > 500
     """,
     tags=("job", "left-null-anti"),
+    # NOTE (r15 queue): the p_retailprice > 500 arm excludes nothing
+    # (every generated part prices above 500) — the load-bearing anti
+    # branch below is healthy; tighten the price fence under sanction.
+    discrimination=probe(
+        anti_kept_parts="""SELECT COUNT(*) FROM part p
+            WHERE p_retailprice > 500
+              AND NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE p.p_partkey = l.l_partkey
+                                AND l.l_quantity > 45)""",
+        anti_rejected_parts="""SELECT COUNT(*) FROM part p
+            WHERE p_retailprice > 500
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE p.p_partkey = l.l_partkey
+                            AND l.l_quantity > 45)""",
+    ),
 )
 
 # numeric BETWEEN fences on two different dimension arms at once
@@ -741,6 +756,14 @@ register_sql(
       AND l_returnflag = 'A'
     """,
     tags=("job", "nullif-fence"),
+    discrimination=probe(
+        nullif_matched_rows="""SELECT COUNT(*) FROM orders
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderpriority = '5-LOW' AND l_returnflag = 'A'""",
+        nullif_passed_rows="""SELECT COUNT(*) FROM orders
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderpriority <> '5-LOW' AND l_returnflag = 'A'""",
+    ),
 )
 
 # three-way LIKE disjunction on one dim column (imdb keyword triples)

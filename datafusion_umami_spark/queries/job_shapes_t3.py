@@ -28,7 +28,7 @@ round-5 front-50 (sweep-rotation contract, queries/__init__.py).
 
 from __future__ import annotations
 
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 # 28a/29a-ish: 10 relations, and the join on the shared nation key is
 # written as the FULL pairwise clique (all C(5,2) equalities among the
@@ -77,6 +77,12 @@ register_sql(
 # point dim filter and a year fence lower in the chain.
 register_sql(
     "job_notnull_or_like_fence",
+    # r14 discrimination fix (probe-found): n_name = 'NATION_7' emptied
+    # the whole query at sf0.001 (10 suppliers spread one per nation —
+    # the same class as the tpch q11/q20/q21 fences) and the spec was
+    # hash-green on an EMPTY result locally.  SF-invariant key-range
+    # nation fence; kept/rej-by-OR/rej-by-nation 130/354/291, 2204/
+    # 6744/1688, 20400/62253/19588 probed at sf0.001/0.01/0.1.
     """
     SELECT MIN(p_name) AS first_part,
            MIN(s_name) AS first_supplier,
@@ -87,10 +93,34 @@ register_sql(
       AND l_suppkey = s_suppkey
       AND s_nationkey = n_nationkey
       AND p_name IS NOT NULL AND (p_name LIKE 'blue%' OR p_name LIKE 'cold%')
-      AND n_name = 'NATION_7'
+      AND n_nationkey <= 12
       AND l_shipdate > DATE '1999-12-31'
     """,
     tags=("job", "notnull-or-like"),
+    discrimination=probe(
+        kept="""SELECT COUNT(*) FROM lineitem, part, supplier, nation
+            WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+              AND s_nationkey = n_nationkey
+              AND (p_name LIKE 'blue%' OR p_name LIKE 'cold%')
+              AND n_nationkey <= 12
+              AND l_shipdate > DATE '1999-12-31'""",
+        rejected_by_or_fence="""SELECT COUNT(*)
+            FROM lineitem, part, supplier, nation
+            WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+              AND s_nationkey = n_nationkey
+              AND NOT (p_name LIKE 'blue%' OR p_name LIKE 'cold%')
+              AND n_nationkey <= 12
+              AND l_shipdate > DATE '1999-12-31'""",
+        rejected_by_nation="""SELECT COUNT(*)
+            FROM lineitem, part, supplier, nation
+            WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+              AND s_nationkey = n_nationkey
+              AND (p_name LIKE 'blue%' OR p_name LIKE 'cold%')
+              AND n_nationkey > 12
+              AND l_shipdate > DATE '1999-12-31'""",
+        rejected_by_date="""SELECT COUNT(*) FROM lineitem
+            WHERE l_shipdate <= DATE '1999-12-31'""",
+    ),
 )
 
 # 28a/20a-ish: the SAME dimension role-played three times — an equality

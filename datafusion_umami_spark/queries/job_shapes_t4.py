@@ -34,7 +34,7 @@ front-50 (sweep-rotation contract, queries/__init__.py).
 
 from __future__ import annotations
 
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 # 19d: one bridge (lineitem) fanning into THREE chains at once —
 # part (role_type analog), supplier→nation (char_name), and
@@ -198,6 +198,18 @@ register_sql(
     WHERE l_shipdate >= DATE '2001-06-01'
     """,
     tags=("job", "outer-chain", "tiered-counts"),
+    discrimination=probe(
+        # the tier counts only discriminate when each LEFT JOIN leaves
+        # some rows NULL and keeps others
+        window_rows="""SELECT COUNT(*) FROM lineitem
+            WHERE l_shipdate >= DATE '2001-06-01'""",
+        with_big_part="""SELECT COUNT(*) FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '2001-06-01' AND p_size > 45""",
+        without_big_part="""SELECT COUNT(*) FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '2001-06-01' AND p_size <= 45""",
+    ),
 )
 
 # OR spanning predicates of TWO different relations — not pushable

@@ -50,7 +50,7 @@ broadcast; the only fact-fact joins are self-joins on the fact key.
 
 from __future__ import annotations
 
-from datafusion_umami_spark.registry import register_sql
+from datafusion_umami_spark.registry import probe, register_sql
 
 # 3a: two bridges on the order key (pairwise closure spelled out), a
 # LIKE on the part dim reached through bridge 1, an IN-8 on bridge 2's
@@ -172,6 +172,24 @@ register_sql(
       AND n_regionkey = r_regionkey
     """,
     tags=("job", "null-fence", "point-year", "or-likes"),
+    discrimination=probe(
+        tax_zero_rows="SELECT COUNT(*) FROM lineitem WHERE l_tax = 0.0",
+        tax_positive_rows="SELECT COUNT(*) FROM lineitem "
+        "WHERE l_tax <> 0.0",
+        kept="""SELECT COUNT(*)
+            FROM customer, orders, lineitem, part, supplier, nation,
+                 region
+            WHERE l_tax = 0.0
+              AND EXTRACT(YEAR FROM o_orderdate) = 1998
+              AND c_name LIKE '%001%'
+              AND n_name <> 'NATION_3'
+              AND (p_name LIKE '%widget%' OR p_name LIKE '%bolt%')
+              AND r_name LIKE '%A%'
+              AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+              AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey""",
+    ),
 )
 
 # 13a: the ALL-POINT nine-relation star — every fence an equality,

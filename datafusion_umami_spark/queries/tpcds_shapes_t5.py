@@ -312,6 +312,15 @@ register_sql(
     LIMIT 500
     """,
     tags=("tpcds", "lag-lead", "moving-center"),
+    discrimination=probe(
+        # lag/lead NULL arms fire at each priority's first/last month
+        partition_edges="""SELECT CAST(2 * COUNT(DISTINCT o_orderpriority)
+            AS BIGINT) FROM orders""",
+        interior_months="""SELECT COUNT(*) FROM (
+            SELECT o_orderpriority, EXTRACT(YEAR FROM o_orderdate),
+                   EXTRACT(MONTH FROM o_orderdate)
+            FROM orders GROUP BY 1, 2, 3)""",
+    ),
 )
 
 # --- q32/q92: correlated average threshold, integer-exact -----------------
@@ -374,6 +383,28 @@ register_sql(
     ORDER BY priority
     """,
     tags=("tpcds", "bucket-matrix", "date-arith"),
+    discrimination=probe(
+        # every bucket arm fires; the d<0 population (generator ships
+        # before order date) documents the deliberate fall-through set
+        bucket_0_30="""SELECT COUNT(*) FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE date_diff('day', o_orderdate, l_shipdate)
+                  BETWEEN 0 AND 30""",
+        bucket_31_60="""SELECT COUNT(*) FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE date_diff('day', o_orderdate, l_shipdate)
+                  BETWEEN 31 AND 60""",
+        bucket_61_90="""SELECT COUNT(*) FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE date_diff('day', o_orderdate, l_shipdate)
+                  BETWEEN 61 AND 90""",
+        bucket_90_plus="""SELECT COUNT(*) FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE date_diff('day', o_orderdate, l_shipdate) > 90""",
+        fallthrough_negative="""SELECT COUNT(*) FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE date_diff('day', o_orderdate, l_shipdate) < 0""",
+    ),
 )
 
 # --- q45: local IN-list OR membership IN-subquery (mark-join shape) -------

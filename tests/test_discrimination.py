@@ -154,5 +154,17 @@ def test_probe_coverage_floor():
     """The campaign's ratchet: probes may be added, never silently
     dropped.  Raise the floor when a new batch lands."""
     # r14: TPC-H + tpcds t5-t8 + clickbench/h2o/job/pg having-anti-setop
-    # + windows/graph/conditional branch batteries
-    assert len(PROBED) >= 42, PROBED
+    # + windows/graph/conditional + null-fence/casewhen batteries
+    assert len(PROBED) >= 56, PROBED
+
+
+# r15 weak-arm queue (probed this round, fix under sanction next):
+# - job_leftjoin_null_reject: p_retailprice > 500 excludes nothing
+# - cb_case_src_dst_funnel: the 2024 ts-window and value >= 0 fences
+#   exclude nothing (all events are 2024, non-negative)
+# - cb_ext_q6_campaign_funnel: the levenshtein(<6) arm rejects nothing
+#   within the preceding conjuncts at sf0.001/0.01
+# - fn_greatest_least_null_semantics: NULLIF(c_acctbal, 0.0) never
+#   fires (no zero balances) — was_zero_bal is constant 0
+# - cb_q22_title_fence_battery: lang <> '' excludes nothing
+# plus the _LIKE_ALLOWLIST entries above.

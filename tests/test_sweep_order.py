@@ -484,7 +484,14 @@ def test_legacy_backlog_is_exhausted():
                   # complete (the closure never rejected a wedge
                   # locally) -> added a 1998+ ship-date fence, all four
                   # probe branches now fire at every proof SF.
-                  "graph_triangle_count"}
+                  "graph_triangle_count",
+                  # r14 batch 7 (null-fence/casewhen probe sweep):
+                  # job_notnull_or_like_fence filtered n_name='NATION_7'
+                  # — the same single-nation-empty class as the tpch
+                  # trio; the spec was hash-green on an EMPTY result at
+                  # sf0.001 -> SF-invariant key-range fence, all three
+                  # branches probed at every SF.
+                  "job_notnull_or_like_fence"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -637,8 +644,10 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "join_left_anti", "join_right_semi",
                   "join_in_or_subquery", "join_salted_skew",
                   # r14: tpch imports after tpcds_shapes, its four in
-                  # registration order
+                  # registration order; job_shapes_t3 leads the
+                  # late-tranche import block (after tpch, before t5)
                   "tpch_q11", "tpch_q20", "tpch_q21", "tpch_q22",
+                  "job_notnull_or_like_fence",
                   # tpcds_shapes_t5 imports after tpch; registration
                   # order within the module
                   "tpcds_intersect_driven_sales",
