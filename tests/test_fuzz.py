@@ -2546,6 +2546,47 @@ def test_pareto_two_level_prefix_equals_global_cumsum(revs, spark):
         assert abs(frac - round(n80 / len(revs), 6)) < 1e-9, eng
 
 
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(0, 6), min_size=1, max_size=25)
+)
+def test_median_count_fence_matches_python_on_tie_heavy_groups(
+    counts, spark
+):
+    """The r14 median-fence texts (cb_regex_extract_agg,
+    cb_stats_having, cb_ext_q5_p95_approx and the median-of-means
+    variants) keep groups with c STRICTLY above
+    percentile_disc(0.5) WITHIN GROUP (ORDER BY c) — the kept SET must
+    agree bit-for-bit across Spark, DuckDB, and the SQL-standard
+    definition (value at rank ceil(n/2)).  Tie-heavy counts (only 7
+    distinct values so the median collides constantly), all-equal
+    inputs (kept set EMPTY — the documented degenerate), and single
+    groups are the adversarial surface."""
+    import duckdb as _duckdb
+    import pandas as _pd
+
+    pdf = _pd.DataFrame(
+        [(i, c) for i, c in enumerate(counts)], columns=["gid", "c"]
+    )
+    sql = """
+        SELECT gid FROM mf_pin_v
+        WHERE c > (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                           (ORDER BY c) AS BIGINT) FROM mf_pin_v)
+        ORDER BY gid"""
+    spark.createDataFrame(pdf).createOrReplaceTempView("mf_pin_v")
+    got_sp = [r.gid for r in spark.sql(sql).collect()]
+    con = _duckdb.connect()
+    con.register("mf_pin_v", pdf)
+    got_du = [r[0] for r in con.execute(sql).fetchall()]
+    con.close()
+
+    med = _pdisc_py(counts, 0.5)
+    want = [i for i, c in enumerate(counts) if c > med]
+    assert got_sp == want, f"spark != python on median {med}"
+    assert got_du == want, f"duckdb != python on median {med}"
+
+
 def _band_le_py(x, bounds):
     """CASE WHEN x <= b1 THEN 1 ... ELSE len+1 (ASC-metric banding)."""
     for i, b in enumerate(bounds, start=1):
