@@ -16,6 +16,12 @@ Usage:
              cap spark.sql.files.maxPartitionBytes (e.g. 1048576) — the
              reference's batch-size-parameterized testing analog: scan
              chunking must never change results
+  --no-codegen
+             disable whole-stage codegen + codegen'd expression
+             factories (interpreted-evaluation parity)
+  --arrow-batch N
+             cap spark.sql.execution.arrow.maxRecordsPerBatch (e.g. 7)
+             — Arrow batch-shape invariance for all pandas-UDF paths
 
 Exit code 0 iff every checked query passes (hash-match, or executes
 with a stable schema for oracle-less entries).
@@ -37,6 +43,8 @@ def main() -> int:
     ap.add_argument("--hostile", action="store_true")
     ap.add_argument("--rerun", action="store_true")
     ap.add_argument("--max-split", type=int, default=None)
+    ap.add_argument("--no-codegen", action="store_true")
+    ap.add_argument("--arrow-batch", type=int, default=None)
     ap.add_argument("--threads", type=int, default=8)
     args = ap.parse_args()
 
@@ -76,6 +84,22 @@ def main() -> int:
         b = (
             b.config("spark.sql.files.maxPartitionBytes", str(args.max_split))
             .config("spark.sql.files.openCostInBytes", "0")
+        )
+    if args.no_codegen:
+        # Interpreted-evaluation parity: whole-stage codegen and the
+        # codegen'd expression factories off — results must be
+        # identical to the compiled path (r14 battery leg 6).
+        b = (
+            b.config("spark.sql.codegen.wholeStage", "false")
+            .config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        )
+    if args.arrow_batch:
+        # Arrow batch-shape invariance for every pandas-UDF /
+        # mapInPandas / applyInPandas path: e.g. --arrow-batch 7
+        # forces many tiny batches (r14 battery leg 7).
+        b = b.config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(args.arrow_batch),
         )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
