@@ -901,47 +901,61 @@ register_sql(
 
 # extended q4/q5-ish: per-(client,watch) EXACT median + p95 (the
 # reference uses MEDIAN and APPROX_PERCENTILE_CONT; exact interpolated
-# quantiles keep the oracle deterministic), HAVING c > 1, ranked by p95
-register_sql(
-    "cb_ext_quantiles_per_pair",
+# quantiles keep the oracle deterministic), ranked by p95.
+# r14 discrimination fix (found by the round's own probes run at
+# sf0.1): HAVING COUNT(*) > 1 against FIXED-cardinality mod buckets
+# (64x16 keys) with corpus-growing counts is the absolute-floor
+# antipattern — at sf0.1 every bucket holds >= 50 rows so the fence
+# rejected NOTHING (and never would at 100 TB).  Scale-free
+# median-count fence instead (kept/rejected 106/123, 407/616, 490/534
+# probed at sf0.001/0.01/0.1); the grouped aggregate materializes once
+# on the Spark side (one events scan, plan-gated).
+_CBQP_G_SPARK = """
+      SELECT client_ip, watch_id,
+             COUNT(*) AS c,
+             MIN(cents) AS tmin,
+             ROUND(percentile(cents, 0.5), 4) AS tmed,
+             ROUND(percentile(cents, 0.95), 4) AS tp95,
+             MAX(cents) AS tmax
+      FROM (SELECT user_id % 64 AS client_ip, event_id % 16 AS watch_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type <> 'error') c
+      GROUP BY client_ip, watch_id"""
+_CBQP_G_DUCK = """
+      SELECT client_ip, watch_id,
+             COUNT(*) AS c,
+             MIN(cents) AS tmin,
+             ROUND(quantile_cont(cents, 0.5), 4) AS tmed,
+             ROUND(quantile_cont(cents, 0.95), 4) AS tp95,
+             MAX(cents) AS tmax
+      FROM (SELECT user_id % 64 AS client_ip, event_id % 16 AS watch_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type <> 'error') c
+      GROUP BY client_ip, watch_id"""
+_CBQP_FINAL = """
+    SELECT client_ip, watch_id, c, tmin, tmed, tp95, tmax
+    FROM {g}
+    WHERE c > (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+                       AS BIGINT) FROM {g})
+    ORDER BY tp95 DESC, client_ip, watch_id
+    LIMIT 10
     """
-    SELECT user_id % 64 AS client_ip, event_id % 16 AS watch_id,
-           COUNT(*) AS c,
-           MIN(CAST(round(value * 100) AS BIGINT)) AS tmin,
-           ROUND(percentile(CAST(round(value * 100) AS BIGINT), 0.5), 4) AS tmed,
-           ROUND(percentile(CAST(round(value * 100) AS BIGINT), 0.95), 4) AS tp95,
-           MAX(CAST(round(value * 100) AS BIGINT)) AS tmax
-    FROM events
-    WHERE event_type <> 'error'
-    GROUP BY user_id % 64, event_id % 16
-    HAVING COUNT(*) > 1
-    ORDER BY tp95 DESC, client_ip, watch_id
-    LIMIT 10
-    """,
-    oracle="""
-    SELECT user_id % 64 AS client_ip, event_id % 16 AS watch_id,
-           COUNT(*) AS c,
-           MIN(CAST(round(value * 100) AS BIGINT)) AS tmin,
-           ROUND(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5), 4) AS tmed,
-           ROUND(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95), 4) AS tp95,
-           MAX(CAST(round(value * 100) AS BIGINT)) AS tmax
-    FROM events
-    WHERE event_type <> 'error'
-    GROUP BY 1, 2
-    HAVING COUNT(*) > 1
-    ORDER BY tp95 DESC, client_ip, watch_id
-    LIMIT 10
-    """,
-    tags=("clickbench-extended", "quantiles", "having"),
+
+register_split_sql(
+    "cb_ext_quantiles_per_pair",
+    stages=[(_CBQP_G_SPARK, "cbqp_g_m")],
+    final_sql=_CBQP_FINAL.format(g="cbqp_g_m"),
+    oracle="WITH g AS (" + _CBQP_G_DUCK + ")" + _CBQP_FINAL.format(g="g"),
+    tags=("clickbench-extended", "quantiles", "median-fence"),
     discrimination=probe(
-        having_survivors="""SELECT COUNT(*) FROM (
-            SELECT user_id % 64, event_id % 16 FROM events
-            WHERE event_type <> 'error'
-            GROUP BY 1, 2 HAVING COUNT(*) > 1)""",
-        having_rejected="""SELECT COUNT(*) FROM (
-            SELECT user_id % 64, event_id % 16 FROM events
-            WHERE event_type <> 'error'
-            GROUP BY 1, 2 HAVING COUNT(*) <= 1)""",
+        above_median_kept=f"""WITH g AS ({_CBQP_G_DUCK})
+            SELECT COUNT(*) FROM g
+            WHERE c > (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                               (ORDER BY c) AS BIGINT) FROM g)""",
+        at_or_below_median_rejected=f"""WITH g AS ({_CBQP_G_DUCK})
+            SELECT COUNT(*) FROM g
+            WHERE c <= (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                                (ORDER BY c) AS BIGINT) FROM g)""",
         error_rows_fenced="""SELECT COUNT(*) FROM events
             WHERE event_type = 'error'""",
     ),

@@ -35,47 +35,59 @@ from __future__ import annotations
 from datafusion_umami_spark.operators.materialize import register_split_sql
 from datafusion_umami_spark.registry import probe, register_sql
 
-# extended q4: rank pairs by their EXACT MEDIAN timing (HAVING c > 1).
-register_sql(
-    "cb_ext_q4_median_rank",
+# extended q4: rank pairs by their EXACT MEDIAN timing.
+# r14 discrimination fix (found by the round's own probes run at
+# sf0.1): HAVING COUNT(*) > 1 against FIXED-cardinality mod buckets
+# (256x32 keys) with corpus-growing counts is the absolute-floor
+# antipattern — at sf0.1 every surviving bucket holds >= 2 rows so the
+# fence rejected NOTHING (and never would at 100 TB).  Scale-free
+# median-count fence instead (kept/rejected 96/140, 811/1273,
+# 1878/2218 probed at sf0.001/0.01/0.1); the grouped aggregate
+# materializes once on the Spark side (one events scan, plan-gated).
+_CBQ4_G_SPARK = """
+      SELECT client_ip, watch_id,
+             COUNT(*) AS c,
+             MIN(cents) AS tmin,
+             ROUND(percentile(cents, 0.5), 4) AS tmed,
+             MAX(cents) AS tmax
+      FROM (SELECT user_id % 256 AS client_ip, event_id % 32 AS watch_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE user_id % 2 = 0) c
+      GROUP BY client_ip, watch_id"""
+_CBQ4_G_DUCK = """
+      SELECT client_ip, watch_id,
+             COUNT(*) AS c,
+             MIN(cents) AS tmin,
+             ROUND(quantile_cont(cents, 0.5), 4) AS tmed,
+             MAX(cents) AS tmax
+      FROM (SELECT user_id % 256 AS client_ip, event_id % 32 AS watch_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE user_id % 2 = 0) c
+      GROUP BY client_ip, watch_id"""
+_CBQ4_FINAL = """
+    SELECT client_ip, watch_id, c, tmin, tmed, tmax
+    FROM {g}
+    WHERE c > (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+                       AS BIGINT) FROM {g})
+    ORDER BY tmed DESC, client_ip, watch_id
+    LIMIT 10
     """
-    SELECT user_id % 256 AS client_ip, event_id % 32 AS watch_id,
-           COUNT(*) AS c,
-           MIN(CAST(round(value * 100) AS BIGINT)) AS tmin,
-           ROUND(percentile(CAST(round(value * 100) AS BIGINT), 0.5), 4)
-               AS tmed,
-           MAX(CAST(round(value * 100) AS BIGINT)) AS tmax
-    FROM events
-    WHERE user_id % 2 = 0
-    GROUP BY user_id % 256, event_id % 32
-    HAVING COUNT(*) > 1
-    ORDER BY tmed DESC, client_ip, watch_id
-    LIMIT 10
-    """,
-    oracle="""
-    SELECT user_id % 256 AS client_ip, event_id % 32 AS watch_id,
-           COUNT(*) AS c,
-           MIN(CAST(round(value * 100) AS BIGINT)) AS tmin,
-           ROUND(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5), 4)
-               AS tmed,
-           MAX(CAST(round(value * 100) AS BIGINT)) AS tmax
-    FROM events
-    WHERE user_id % 2 = 0
-    GROUP BY 1, 2
-    HAVING COUNT(*) > 1
-    ORDER BY tmed DESC, client_ip, watch_id
-    LIMIT 10
-    """,
-    tags=("clickbench-extended", "median", "having"),
+
+register_split_sql(
+    "cb_ext_q4_median_rank",
+    stages=[(_CBQ4_G_SPARK, "cbq4_g_m")],
+    final_sql=_CBQ4_FINAL.format(g="cbq4_g_m"),
+    oracle="WITH g AS (" + _CBQ4_G_DUCK + ")" + _CBQ4_FINAL.format(g="g"),
+    tags=("clickbench-extended", "median", "median-fence"),
     discrimination=probe(
-        having_survivors="""SELECT COUNT(*) FROM (
-            SELECT user_id % 256, event_id % 32 FROM events
-            WHERE user_id % 2 = 0
-            GROUP BY 1, 2 HAVING COUNT(*) > 1)""",
-        having_rejected="""SELECT COUNT(*) FROM (
-            SELECT user_id % 256, event_id % 32 FROM events
-            WHERE user_id % 2 = 0
-            GROUP BY 1, 2 HAVING COUNT(*) <= 1)""",
+        above_median_kept=f"""WITH g AS ({_CBQ4_G_DUCK})
+            SELECT COUNT(*) FROM g
+            WHERE c > (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                               (ORDER BY c) AS BIGINT) FROM g)""",
+        at_or_below_median_rejected=f"""WITH g AS ({_CBQ4_G_DUCK})
+            SELECT COUNT(*) FROM g
+            WHERE c <= (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                                (ORDER BY c) AS BIGINT) FROM g)""",
         odd_users_fenced="""SELECT COUNT(*) FROM events
             WHERE user_id % 2 = 1""",
     ),

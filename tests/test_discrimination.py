@@ -35,7 +35,14 @@ PROBED = sorted(n for n, s in REGISTRY.items() if s.discrimination)
 _SF_ROOT = Path(
     os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
 )
-SF_DIRS = [d for d in ("sf0.001", "sf0.01") if (_SF_ROOT / d).exists()]
+# sf0.1 joined r14: the round-close probe run at bench scale caught two
+# HAVING floors that were vacuous ONLY there (fixed-cardinality mod
+# buckets vs corpus-growing counts) — asserting all three proof scales
+# makes both directions of the threshold class (empty-at-small-SF and
+# reject-nothing-at-big-SF) regression-proof.
+SF_DIRS = [
+    d for d in ("sf0.001", "sf0.01", "sf0.1") if (_SF_ROOT / d).exists()
+]
 
 
 @pytest.fixture(scope="module", params=SF_DIRS)

@@ -740,6 +740,8 @@ def test_quantile_banding_scans_fact_once(name, fact, spark, sf_dir):
         ("cb_url_length_having", "documents"),
         ("cb_referer_domain_agg", "documents"),
         ("cb_ext_q5_p95_approx", "events"),
+        ("cb_ext_q4_median_rank", "events"),
+        ("cb_ext_quantiles_per_pair", "events"),
     ],
 )
 def test_median_fence_splits_scan_fact_once(name, fact, spark, sf_dir):

@@ -491,7 +491,20 @@ def test_legacy_backlog_is_exhausted():
                   # trio; the spec was hash-green on an EMPTY result at
                   # sf0.001 -> SF-invariant key-range fence, all three
                   # branches probed at every SF.
-                  "job_notnull_or_like_fence"}
+                  "job_notnull_or_like_fence",
+                  # r14 batch 8 (the probes themselves run at sf0.1 —
+                  # the round-close battery): two more members of the
+                  # batch-5 class, found one scale up.  Both specs
+                  # fence FIXED-cardinality mod buckets (256x32 /
+                  # 64x16 keys) with HAVING COUNT(*) > 1 — vacuous at
+                  # sf0.1 where every bucket holds >= 2 (resp. >= 50)
+                  # rows, and forever vacuous at 100 TB -> scale-free
+                  # median-count fences, split-materialized to one
+                  # events scan (plan-gated), kept/rejected probed
+                  # positive at sf0.001/0.01/0.1.  test_discrimination
+                  # now ALSO asserts probes at sf0.1, so this direction
+                  # of the class is CI-enforced at every proof scale.
+                  "cb_ext_q4_median_rank", "cb_ext_quantiles_per_pair"}
     assert set(legacy) <= sanctioned, (
         f"legacy backlog regrew past the r11 horizon: {legacy[:8]}"
     )
@@ -616,6 +629,9 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "h2o_groupby_highcard", "cb_regex_extract_agg",
                   "cb_stats_having", "cb_url_length_having",
                   "cb_referer_domain_agg", "cb_ext_stddev_var_having",
+                  # r14 batch 8: quantiles_per_pair registers in
+                  # clickbench (line order after stddev_var_having)
+                  "cb_ext_quantiles_per_pair",
                   "subq_in_correlated_filter", "subq_lateral_topn",
                   "subq_exists_correlated_agg",
                   "intersect_all", "except_distinct", "filter_like_ilike",
@@ -653,8 +669,9 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
                   "tpcds_intersect_driven_sales",
                   "tpcds_or_local_or_subquery",
                   "tpcds_volatile_items_cross_month",
-                  # clickbench_ext2 imports between t5 and t6
-                  "cb_ext_q5_p95_approx",
+                  # clickbench_ext2 imports between t5 and t6 (q4
+                  # registers before q5)
+                  "cb_ext_q4_median_rank", "cb_ext_q5_p95_approx",
                   # t6 imports before t8; within t8, zip before ship
                   "tpcds_except_chain_count",
                   "tpcds_t8_zip_prefix_dense",
