@@ -63,23 +63,67 @@ def normalize_events_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFra
     return df.withColumn("ts", F.col("ts").cast(target))
 
 
+# Parquet footer-schema cache (r14 guide §1/§6: driver-side fixed cost).
+# `spark.read.parquet(path)` pays ~90-110ms of footer/schema inference per
+# call on this host; `spark.read.schema(s).parquet(path)` pays ~10ms.  The
+# cache holds only STRUCTTYPE METADATA — never data or results — keyed on
+# (realpath, mtime_ns, size, relevant confs), so any rewrite of the file
+# invalidates the entry and every query still computes from the parquet
+# bytes.  Single-file fixtures only: directory tables (the 100 TB layout)
+# skip the cache because a directory's stat does not witness its leaves.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _cached_schema(spark: SparkSession, path: str, conf_key: tuple = ()):
+    """Inferred parquet schema for a single-file `path`, memoized on the
+    file's identity; None when `path` is not a plain file (caller should
+    fall back to normal inference)."""
+    import os
+    import stat as statmod
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not statmod.S_ISREG(st.st_mode):
+        return None
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size) + conf_key
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
+
+
 def events_ts_is_ns(spark: SparkSession, sf_dir: str) -> bool:
     """True when events.parquet stores ts as timestamp[ns] (read back as
     LongType under nanosAsLong) rather than native timestamp[us]."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return dict(df.dtypes)["ts"] == "bigint"
+    sch = _cached_schema(
+        spark, f"{sf_dir}/events.parquet", ("nanosAsLong=true",)
+    )
+    if sch is None:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return dict(df.dtypes)["ts"] == "bigint"
+    return any(
+        f.name == "ts" and f.dataType.typeName() == "long" for f in sch.fields
+    )
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table as a lazy DataFrame scan."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    conf_key: tuple = ()
     if name == "events":
         # Runtime-set (not only in the session factory) so the loader also
         # works under a driver-owned SparkSession we didn't configure.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        conf_key = ("nanosAsLong=true",)
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _cached_schema(spark, path, conf_key)
+    reader = spark.read.schema(sch) if sch is not None else spark.read
+    df = reader.parquet(path)
     if name == "events":
         df = normalize_events_ts(df, "timestamp_ntz")
     return df
