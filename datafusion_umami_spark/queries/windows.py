@@ -61,17 +61,23 @@ register_sql(
     tags=("window", "analytic"),
 )
 
+# r14: (l_orderkey, l_linenumber) is NOT unique in the generated
+# fixtures, so the window sort needs the l_partkey tiebreak to be a
+# TOTAL order — without it first/last/nth picks were partition-layout
+# luck (latent for 13 rounds because every fixture scan was a single
+# task; surfaced the moment the r14 scan spread changed row order, and
+# would equally surface on any real multi-task layout).
 register_sql(
     "window_first_last_nth",
     """
     SELECT l_orderkey, l_linenumber,
            FIRST_VALUE(l_partkey) OVER w AS first_part,
-           LAST_VALUE(l_partkey)  OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+           LAST_VALUE(l_partkey)  OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_part,
            NTH_VALUE(l_partkey, 2) OVER w AS second_part
     FROM lineitem
     WHERE l_orderkey < 400
-    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey)
     """,
     tags=("window", "analytic"),
 )
@@ -82,10 +88,10 @@ register_sql(
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
-                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
-                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS window3_qty
     FROM lineitem
     WHERE l_orderkey < 300
@@ -94,9 +100,15 @@ register_sql(
 )
 def window_running_sum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROWS frames (reference window_frame.rs WindowFrameUnits::Rows):
-    running total + sliding 3-row sum via the DataFrame Window API."""
+    running total + sliding 3-row sum via the DataFrame Window API.
+
+    r14: the window sort carries the l_quantity tiebreak — (l_orderkey,
+    l_linenumber) is NOT unique in the fixtures, and ROWS-frame sums
+    over an ambiguous order are partition-layout luck (rows tying on
+    BOTH linenumber and quantity are interchangeable in every output
+    the frame can produce, so this order is total FOR THE SUMS)."""
     li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 300)
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sliding = w.rowsBetween(-1, 1)
     q = dec("l_quantity")
