@@ -422,6 +422,7 @@ register_sql(
     """,
     tags=("agg", "high-cardinality", "spill"),
     bench=True,
+    spread_tables=("lineitem",),
 )
 
 # --- count(*) vs count(col) null semantics --------------------------------

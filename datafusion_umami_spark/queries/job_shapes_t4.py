@@ -118,6 +118,7 @@ register_sql(
     """,
     tags=("job", "clique-preds", "five-alias"),
     bench=True,
+    spread_tables=("lineitem",),
 )
 
 # 29a it/it3 flavor, tightened: the same dimension aliased twice via

@@ -113,6 +113,7 @@ register_sql(
     """,
     tags=("job", "in8", "triple-clique"),
     bench=True,
+    spread_tables=("lineitem",),
 )
 
 # 29a point anchor: an ultra-selective center (one order week + one
@@ -263,6 +264,7 @@ register_sql(
     """,
     tags=("job", "two-hop-link"),
     bench=True,
+    spread_tables=("lineitem",),
 )
 
 # Subquery-in-FROM aliased aggregation: a derived per-customer order

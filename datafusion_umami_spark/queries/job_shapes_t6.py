@@ -134,6 +134,7 @@ register_sql(
     """,
     tags=("job", "clique", "multi-bridge"),
     bench=True,
+    spread_tables=("lineitem",),
 )
 
 # 26a: two-type-role dim (point + LIKE roles), IS NOT NULL + OR-of-LIKEs

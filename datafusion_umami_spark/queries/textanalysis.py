@@ -13,6 +13,7 @@ Portable 60-bit hash convention: queries/hashing.py (single source).
 
 from __future__ import annotations
 
+from datafusion_umami_spark.operators.materialize import register_split_sql
 from datafusion_umami_spark.registry import register_sql
 
 from datafusion_umami_spark.queries.hashing import DUCK_H64, SPARK_H64  # noqa: E402
@@ -41,6 +42,7 @@ register_sql(
     """,
     tags=("text", "tokenize", "llm-pipeline"),
     bench=True,
+    spread_tables=("documents",),
 )
 
 # Language-ID: n-gram/marker-word scoring. Deterministic heuristic —
@@ -370,15 +372,20 @@ register_sql(
 
 
 # --- composed C4-style cleaning pipeline ------------------------------------
-register_sql(
-    "pipeline_c4_style_filter",
-    # The end-to-end shape an LLM data pipeline actually runs over a raw
-    # corpus: language gate → quality-feature gates (length band, mean
-    # token length, punctuation ratio) → exact-dup removal keeping the
-    # smallest doc_id per content hash.  One linear scan + one groupBy
-    # on the content hash; every stage before the dedup shuffle is a
-    # pure map, so at 100 TB the only exchange carries (hash, doc_id).
-    rf"""
+# The end-to-end shape an LLM data pipeline actually runs over a raw
+# corpus: language gate → quality-feature gates (length band, mean
+# token length, punctuation ratio) → exact-dup removal keeping the
+# smallest doc_id per content hash.
+#
+# r14 split (guide §1/§5): `kept` is referenced TWICE (the dedup
+# aggregate and the detail join-back), and Spark inlines CTEs — the
+# inlined plan scanned documents twice and re-ran the split/regex/hash
+# chain per reference.  Materializing `kept` once is the
+# materialize.py-sanctioned shape: it is a REDUCED intermediate (text
+# dropped — 7 narrow columns), and the re-scan it replaces is regex-
+# dominated, not pushdown-cheap.  Plan effect: 2 documents scans → 1.
+# The DuckDB oracle stays the original single statement.
+_C4_KEPT = rf"""
     WITH gated AS (
       SELECT doc_id, lang, n_chars,
              CAST(size(split(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
@@ -393,25 +400,31 @@ register_sql(
              n_chars / greatest(n_tokens, 1.0) AS mean_tok_len,
              n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0) AS punct_ratio
       FROM gated
-    ),
-    kept AS (
-      SELECT * FROM scored
-      WHERE n_tokens >= 10
-        AND mean_tok_len BETWEEN 2.0 AND 12.0
-        AND punct_ratio < 0.3
-    ),
-    deduped AS (
+    )
+    SELECT * FROM scored
+    WHERE n_tokens >= 10
+      AND mean_tok_len BETWEEN 2.0 AND 12.0
+      AND punct_ratio < 0.3
+    """
+
+_C4_FINAL = """
+    WITH deduped AS (
       SELECT MIN(doc_id) AS doc_id, content_h, COUNT(*) AS n_copies
-      FROM kept GROUP BY content_h
+      FROM {kept} GROUP BY content_h
     )
     SELECT d.doc_id, k.lang,
            CAST(k.n_tokens AS BIGINT) AS n_tokens,
            ROUND(k.punct_ratio, 6) AS punct_ratio,
            CAST(d.n_copies AS BIGINT) AS n_copies
-    FROM deduped d JOIN kept k ON d.doc_id = k.doc_id
+    FROM deduped d JOIN {kept} k ON d.doc_id = k.doc_id
     ORDER BY d.doc_id
     LIMIT 2000
-    """,
+    """
+
+register_split_sql(
+    "pipeline_c4_style_filter",
+    stages=[(_C4_KEPT, "c4_kept_m")],
+    final_sql=_C4_FINAL.format(kept="c4_kept_m"),
     oracle=rf"""
     WITH gated AS (
       SELECT doc_id, lang, n_chars,
@@ -448,4 +461,6 @@ register_sql(
     """,
     tags=("text", "pipeline", "c4-style", "llm-pipeline"),
     bench=True,
+    # no spread opt-in: measured — c4's regex total over documents is
+    # smaller than the exchange it would buy (unlike text_token_stats)
 )

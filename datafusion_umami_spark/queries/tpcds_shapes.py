@@ -58,6 +58,7 @@ register_sql(
     """,
     tags=("tpcds", "rollup", "window", "multi-join"),
     bench=True,
+    spread_tables=("lineitem",),
 )
 
 # q36-ish: nation revenue as a share of its region's total + in-region rank.

@@ -417,6 +417,7 @@ register_split_sql(
     oracle=f"WITH channel_sales AS ({_SALES75})\n{_FINAL75}",
     tags=("tpcds", "q75", "decline", "split"),
     bench=True,
+    spread_tables=("lineitem",),
 )
 
 # --- q31: quarter-over-quarter growth, web vs store, per region (split:

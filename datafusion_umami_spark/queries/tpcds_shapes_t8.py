@@ -141,6 +141,7 @@ register_sql(
     """,
     tags=("tpcds", "non-equi-fence", "date-offset-join"),
     bench=True,
+    spread_tables=("lineitem",),
 )
 
 # --- q83: week-seq double hop, three legs joined on the supplier -----------

@@ -60,7 +60,10 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the Spark counterpart of the reference's umami-wrapped
     AggregateExec (reference physical-plan/src/aggregates/mod.rs:652).
     """
-    li = table(spark, sf_dir, "lineitem")
+    # r14: opt into the scale-adaptive scan spread — the decimal
+    # aggregation chain above the single-task scan dominates (A/B:
+    # 1.21 s -> 0.74 s at sf0.1; no-op once the scan splits naturally)
+    li = table(spark, sf_dir, "lineitem", spread=True)
     disc_price = money()
     charge = (disc_price * (one() + dec("l_tax", 2, 4))).alias("charge")
     return (
@@ -594,6 +597,7 @@ register_sql(
     """,
     tags=("join", "in-subquery", "having", "topk"),
     bench=True,
+    spread_tables=("lineitem",),
     discrimination=probe(
         having_survivors="""SELECT COUNT(*) FROM (
             SELECT l_orderkey FROM lineitem GROUP BY l_orderkey

@@ -117,6 +117,26 @@ def register(
     return deco
 
 
+def _plain_sql_fn(spark_sql: str):
+    """Runner for SQL specs WITHOUT a spread opt-in.
+
+    BYTE-IDENTITY NOTE (r14): the nested `fn` reproduces the pre-r14
+    registrar closure exactly — same text, same nesting depth — because
+    `inspect.getsource(spec.fn)` is salted into every SQL spec's ledger
+    fingerprint (fingerprint.py).  Keeping it byte-stable keeps specs
+    whose own text did not change proven-as-written; editing THIS
+    closure mass-demotes every plain SQL spec, so don't (the spread
+    variant lives in register_sql and is fingerprint-distinct by
+    design)."""
+    from datafusion_umami_spark.tables import register_views
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    return fn
+
+
 def register_sql(
     name: str,
     spark_sql: str,
@@ -125,17 +145,29 @@ def register_sql(
     bench: bool = False,
     module: str | None = None,
     discrimination: str | None = None,
+    spread_tables: tuple[str, ...] = (),
 ) -> None:
     """Register a query expressed as Spark SQL text (views pre-registered).
 
     When `oracle` is None the same text is used for DuckDB — for the large
     ANSI-compatible subset this keeps the two sides trivially in sync.
+    `spread_tables` opts named fact views into the scale-adaptive scan
+    spread for this query (tables._maybe_spread; r14 measured per-query).
     """
     from datafusion_umami_spark.tables import register_views
 
-    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir)
-        return spark.sql(spark_sql)
+    if spread_tables:
+        # Spread opt-ins get their own closure: its source differs from
+        # the plain one, so the ledger fingerprint demotes the spec
+        # until a fresh driver row proves the spread path — exactly the
+        # conservative behavior the ledger wants for a changed
+        # execution path.
+        def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_views(spark, sf_dir, spread=spread_tables)
+            return spark.sql(spark_sql)
+
+    else:
+        fn = _plain_sql_fn(spark_sql)
 
     fn.__doc__ = spark_sql
     register(

@@ -30,6 +30,84 @@ TABLE_NAMES = (
 # threshold even at SF100; nation/region are constant-size in TPC-H).
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
+# The corpus-scaling tables (same population as operators/materialize.py
+# FACT_TABLES): the only tables whose scans are worth force-spreading
+# when the file layout cannot split (see _maybe_spread below).
+SPREAD_TABLES = frozenset(
+    {"lineitem", "orders", "events", "documents", "embeddings"}
+)
+
+# Below this size the exchange overhead of a spread outweighs any
+# parallelism gain (and broadcast-build sides of tiny dims would pay it
+# for nothing).  At sf0.001 no fixture passes the floor, so the local
+# test suite's plan gates see unchanged plans; at sf0.01+ the fact
+# tables do, so the oracle sweep exercises the spread path.
+SPREAD_MIN_BYTES = int(
+    __import__("os").environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", 512 * 1024)
+)
+
+
+def _size_suffix_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('134217728', '128m', '1g', '48kb')."""
+    s = v.strip().lower().removesuffix("b")
+    mult = 1
+    if s and s[-1] in "kmgtp":
+        mult = 1024 ** ("kmgtp".index(s[-1]) + 1)
+        s = s[:-1]
+    return int(float(s)) * mult
+
+
+def _maybe_spread(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """Scale-adaptive scan spread (r14, optimization guide §2.5 "input
+    skew: one huge unsplittable file ... repartition immediately after
+    the read" and §6 minPartitionNum).  The fixtures are single-file,
+    SINGLE-ROW-GROUP parquet, so every scan stage is ONE task no matter
+    the core count — the whole per-row pipeline above it (decimal
+    aggregation, regex gates, vector math, deep broadcast-join probes)
+    runs serially.  When the file's natural split count
+    (size / maxPartitionBytes) is below the cluster parallelism,
+    HASH-repartition on the table's leading (key) column to
+    defaultParallelism so downstream work parallelizes.  Hash, not
+    round-robin: keyless repartition pays sortBeforeRepartition (a full
+    local sort of the serial scan output), measured 1.4-2.3x slower
+    than the keyed exchange on this suite; the leading column is the
+    table's high-cardinality key, so the hash spreads evenly and is
+    deterministic under retry.  At 100 TB the condition is false (fact
+    files split past any core count) and this is a NO-OP — the gate
+    derives from input size, never from a local-mode constant.
+
+    OPT-IN per query (`table(..., spread=True)` /
+    `register_views(..., spread=(...))`): measured per-query, the
+    exchange costs ~0.2-0.4 s, so it only pays where the serial per-row
+    pipeline above the scan exceeds that (measured r14 A/B: wins on
+    deep self-join probes, decimal-heavy aggregation, regex/token maps,
+    signature builds; loses on short multi-join queries where broadcast
+    BUILD sides pay the exchange for nothing).  Results are
+    partition-layout-invariant by the registry's determinism contract
+    (proven by the full-registry sf0.01/sf0.1 verifies under a
+    spread-everything build)."""
+    import math
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "1") == "0":
+        return df
+    try:
+        st = os.stat(path)
+    except OSError:
+        return df
+    if st.st_size < SPREAD_MIN_BYTES:
+        return df
+    try:
+        max_split = _size_suffix_bytes(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        )
+    except Exception:
+        max_split = 128 * 1024 * 1024
+    target = spark.sparkContext.defaultParallelism
+    if math.ceil(st.st_size / max(max_split, 1)) >= target or target <= 1:
+        return df
+    return df.repartition(target, df[df.columns[0]])
+
 
 def normalize_events_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFrame:
     """Normalize the events ts column to `target` regardless of its
@@ -110,8 +188,14 @@ def events_ts_is_ns(spark: SparkSession, sf_dir: str) -> bool:
     )
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table as a lazy DataFrame scan."""
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Load one star-schema table as a lazy DataFrame scan.
+
+    `spread=True` opts the scan into the scale-adaptive spread (see
+    _maybe_spread) — for query paths whose serial per-row work above
+    this scan is measured to dominate the exchange cost."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     conf_key: tuple = ()
@@ -126,6 +210,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = reader.parquet(path)
     if name == "events":
         df = normalize_events_ts(df, "timestamp_ntz")
+    # SPARK_GRAFT_SCAN_SPREAD: "0" disables even opted-in spreads
+    # (checked in _maybe_spread); "force" opts every fact scan in
+    # (measurement / cluster-tuning override).
+    force = __import__("os").environ.get("SPARK_GRAFT_SCAN_SPREAD") == "force"
+    if (spread or force) and name in SPREAD_TABLES:
+        df = _maybe_spread(df, spark, path)
     return df
 
 
@@ -134,11 +224,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
+def register_views(
+    spark: SparkSession, sf_dir: str, spread: tuple = ()
+) -> None:
     """Register all tables as temp views so `spark.sql` queries resolve.
 
     Mirrors the reference's `SessionContext::register_parquet` flow; views
     are lazy — no data is read until a query over them executes.
-    """
+    `spread` names the tables whose view should opt into the
+    scale-adaptive scan spread for the CALLING query (views are
+    re-registered per query invocation, so the choice never leaks into
+    the next query)."""
     for name in TABLE_NAMES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+        table(spark, sf_dir, name, spread=name in spread).createOrReplaceTempView(
+            name
+        )
