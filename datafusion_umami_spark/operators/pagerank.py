@@ -43,16 +43,27 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 4,
     stats: dict | None = None,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Integer-exact PageRank.  `edges`: columns (src, dst), directed —
     pass both directions for an undirected graph.  Every node must
     appear as a src (no dangling mass handling; feed bidirectional
     edges to guarantee it).  Returns (node, pr) with pr in micro-units.
+
+    `dedup_edges=False` skips the defensive `.distinct()` — a full
+    |E|-shuffle + aggregate — when the CALLER guarantees the edge list
+    is already duplicate-free (r14, guide §2.4 "a distinct on data that
+    is already unique" is an accidental shuffle).  Passing duplicates
+    with the flag off double-counts contributions, so only assert-known
+    inputs may use it (pinned equivalent on distinct inputs in
+    tests/test_fuzz.py).
     """
     e = edges.select(
         F.col(edges.columns[0]).cast("long").alias("src"),
         F.col(edges.columns[1]).cast("long").alias("dst"),
-    ).distinct()
+    )
+    if dedup_edges:
+        e = e.distinct()
     e = e.localCheckpoint(eager=True)
 
     # The node universe IS deg's key set (every node appears as a src by

@@ -74,7 +74,11 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     bidir = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    pr = pagerank(bidir, iterations=_ITER)
+    # r14: bidir is duplicate-free BY CONSTRUCTION — e0 is distinct and
+    # the reversed arm cannot collide with it (src ids are even, dst ids
+    # odd, so no edge equals any reversal) — skip the operator's
+    # defensive |E|-shuffle distinct (guide §2.4 accidental shuffle).
+    pr = pagerank(bidir, iterations=_ITER, dedup_edges=False)
     return (
         pr.select(F.col("node").cast("long"), F.col("pr").cast("long"))
         .orderBy(F.desc("pr"), "node")

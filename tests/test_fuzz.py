@@ -1235,6 +1235,14 @@ def test_pagerank_matches_integer_reference(und, iters, spark):
         pr = {n: TELEPORT + (DAMP_NUM * mass[n]) // MICRO for n in outdeg}
     assert got == set(pr.items())
 
+    # r14 dedup_edges=False contract: on an ALREADY-DISTINCT edge list
+    # the shuffle-skipping path must be bit-identical to the default
+    skip = {
+        (r.node, r.pr)
+        for r in pagerank(df, iterations=iters, dedup_edges=False).collect()
+    }
+    assert skip == got
+
 
 @settings(max_examples=10, deadline=None)
 @given(
