@@ -102,12 +102,21 @@ register_split_sql(
 )
 
 # --- q64: twice-joined wide star (re-buy at a lower price) ----------------
+# r14 (guide §2.2 shuffle fewer bytes): the final only ever reads buy
+# rows with yr in [1996, 2001] (b1 fenced 1996-2000; b2 joined at
+# b1.yr + 1), and yr is a group key, so restricting the SOURCE rows to
+# that orderdate window drops ~60% of the join+aggregate input without
+# changing any group the final consumes.  Written as a direct
+# o_orderdate range (not EXTRACT) so it reaches the parquet scan as a
+# pushed filter on BOTH engines.
 _BUY64 = """
         SELECT o.o_custkey AS cust, l.l_partkey AS part,
                CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
                MIN(l.l_extendedprice) AS best_price
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '2002-01-01'
         GROUP BY o.o_custkey, l.l_partkey,
                  CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)"""
 _Q64_FINAL = """

@@ -3200,3 +3200,77 @@ def test_zscore_fence_widths_exact_at_adversarial_magnitudes(spark):
     want.sort()
     assert got_sp == want, (got_sp, want)
     assert got_du == want, (got_du, want)
+
+
+# --- round-14 optimization pins ------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    prices=st.lists(
+        st.integers(1, 5), min_size=10, max_size=10
+    ),
+    extra_cust=st.booleans(),
+)
+def test_wide_star_stage_year_fence_is_result_invariant(prices, extra_cust):
+    """tpcds_twice_joined_wide_star r14 stage fence: restricting the
+    materialized `buy` source to o_orderdate in [1996, 2002) must not
+    change the final result, because the final only reads yr 1996-2000
+    (b1) and b1.yr+1 = 1997-2001 (b2) and yr is a group key.  Pinned on
+    micro-data with a rebuy chain spanning 1994..2003 — every fence
+    boundary (1995|1996 and 2001|2002) has a consecutive-year pair
+    straddling it, so an off-by-one in the fence flips the output."""
+    import duckdb as _duckdb
+
+    from datafusion_umami_spark.queries.tpcds_shapes_t5 import (
+        _BUY64,
+        _Q64_FINAL,
+    )
+
+    unfenced = """
+        SELECT o.o_custkey AS cust, l.l_partkey AS part,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+               MIN(l.l_extendedprice) AS best_price
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, l.l_partkey,
+                 CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)"""
+    assert "WHERE o.o_orderdate >= DATE '1996-01-01'" in _BUY64
+
+    years = list(range(1994, 2004))  # straddles both fence boundaries
+    orders_rows, li_rows = [], []
+    ok = 1
+    for ci in range(2 if extra_cust else 1):
+        for yi, yr in enumerate(years):
+            orders_rows.append(f"({ok}, {ci + 1}, DATE '{yr}-06-15')")
+            # price path from the hypothesis sample: consecutive-year
+            # pairs qualify iff price strictly drops year-over-year
+            li_rows.append(f"({ok}, 7, {prices[yi]}.0)")
+            ok += 1
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + ",".join(orders_rows)
+        + ") t(o_orderkey, o_custkey, o_orderdate)"
+    )
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        + ",".join(li_rows)
+        + ") t(l_orderkey, l_partkey, l_extendedprice)"
+    )
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM (VALUES "
+        "(1, 'cust_one'), (2, 'cust_two')) t(c_custkey, c_name)"
+    )
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM (VALUES (7, 'part_seven')) "
+        "t(p_partkey, p_name)"
+    )
+    got_old = con.execute(
+        "WITH buy AS (" + unfenced + ")" + _Q64_FINAL.format(buy="buy")
+    ).fetchall()
+    got_new = con.execute(
+        "WITH buy AS (" + _BUY64 + ")" + _Q64_FINAL.format(buy="buy")
+    ).fetchall()
+    con.close()
+    assert got_old == got_new
