@@ -27,3 +27,17 @@ def duck():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _fresh_view_memo():
+    """The register_views memo (tables.py) assumes nobody else touched
+    its 10 view names since the last install.  Tests DO shadow those
+    names with micro-data views (test_fuzz), so every test starts and
+    ends with the memo invalidated — within one test the memo only
+    sees its own registrations."""
+    from datafusion_umami_spark.tables import invalidate_view_memo
+
+    invalidate_view_memo()
+    yield
+    invalidate_view_memo()
