@@ -18,6 +18,26 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _scratch_base() -> str:
+    """Base directory for streaming scratch (checkpoints, upsert state).
+
+    r14 (guide §1/§5): the cascade's drain time was DOMINATED by
+    state-store commit fsyncs against the checkpoint dir (~200 ms per
+    store commit on this host's ext4 /tmp; 2 stateful ops x 32
+    partitions x 2 microbatches).  These checkpoints carry NO recovery
+    value across processes — scratch_dir deliberately CLEARS at start
+    (see below) — so they are pure scratch and prefer tmpfs
+    (/dev/shm) when present.  A real deployment points
+    checkpointLocation at durable storage instead; override with
+    SPARK_GRAFT_STREAM_SCRATCH."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return tempfile.gettempdir()
+
+
 def scratch_dir(spark: SparkSession, *parts: str) -> str:
     """Deterministic WITHIN a Spark application, isolated ACROSS
     processes and users: reruns in one session overwrite (no
@@ -28,7 +48,7 @@ def scratch_dir(spark: SparkSession, *parts: str) -> str:
     a restarted query skip already-committed source files while the
     fresh sink starts empty, silently losing rows."""
     root = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_base(),
         f"dus_scratch_{os.getuid()}",
         spark.sparkContext.applicationId,
         *parts,
