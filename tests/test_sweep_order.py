@@ -638,16 +638,19 @@ def test_r11_reproofs_landed_and_queue_front_finishes_the_provedown():
     # r14: job_t6_four_bridge_clique and tpcds_t8_qty_demand_offset_join
     # dropped out of the r11-green witness set — their scan-spread
     # opt-in (optimization round, sanctioned batch 9 above) demoted the
-    # edited closures until fresh driver rows land; the r11 blessing
-    # itself stays in the ledger, which is what this pin witnesses.
+    # edited closures until fresh driver rows land.  r15 round start:
+    # the r14 driver SWEPT both green on the edited texts, so the
+    # blessing legitimately advanced past r11 — the pin now witnesses
+    # "blessed at r11 or re-proven by a later driver row", never a
+    # silent regression below r11.
     for name in ("cb_q32_watch_client_unfenced",
                  "tpcds_t7_multi_year_profile_stack",
                  "job_t7_conj_same_column_likes"):
         assert name in green, f"r11-swept {name} must classify green"
-        assert ledger[name]["round"] == 11, f"{name} not blessed at r11"
+        assert ledger[name]["round"] >= 11, f"{name} not blessed at r11+"
     for name in ("job_t6_four_bridge_clique",
                  "tpcds_t8_qty_demand_offset_join"):
-        assert ledger[name]["round"] == 11, f"{name} not blessed at r11"
+        assert ledger[name]["round"] >= 11, f"{name} not blessed at r11+"
     # The sanctioned demotions (see test_legacy_backlog_is_exhausted for
     # the current round's rationale) re-enter the queue AHEAD of the
     # addition tail — in sweep (module import) order — until fresh
