@@ -84,8 +84,31 @@ def _timed_iters(spark, spec, sf_dir: str) -> tuple[list[float], int]:
 # zero steal.
 MAX_RETRY_PASSES = int(os.environ.get("SPARK_GRAFT_STEAL_RETRY_PASSES", "3"))
 
+# Variance-triggered clean retry (r14 verdict item 4): host contention
+# can inflate a query's whole timed window while the steal counter stays
+# under threshold (r14 driver artifact: tpcds_t7 1.28/2.28/1.63 s vs a
+# 0.43 s isolated floor, unflagged).  A pass whose max/min iteration
+# spread exceeds this factor is re-run up to MAX_VARIANCE_RETRIES times;
+# the kept pass is the LEAST-SPREAD one (ties keep the earliest), never
+# a min over passes — same wholesale-pass replacement discipline as the
+# steal retry, so reported minima stay round-over-round comparable.
+VARIANCE_FACTOR = float(os.environ.get("SPARK_GRAFT_VARIANCE_FACTOR", "1.8"))
+MAX_VARIANCE_RETRIES = int(os.environ.get("SPARK_GRAFT_VARIANCE_RETRIES", "2"))
 
-def run_suite(names, run_query, steal_threshold=None, max_retry_passes=None):
+
+def _spread_ratio(runs: list[float]) -> float:
+    mn = min(runs)
+    return (max(runs) / mn) if mn > 0 else 1.0
+
+
+def run_suite(
+    names,
+    run_query,
+    steal_threshold=None,
+    max_retry_passes=None,
+    variance_factor=None,
+    max_variance_retries=None,
+):
     """Timing + steal self-defense over `names`, runner-injected for
     testability (bench main wires `run_query` to warmup + _timed_iters).
 
@@ -114,12 +137,34 @@ def run_suite(names, run_query, steal_threshold=None, max_retry_passes=None):
         steal_threshold = STEAL_THRESHOLD
     if max_retry_passes is None:
         max_retry_passes = MAX_RETRY_PASSES
+    if variance_factor is None:
+        variance_factor = VARIANCE_FACTOR
+    if max_variance_retries is None:
+        max_variance_retries = MAX_VARIANCE_RETRIES
 
     times: dict[str, float] = {}
     iters: dict[str, list[float]] = {}
     steal_by_query: dict[str, int] = {}  # steal of the pass supplying times[name]
+    variance_iters: dict[str, list[list[float]]] = {}
+    variance_replaced: set[str] = set()
     for name in names:
         runs, steal = run_query(name)
+        # variance trigger (r14 verdict item 4): re-run a visibly
+        # contention-spread pass even when windowed steal is quiet; keep
+        # the least-spread pass WHOLESALE (its min AND its steal).
+        for _ in range(max_variance_retries):
+            if _spread_ratio(runs) <= variance_factor:
+                break
+            print(
+                f"# {name}: spread ratio {_spread_ratio(runs):.2f} > "
+                f"{variance_factor} — variance retry",
+                file=sys.stderr,
+            )
+            runs2, steal2 = run_query(name)
+            variance_iters.setdefault(name, []).append(runs2)
+            if _spread_ratio(runs2) < _spread_ratio(runs):
+                runs, steal = runs2, steal2
+                variance_replaced.add(name)
         times[name] = min(runs)
         iters[name] = runs
         steal_by_query[name] = steal
@@ -173,6 +218,9 @@ def run_suite(names, run_query, steal_threshold=None, max_retry_passes=None):
         # a non-trivial steal_jiffies ⇒ totals contaminated when
         # comparing round over round, unless clean-after-retry below
     }
+    if variance_iters:
+        out["query_iters_variance"] = variance_iters
+        out["variance_replaced"] = sorted(variance_replaced)
     if retry_iters:
         out["query_iters_retry"] = retry_iters
         out["steal_retry_jiffies"] = steal_retry
@@ -190,6 +238,31 @@ def run_suite(names, run_query, steal_threshold=None, max_retry_passes=None):
                 file=sys.stderr,
             )
     return out
+
+
+# Per-iteration forensics moved off the stdout line (r14 verdict item 3):
+# the driver keeps only a ~2000-char tail of stdout, and r13's line —
+# bloated by query_iters/query_iters_retry — overflowed it, costing the
+# round its per-query round-over-round comparison (PERF_r14 n_common 0).
+# The one-line contract keeps metric/value/unit/queries/sf + the steal
+# summary; everything per-iteration goes to stderr.  Additions/removals
+# to DIAGNOSTICS only — the timed protocol and the `queries` keys are
+# unchanged, so round-over-round comparison stays valid.
+_SIDECAR_KEYS = (
+    "query_iters",
+    "query_iters_retry",
+    "query_iters_variance",
+    "retry_replaced",
+    "variance_replaced",
+    "steal_retry_jiffies",
+)
+
+
+def split_lean(out: dict) -> tuple[dict, dict]:
+    """Split a run_suite result into (lean stdout line, stderr sidecar)."""
+    lean = {k: v for k, v in out.items() if k not in _SIDECAR_KEYS}
+    sidecar = {k: v for k, v in out.items() if k in _SIDECAR_KEYS}
+    return lean, sidecar
 
 
 def main() -> None:
@@ -214,7 +287,10 @@ def main() -> None:
     out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
     if _steal_jiffies() is None:
         out.pop("steal_jiffies", None)
-    print(json.dumps(out))
+    lean, sidecar = split_lean(out)
+    if sidecar:
+        print("# sidecar: " + json.dumps(sidecar), file=sys.stderr)
+    print(json.dumps(lean))
 
 
 if __name__ == "__main__":
