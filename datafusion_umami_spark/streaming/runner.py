@@ -27,14 +27,26 @@ def _scratch_base() -> str:
     partitions x 2 microbatches).  These checkpoints carry NO recovery
     value across processes — scratch_dir deliberately CLEARS at start
     (see below) — so they are pure scratch and prefer tmpfs
-    (/dev/shm) when present.  A real deployment points
-    checkpointLocation at durable storage instead; override with
-    SPARK_GRAFT_STREAM_SCRATCH."""
+    (/dev/shm) when present AND comfortably free (r14 ADVICE: tmpfs
+    defaults to ~50% RAM, so on a small-memory host a larger state
+    store must fall back to disk rather than ENOSPC).  A real
+    deployment points checkpointLocation at durable storage instead;
+    override with SPARK_GRAFT_STREAM_SCRATCH.  Note: scratch trees from
+    pre-r14 runs may linger under /tmp (and under /dev/shm after a
+    crash) until the next same-app run clears them — both live under
+    dus_scratch_<uid> so a manual sweep is one rm -rf."""
     env = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
     if env:
         return env
+    floor = int(
+        os.environ.get("SPARK_GRAFT_SHM_FREE_FLOOR", str(2 * 1024**3))
+    )
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        return "/dev/shm"
+        try:
+            if shutil.disk_usage("/dev/shm").free >= floor:
+                return "/dev/shm"
+        except OSError:
+            pass
     return tempfile.gettempdir()
 
 

@@ -151,6 +151,32 @@ def normalize_events_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFra
 # skip the cache because a directory's stat does not witness its leaves.
 _SCHEMA_CACHE: dict[tuple, object] = {}
 
+# Session confs that change what schema `spark.read.parquet` INFERS for
+# the same bytes (r14 verdict item 7: the cache key must witness every
+# schema-relevant conf, not just events' nanosAsLong, or two
+# same-process sessions with different configs could launder one's
+# inferred schema into the other).  Values are resolved per-session at
+# lookup time and folded into every cache key.
+_SCHEMA_CONFS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.parquet.binaryAsString",
+    "spark.sql.parquet.int96AsTimestamp",
+)
+
+
+def _schema_conf_key(spark: SparkSession) -> tuple:
+    """The session's values of every schema-affecting conf, as a
+    hashable cache-key component.  No-arg conf.get: Spark 4.1
+    type-validates a provided default (CLAUDE.md gotcha)."""
+    vals = []
+    for c in _SCHEMA_CONFS:
+        try:
+            vals.append(str(spark.conf.get(c)))
+        except Exception:
+            vals.append("?")
+    return tuple(vals)
+
 
 def _cached_schema(spark: SparkSession, path: str, conf_key: tuple = ()):
     """Inferred parquet schema for a single-file `path`, memoized on the
@@ -165,7 +191,11 @@ def _cached_schema(spark: SparkSession, path: str, conf_key: tuple = ()):
         return None
     if not statmod.S_ISREG(st.st_mode):
         return None
-    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size) + conf_key
+    key = (
+        (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+        + _schema_conf_key(spark)
+        + conf_key
+    )
     sch = _SCHEMA_CACHE.get(key)
     if sch is None:
         sch = spark.read.parquet(path).schema
@@ -247,20 +277,44 @@ def invalidate_view_memo() -> None:
     _VIEW_MEMO.clear()
 
 
-def _view_memo_key(spark: SparkSession, sf_dir: str, spread: tuple) -> tuple:
+def _view_memo_key(
+    spark: SparkSession, sf_dir: str, spread: tuple
+) -> tuple | None:
+    """None ⇒ non-memoizable (always re-register).  The key must witness
+    every input that table()/_maybe_spread bake into the registered
+    view's LOGICAL PLAN at install time (r14 ADVICE):
+    - maxPartitionBytes and the SPARK_GRAFT_SCAN_SPREAD env gate the
+      spread repartition — an in-session change must miss the memo, the
+      same PLAN_SHAPE_CONFS discipline as the shared-checkpoint cache
+      (operators/materialize.py);
+    - the schema confs decide what the footer-schema cache inferred;
+    - a non-regular file (the 100 TB directory-table layout) has a stat
+      that does not witness its leaves — bypass, mirroring
+      _cached_schema's S_ISREG skip."""
     import os
+    import stat as statmod
 
     stats = []
     for name in TABLE_NAMES:
         try:
             st = os.stat(f"{sf_dir}/{name}.parquet")
-            stats.append((st.st_mtime_ns, st.st_size))
         except OSError:
             stats.append(None)
+            continue
+        if not statmod.S_ISREG(st.st_mode):
+            return None
+        stats.append((st.st_mtime_ns, st.st_size))
+    try:
+        max_split = str(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        max_split = "?"
     return (
         os.path.realpath(sf_dir),
         frozenset(n for n in spread),
         tuple(stats),
+        max_split,
+        os.environ.get("SPARK_GRAFT_SCAN_SPREAD"),
+        _schema_conf_key(spark),
     )
 
 
@@ -279,6 +333,7 @@ def register_views(
 
     memo_on = os.environ.get("SPARK_GRAFT_VIEW_MEMO", "1") != "0"
     key = _view_memo_key(spark, sf_dir, spread) if memo_on else None
+    memo_on = memo_on and key is not None  # None ⇒ non-memoizable layout
     # keyed on id() of the live session object; the stored weakref must
     # still point at the SAME object (a recycled id or a new session
     # misses, and a miss only ever re-registers — the safe direction).

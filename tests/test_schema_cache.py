@@ -56,6 +56,28 @@ def test_cached_schema_skips_directories(spark, sf_dir, tmp_path):
     assert _cached_schema(spark, str(d)) is None
 
 
+def test_cached_schema_keys_on_schema_confs(spark, sf_dir):
+    """r14 verdict item 7: two same-process sessions with different
+    schema-affecting confs must not launder one's inferred schema into
+    the other — the cache key folds in every _SCHEMA_CONFS value, so
+    each session's entry matches ITS OWN fresh inference."""
+    s2 = spark.newSession()
+    flip = {"true": "false", "false": "true"}
+    cur = str(spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")).lower()
+    s2.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", flip[cur])
+    try:
+        path = f"{sf_dir}/events.parquet"
+        a = _cached_schema(spark, path)
+        b = _cached_schema(s2, path)
+        assert a == spark.read.parquet(path).schema
+        assert b == s2.read.parquet(path).schema
+        # distinct cache entries (same file identity, different conf key)
+        keys = [k for k in _SCHEMA_CACHE if k[0] == os.path.realpath(path)]
+        assert len(keys) >= 2
+    finally:
+        s2.conf.unset("spark.sql.parquet.inferTimestampNTZ.enabled")
+
+
 def test_table_loads_identical_rows_via_cache(spark, sf_dir):
     # end-to-end: the imposed-schema read returns the same rows as an
     # inference read (nation is tiny and totally ordered by key)

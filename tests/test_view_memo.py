@@ -79,6 +79,54 @@ def test_invalidate_forces_reinstall_after_shadowing(spark):
     assert spark.sql("SELECT count(*) FROM nation").collect()[0][0] == real
 
 
+def test_memo_misses_on_max_partition_bytes_change(spark, monkeypatch):
+    """r14 ADVICE (medium): maxPartitionBytes gates the spread
+    repartition baked into an opted-in view's logical plan at install
+    time — an in-session change must MISS the memo, the same
+    PLAN_SHAPE_CONFS discipline as the shared-checkpoint cache."""
+    calls = _install_counter(monkeypatch)
+    register_views(spark, SF_DIR, spread=("lineitem",))
+    n1 = calls["n"]
+    old = str(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+        register_views(spark, SF_DIR, spread=("lineitem",))
+        assert calls["n"] == 2 * n1  # conf change: full re-install
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_memo_misses_on_scan_spread_env_change(spark, monkeypatch):
+    calls = _install_counter(monkeypatch)
+    register_views(spark, SF_DIR, spread=("lineitem",))
+    n1 = calls["n"]
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_SPREAD", "0")
+    register_views(spark, SF_DIR, spread=("lineitem",))
+    assert calls["n"] == 2 * n1  # env change: full re-install
+
+
+def test_memo_bypassed_for_directory_tables(spark, monkeypatch, tmp_path):
+    """r14 ADVICE (low): a directory table's stat does not witness its
+    leaves — the memo must bypass (always re-register), mirroring
+    _cached_schema's S_ISREG skip."""
+    import shutil
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for name in tables.TABLE_NAMES:
+        if name == "nation":
+            sub = d / "nation.parquet"
+            sub.mkdir()
+            shutil.copy(f"{SF_DIR}/nation.parquet", sub / "part-0.parquet")
+        else:
+            shutil.copy(f"{SF_DIR}/{name}.parquet", d / f"{name}.parquet")
+    calls = _install_counter(monkeypatch)
+    register_views(spark, str(d))
+    n1 = calls["n"]
+    register_views(spark, str(d))
+    assert calls["n"] == 2 * n1  # never memoized: stat can't witness leaves
+
+
 def test_memo_disabled_by_env(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_VIEW_MEMO", "0")
     calls = _install_counter(monkeypatch)

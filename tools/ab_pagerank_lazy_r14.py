@@ -41,7 +41,9 @@ from datafusion_umami_spark.tables import table
 ITERS = 4
 
 
-def pagerank_lazy(edges: DataFrame, iterations: int = ITERS) -> DataFrame:
+def pagerank_lazy(
+    edges: DataFrame, iterations: int = ITERS
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     e = edges.select(
         F.col(edges.columns[0]).cast("long").alias("src"),
         F.col(edges.columns[1]).cast("long").alias("dst"),
