@@ -29,7 +29,7 @@ O(|V|), not O(iterations × |V|)).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datafusion_umami_spark.operators.connected_components import _free_checkpoint
@@ -39,11 +39,30 @@ DAMP_NUM = 850_000  # 0.85 in micro-units
 TELEPORT = 150_000  # (1 - 0.85) in micro-units
 
 
+def _damped_pr(mass_col: str = "mass") -> F.Column:
+    """TELEPORT + floor(DAMP * mass / MICRO), the integer-exact damping
+    step shared by both iteration layouts.  Damping product in
+    DECIMAL(38,0): mass at a hub is bounded by total graph mass
+    (|V| * 1e6), so the BIGINT product 850_000 * mass would overflow
+    past ~1e7 nodes under ANSI.  DECIMAL keeps exactness to ~1e31;
+    FLOOR == DIV for the nonnegative operands.  (DuckDB side is already
+    safe: SUM(BIGINT) yields HUGEINT there, so its product never
+    overflows.)"""
+    return (
+        F.lit(TELEPORT)
+        + F.expr(
+            f"CAST(FLOOR((CAST({DAMP_NUM} AS DECIMAL(38,0))"
+            f" * coalesce({mass_col}, 0L)) / {MICRO}) AS BIGINT)"
+        )
+    ).cast("long").alias("pr")
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 4,
     stats: dict | None = None,
     dedup_edges: bool = True,
+    full_in_degree: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank.  `edges`: columns (src, dst), directed —
     pass both directions for an undirected graph.  Every node must
@@ -57,6 +76,22 @@ def pagerank(
     with the flag off double-counts contributions, so only assert-known
     inputs may use it (pinned equivalent on distinct inputs in
     tests/test_fuzz.py).
+
+    `full_in_degree=True` (r15, guide §2.4) additionally guarantees
+    every node ALSO appears as a dst (in-degree >= 1 — automatic for a
+    bidirectional edge list).  Then every node receives mass every
+    round, so the per-round `deg LEFT JOIN contribs` is the identity
+    and the whole iteration restructures:
+      - outdeg rides ON the edge list (one count window in the same
+        pass that materializes it) — the separate deg checkpoint and
+        the per-round |V|-row join + broadcast build disappear;
+      - round 0's state is the CONSTANT pr=MICRO, so its edges⋈state
+        join is a no-op — contribs are MICRO DIV outdeg off the edges.
+    Each round is ONE join (state onto edges) + ONE keyed aggregate.
+    Bit-identical to the default path on inputs satisfying the
+    guarantee (pinned in tests/test_fuzz.py); on inputs violating it
+    the default path keeps zero-in-degree nodes alive while this path
+    drops them, so only assert-known inputs may use it.
     """
     e = edges.select(
         F.col(edges.columns[0]).cast("long").alias("src"),
@@ -64,6 +99,8 @@ def pagerank(
     )
     if dedup_edges:
         e = e.distinct()
+    if full_in_degree:
+        return _pagerank_full_in_degree(e, iterations, stats)
     e = e.localCheckpoint(eager=True)
 
     # The node universe IS deg's key set (every node appears as a src by
@@ -99,24 +136,7 @@ def pagerank(
         )
         nxt = (
             deg.join(contribs, deg.node == contribs.dst, "left")
-            .select(
-                "node",
-                "outdeg",
-                (
-                    F.lit(TELEPORT)
-                    # Damping product in DECIMAL(38,0): mass at a hub is
-                    # bounded by total graph mass (|V| * 1e6), so the
-                    # BIGINT product 850_000 * mass would overflow past
-                    # ~1e7 nodes under ANSI.  DECIMAL keeps exactness to
-                    # ~1e31; FLOOR == DIV for the nonnegative operands.
-                    # (DuckDB side is already safe: SUM(BIGINT) yields
-                    # HUGEINT there, so its product never overflows.)
-                    + F.expr(
-                        f"CAST(FLOOR((CAST({DAMP_NUM} AS DECIMAL(38,0))"
-                        f" * coalesce(mass, 0L)) / {MICRO}) AS BIGINT)"
-                    )
-                ).cast("long").alias("pr"),
-            )
+            .select("node", "outdeg", _damped_pr("mass"))
         )
         nxt_ck = nxt.localCheckpoint(eager=True)
         if st_ck is not None:
@@ -133,4 +153,80 @@ def pagerank(
         # unrecomputable, so deg_ck must stay live in that (test-only)
         # case.
         _free_checkpoint(deg_ck)
+    return state.select("node", "pr")
+
+
+def _pagerank_full_in_degree(
+    e: DataFrame, iterations: int, stats: dict | None
+) -> DataFrame:
+    """The in-degree>=1 fast path (see pagerank docstring; r15
+    interleaved A/B: 2.98 -> 2.32 s best-of-5 at sf0.1, and at any
+    scale one fewer |V|-row join + broadcast per round and one fewer
+    |V|-row checkpoint job up front).  `e` is the cast (and, per the
+    caller's flags, deduplicated) edge list."""
+    e_deg = e.withColumn(
+        "outdeg", F.count("*").over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=True)
+
+    # Size-gated broadcast decision, made ONCE: |state| is |V| rows in
+    # every round, so one count over the round-0 checkpoint (cheap — it
+    # is materialized) decides all remaining rounds.  A checkpointed
+    # frame reports no usable size stats, so without the hint the
+    # planner lays out SortMergeJoin and BOTH sides pay an exchange —
+    # including the |E|-row edge list, EVERY round — before AQE demotes
+    # to broadcast at runtime (measured: the demotion happens, but the
+    # edge exchange has already run).  A blind hint would be the
+    # opposite mistake (|V| grows with the corpus past any broadcast
+    # cap), so the hint is applied exactly when ~64 B/row of state fits
+    # the session's own autoBroadcastJoinThreshold.
+    spark = e_deg.sparkSession
+    try:
+        _raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        bcast_threshold = int(_raw.lower().removesuffix("b"))  # "10485760b"
+    except Exception:
+        bcast_threshold = 0  # unparseable ("10MB") / unset -> no hint
+    state_fits_broadcast = False
+
+    st_ck = None
+    state: DataFrame | None = None
+    for i in range(iterations):
+        if state is None:
+            # round 0: state is the constant pr=MICRO — no join needed
+            contribs = e_deg.select(
+                "dst", F.expr(f"{MICRO} DIV outdeg").alias("c")
+            )
+        else:
+            s = F.broadcast(state) if state_fits_broadcast else state
+            contribs = e_deg.join(s, e_deg.src == s.node).select(
+                "dst", F.expr("pr DIV outdeg").alias("c")
+            )
+        nxt = (
+            contribs.groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+            .select(F.col("dst").alias("node"), _damped_pr("mass"))
+        )
+        nxt_ck = nxt.localCheckpoint(eager=True)
+        if st_ck is None and iterations > 1:
+            # one cheap count over the materialized round-0 state fixes
+            # the broadcast decision for every remaining round
+            state_fits_broadcast = (
+                bcast_threshold > 0
+                and nxt_ck.count() * 64 < bcast_threshold
+            )
+        if st_ck is not None:
+            _free_checkpoint(st_ck)
+        st_ck = nxt_ck
+        state = st_ck.toDF(*st_ck.columns)
+
+    if stats is not None:
+        stats["iterations"] = iterations
+    if iterations == 0:
+        # test-only degenerate case: every node at its initial mass;
+        # the projection stays lazy over e_deg, so keep it live.
+        return (
+            e_deg.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.lit(MICRO).cast("long").alias("pr"))
+        )
+    _free_checkpoint(e_deg)
     return state.select("node", "pr")

@@ -69,6 +69,62 @@ def scratch_dir(spark: SparkSession, *parts: str) -> str:
     os.makedirs(root, exist_ok=True)
     return root
 
+# --- adaptive state-partition coalescing (r15, guide §2.2/§6) -------------
+# Stateful streaming is denied AQE partition coalescing: the state
+# partition count pins to spark.sql.shuffle.partitions at FIRST query
+# start and every micro-batch pays one state-store open+commit PER
+# PARTITION PER STATEFUL OPERATOR, so a small input on a wide session
+# conf spends its drain on store commits (r14 measured the cascade at
+# 2 ops x 32 partitions x 2 batches = 128 commits for 100k rows; the
+# driver's own 8-core run was ~2x faster PURELY from 4x fewer stores).
+# This reimplements AQE's coalesce rule for the streaming case:
+#   n = min(shuffle.partitions, ceil(source_bytes / advisoryPartitionSize))
+# — never ABOVE the configured parallelism (the cluster setting is
+# respected exactly like AQE, which only ever coalesces DOWN), and at
+# 100 TB source_bytes/advisory is astronomically larger than any
+# shuffle.partitions value, so the rule is provably a no-op at scale —
+# the same opt-in-shape argument as the r14 scan spread.  Results are
+# partition-count-independent (the hostile-config parity gate already
+# runs every streaming spec at 3 shuffle partitions).
+# `read_events_stream` records its source size per session;
+# `stream_to_memory` applies the override around the drain and restores
+# the conf afterwards (the conf is read at query start and re-read per
+# micro-batch, so the override must span awaitTermination).
+# SPARK_GRAFT_STREAM_STATE_COALESCE=off disables (A/B hook).
+_SOURCE_BYTES: dict[int, int] = {}  # id(SparkSession) -> bytes of last stream read
+
+
+def _parse_bytes(s: str) -> int:
+    """Parse a Spark byte-size conf string ('64MB', '256m', '1048576')."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", s, re.IGNORECASE)
+    if not m:
+        return 64 * 1024 * 1024
+    mult = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    return int(m.group(1)) * mult[m.group(2).lower()]
+
+
+def _coalesced_state_partitions(spark: SparkSession) -> int | None:
+    """The adaptive override for this session's next streaming drain, or
+    None when it would not shrink anything (unknown source size, small
+    conf, opt-out)."""
+    if os.environ.get("SPARK_GRAFT_STREAM_STATE_COALESCE", "on") == "off":
+        return None
+    size = _SOURCE_BYTES.get(id(spark))
+    if not size:
+        return None
+    try:
+        current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        advisory = _parse_bytes(
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        )
+    except Exception:
+        return None
+    n = max(1, -(-size // advisory))  # ceil
+    return n if n < current else None
+
+
 _EVENTS_SCHEMA_NS = (
     "event_id bigint, ts bigint, user_id bigint, "
     "event_type string, value double, props string"
@@ -99,6 +155,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
+    try:  # source size for the adaptive state-partition coalesce
+        _SOURCE_BYTES[id(spark)] = os.stat(
+            os.path.join(sf_dir, "events.parquet")
+        ).st_size
+    except OSError:
+        _SOURCE_BYTES.pop(id(spark), None)
     return normalize_events_ts(sdf, "timestamp")
 
 
@@ -109,13 +171,31 @@ def stream_to_memory(
     in-memory sink table and return it as a batch DataFrame."""
     spark = sdf.sparkSession
     checkpoint = scratch_dir(spark, "stream", name)
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    n = _coalesced_state_partitions(spark)
+    saved: str | None = None
+    if n is not None:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        global _LAST_QUERY
+        _LAST_QUERY = q  # diagnostics hook: progress log of the drain
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)
+
+
+# Most recent drained query (stream_to_memory) — lets probes/tests read
+# recentProgress (per-batch durations, state-operator commit times,
+# numShufflePartitions) after the drain without changing the return
+# contract.  Diagnostics only.
+_LAST_QUERY = None

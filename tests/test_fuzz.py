@@ -1243,6 +1243,18 @@ def test_pagerank_matches_integer_reference(und, iters, spark):
     }
     assert skip == got
 
+    # r15 full_in_degree contract: a BIDIRECTIONAL edge list gives every
+    # node in-degree >= 1, so the restructured path (outdeg on the edge
+    # list, constant round 0, no per-round deg join) must be
+    # bit-identical to the default on exactly this input class.
+    fast = {
+        (r.node, r.pr)
+        for r in pagerank(
+            df, iterations=iters, dedup_edges=False, full_in_degree=True
+        ).collect()
+    }
+    assert fast == got
+
 
 @settings(max_examples=10, deadline=None)
 @given(
