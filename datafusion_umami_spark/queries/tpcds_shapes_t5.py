@@ -109,6 +109,22 @@ register_split_sql(
 # changing any group the final consumes.  Written as a direct
 # o_orderdate range (not EXTRACT) so it reaches the parquet scan as a
 # pushed filter on BOTH engines.
+#
+# r15 (guide §2.4 remove shuffles outright): the consecutive-year
+# self-join IS a window.  (cust, part, yr) is the aggregate's group key
+# — unique — so b1's unique join partner is LEAD over (cust, part)
+# ORDER BY yr, gated on next_yr = yr + 1.  One pass over the aggregate
+# replaces two scans + a sort-merge self-join, and the
+# REPARTITION(cust, part) hint under the aggregate lets the aggregate
+# AND the window share ONE exchange (HashPartitioning on a subset of
+# the group keys satisfies the aggregate's clustering requirement).
+# Plan: 3 shuffle exchanges + a materialization job -> 1 exchange, no
+# checkpoint.  Both engines run the SAME window text (DuckDB parses the
+# hint as a comment), byte-identical to the join form at
+# sf0.001/0.01/0.1 in DuckDB and pinned on adversarial micro-data in
+# tests/test_fuzz.py; interleaved A/B at sf0.1: 1.49 -> 0.83 s.
+# _BUY64/_Q64_FINAL stay defined as the equivalence REFERENCE texts
+# (the fence + window pins in tests/test_fuzz.py run them in DuckDB).
 _BUY64 = """
         SELECT o.o_custkey AS cust, l.l_partkey AS part,
                CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
@@ -134,11 +150,42 @@ _Q64_FINAL = """
     LIMIT 1000
     """
 
-register_split_sql(
+_Q64_WIN = """
+    WITH buyraw AS (
+      SELECT /*+ REPARTITION(cust, part) */
+             o.o_custkey AS cust, l.l_partkey AS part,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+             l.l_extendedprice AS price
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate < DATE '2002-01-01'
+    ),
+    buy AS (
+      SELECT cust, part, yr, MIN(price) AS best_price
+      FROM buyraw GROUP BY cust, part, yr
+    )
+    SELECT c.c_name AS cust_name, w.part AS part_key,
+           p.p_name AS part_name, w.yr AS first_year,
+           w.best_price AS price_y1, w.next_price AS price_y2
+    FROM (
+      SELECT cust, part, yr, best_price,
+             LEAD(yr) OVER (PARTITION BY cust, part ORDER BY yr) AS next_yr,
+             LEAD(best_price) OVER (PARTITION BY cust, part ORDER BY yr)
+                 AS next_price
+      FROM buy) w
+    JOIN customer c ON w.cust = c.c_custkey
+    JOIN part p ON w.part = p.p_partkey
+    WHERE w.next_yr = w.yr + 1
+      AND w.next_price < w.best_price
+      AND w.yr BETWEEN 1996 AND 2000
+    ORDER BY cust_name, part_key, first_year
+    LIMIT 1000
+    """
+
+register_sql(
     "tpcds_twice_joined_wide_star",
-    stages=[(_BUY64, "t5_buy64_m")],
-    final_sql=_Q64_FINAL.format(buy="t5_buy64_m"),
-    oracle="WITH buy AS (" + _BUY64 + ")" + _Q64_FINAL.format(buy="buy"),
+    _Q64_WIN,
     tags=("tpcds", "self-join", "wide-star", "rebuy"),
     bench=True,
 )

@@ -3284,5 +3284,66 @@ def test_wide_star_stage_year_fence_is_result_invariant(prices, extra_cust):
     got_new = con.execute(
         "WITH buy AS (" + _BUY64 + ")" + _Q64_FINAL.format(buy="buy")
     ).fetchall()
+
+    # r15 self-join -> window restructure: on the same adversarial
+    # micro-data (gap years, equal-price boundaries, fence-straddling
+    # consecutive pairs) the registered LEAD-window text must equal the
+    # join-form reference exactly.  The registered text IS the shared
+    # Spark/DuckDB text, so this pins the reformulation against the
+    # historical join semantics.
+    from datafusion_umami_spark.queries.tpcds_shapes_t5 import _Q64_WIN
+
+    got_win = con.execute(_Q64_WIN).fetchall()
     con.close()
     assert got_old == got_new
+    assert got_win == got_new
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    qtys=st.lists(st.integers(1, 120), min_size=4, max_size=14),
+    gap_at=st.integers(0, 9),
+)
+def test_yearly_decline_window_matches_join_reference(qtys, gap_at):
+    """tpcds_yearly_decline_union r15: the LAG-window text must equal
+    the historical curr/prev self-join on micro-data with year GAPS
+    (the window's prev row is the previous EXISTING year — only the
+    prev_yr = yr - 1 gate makes it the join's consecutive-year
+    partner), decline boundaries (10*qty = 9*prev_qty exactly), and
+    multi-channel/part collisions."""
+    import duckdb as _duckdb
+
+    from datafusion_umami_spark.queries.tpcds_shapes_t6 import (
+        _FINAL75,
+        _Q75_WIN,
+        _SALES75,
+    )
+
+    li_rows, o_rows = [], []
+    ok = 1
+    for yi, qty in enumerate(qtys):
+        yr = 1992 + yi
+        if yi == gap_at:
+            continue  # year gap: LAG sees a non-consecutive prev year
+        for ln in (1, 2, 3):  # three channels via l_linenumber % 3
+            li_rows.append(f"({ok}, {ln}, 7, {qty}.0, {qty * 10}.0, 'N')")
+        o_rows.append(f"({ok}, DATE '{yr}-07-01')")
+        ok += 1
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        + ",".join(li_rows)
+        + ") t(l_orderkey, l_linenumber, l_partkey, l_quantity,"
+        " l_extendedprice, l_returnflag)"
+    )
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + ",".join(o_rows)
+        + ") t(o_orderkey, o_orderdate)"
+    )
+    ref = con.execute(
+        f"WITH channel_sales AS ({_SALES75})\n{_FINAL75}"
+    ).fetchall()
+    win = con.execute(_Q75_WIN).fetchall()
+    con.close()
+    assert win == ref

@@ -393,11 +393,6 @@ def test_round6_bench_promotions_broadcast_no_cartesian(name, spark, sf_dir):
         # dim arms (part / supplier) must broadcast against the fact
         ("job_keyword_in8_triple_clique", True),
         ("job_double_link_two_hops", True),
-        # q75's final self-joins ONE materialized reduced aggregate with
-        # itself — there is no small side by construction (same relation
-        # both arms), so the scalable plan is a shuffled equi-join, not
-        # a broadcast; require the equi-join and forbid the bad classes
-        ("tpcds_yearly_decline_union", False),
     ],
 )
 def test_round7_bench_promotions_equi_join_no_cartesian(
@@ -406,24 +401,48 @@ def test_round7_bench_promotions_equi_join_no_cartesian(
     """Round-7 bench promotions: the 20a IN-8 triple clique must collapse
     its pairwise orderkey closure into an equi-join tree with the
     IN-fenced part dim broadcast; the two-hop link chain's part/supplier
-    links must broadcast; the q75 decline self-join runs over the
-    materialized channel aggregate as a shuffled equi-join.  Never a
-    cartesian, BNLJ, or row-Python."""
+    links must broadcast.  Never a cartesian, BNLJ, or row-Python."""
     plan = plan_str(q(name, spark, sf_dir), "simple")
     if want_broadcast:
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast of dims\n{plan}"
-    else:
-        # the self-joined aggregate has no small side by construction —
-        # a broadcast of it would be a scale regression, not a pass
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
-            f"{name}: no shuffled equi-join in plan\n{plan}"
-        )
-        assert "BroadcastHashJoin" not in plan, (
-            f"{name}: broadcasts the un-broadcastable self-join side\n{plan}"
-        )
     assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
     assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ\n{plan}"
     assert "BatchEvalPython" not in plan, f"{name}: row-Python in plan\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name,part_keys",
+    [
+        # r15 self-join -> window restructures: the consecutive-year
+        # partner is LEAD/LAG over the aggregate, so the plan must be
+        # join-free over the aggregate (wide_star keeps only its two
+        # broadcast DIM joins) and the aggregate + window must SHARE
+        # one exchange — the REPARTITION(entity) hint's
+        # subset-of-group-keys clustering satisfies both, so exactly
+        # one data Exchange may appear.
+        ("tpcds_yearly_decline_union", "ch"),
+        ("tpcds_twice_joined_wide_star", "cust"),
+    ],
+)
+def test_r15_consecutive_year_windows_single_exchange(
+    name, part_keys, spark, sf_dir
+):
+    plan = plan_str(q(name, spark, sf_dir), "simple")
+    assert "Window" in plan, f"{name}: window missing\n{plan}"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        f"{name}: the self-join came back\n{plan}"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    n_exchange = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    )
+    assert n_exchange == 1, (
+        f"{name}: expected exactly 1 data exchange (the REPARTITION "
+        f"hint on ({part_keys}, part)), got {n_exchange}\n{plan}"
+    )
 
 
 # --- round-5 CTE-materialization gates (SCALE.md audit) --------------------
@@ -456,7 +475,10 @@ def test_round7_bench_promotions_equi_join_no_cartesian(
         # views (cap 0) except where the final itself carries textual
         # fact references (q14's two INTERSECT arms; q23's third-year
         # sales join = 1 lineitem + 1 orders)
-        ("tpcds_twice_joined_wide_star", 0),
+        # r15: the consecutive-year self-join became LEAD over the
+        # aggregate in ONE statement — no split, no re-reference; the
+        # single plan textually scans lineitem + orders once each
+        ("tpcds_twice_joined_wide_star", 2),
         ("tpcds_weekday_share_two_years", 0),
         ("tpcds_top_bottom_rank_join", 0),
         ("tpcds_volatile_items_cross_month", 0),
@@ -464,7 +486,9 @@ def test_round7_bench_promotions_equi_join_no_cartesian(
         ("tpcds_frequent_item_cross_year", 2),
         # round-7 split registrations: finals self-join materialized
         # views only — zero fact scans in the final stage
-        ("tpcds_yearly_decline_union", 0),
+        # r15: q75's curr/prev self-join became LAG over the aggregate
+        # in ONE statement (same class as wide_star above)
+        ("tpcds_yearly_decline_union", 2),
         ("tpcds_qoq_web_vs_store", 0),
         # round-8 split registrations (tpcds tranche 7): every final
         # reads the materialized aggregate (x4 for the q4 stack) plus
